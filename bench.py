@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion with the noop sink (full computation,
+no driver-side materialization). The session is warmed first (JVM + domain
+view cache) so numbers reflect steady-state query time, not JVM startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kalytical_spark import catalog  # noqa: E402
+from kalytical_spark.registry import all_queries  # noqa: E402
+from kalytical_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: every implemented query (registry order). Override with
+# SPARK_GRAFT_BENCH_QUERIES=name1,name2 for focused runs.
+_ONLY = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+
+
+def run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("kalytical_bench")
+    t_warm = time.time()
+    catalog.register(spark, SF_DIR)
+    # force domain-view cache materialization once, outside the timings
+    spark.table("lifecycle_events").count()
+    spark.table("incubating_triggers").count()
+    warm_s = time.time() - t_warm
+
+    queries = all_queries()
+    names = list(queries)
+    if _ONLY:
+        names = [n for n in _ONLY.split(",") if n in queries]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn, _oracle = queries[name]
+        t0 = time.time()
+        try:
+            run_query(fn(spark, SF_DIR))
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # a failing query shouldn't kill the bench
+            timings[name] = -1.0
+            print(f"# bench error {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "kalytical_spark_headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "warmup_sec": round(warm_s, 3),
+                "n_queries": len(timings),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Shared helpers for operator implementations.
+
+Determinism conventions (required for the DuckDB-oracle value-hash gate):
+
+* Money/metric sums go through exact DECIMAL arithmetic and are cast to
+  DOUBLE at the end: both engines compute the identical exact decimal, and
+  the decimal->double cast is the same nearest-double — bit-identical
+  results, immune to float summation order across partitions/engines.
+* Averages are computed as (decimal-exact sum cast to double) / count —
+  a single deterministic IEEE division, not engine-native AVG.
+* Continuous scores (cosine similarity) are rounded BEFORE ranking so
+  top-k membership and tie-breaks (by id) are stable across engines.
+* Every ORDER BY ... LIMIT has a total order (unique tie-break column).
+* "now" is never current_timestamp(); it is max(ts) over events_ms — a
+  deterministic, data-derived clock shared with the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+
+DEC = "decimal(12,4)"
+
+
+def dsum(col: Column | str) -> Column:
+    """Exact decimal sum surfaced as double (see module docstring)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.sum(col.cast(DEC)).cast("double")
+
+
+def dsum_prod(a: Column, b: Column) -> Column:
+    """Exact decimal sum of a product, surfaced as double.
+
+    The product's scale (8+) makes the sum's unscaled value exceed 2^53,
+    where DuckDB's decimal->double cast can be one ulp off Spark's. Rescale
+    to scale 6 first (exact half-up in both engines, unscaled < 2^53), then
+    the double cast is a single correctly-rounded op on both sides."""
+    return F.sum(a.cast(DEC) * b.cast(DEC)).cast("decimal(38,6)").cast("double")
+
+
+def davg(col: Column | str) -> Column:
+    col = F.col(col) if isinstance(col, str) else col
+    return dsum(col) / F.count(col).cast("double")
+
+
+# Oracle-side (DuckDB) macro equivalents — keep textually in sync with above.
+def sql_dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(12,4))) AS DOUBLE)"
+
+
+def sql_dsum_prod(a: str, b: str) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST({a} AS DECIMAL(12,4)) * CAST({b} AS DECIMAL(12,4)))"
+        f" AS DECIMAL(38,6)) AS DOUBLE)"
+    )
+
+
+def sql_davg(expr: str) -> str:
+    return f"{sql_dsum(expr)} / CAST(COUNT({expr}) AS DOUBLE)"
+
+
+def now_expr(spark: SparkSession, sf_dir: str) -> Column:
+    """Deterministic 'now': max event time in the dataset (shared with the
+    oracle as a scalar subquery). Replaces reference datetime.now() usages
+    (data_provider.py:130,135; job_culler.py:22,35)."""
+    catalog.register(spark, sf_dir)
+    return F.lit(spark.table("events_ms").agg(F.max("ts")).collect()[0][0])
+
+
+SQL_NOW = "(SELECT max(ts) FROM events_ms)"
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog.table(spark, sf_dir, name)

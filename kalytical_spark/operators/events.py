@@ -1,0 +1,240 @@
+"""Event-history operators: the reference's event_history queries plus the
+event-log analytics a Spark engine adds for free (SURVEY.md section 2.2,
+2.4-2.5, 2.8).
+
+Reference citations (paths relative to /root/reference):
+  F6/F7/O1/A5  history time-range + sort desc + limit
+               src/kalytical/core/data_provider.py:133-147
+  ST2          subtype routing     src/kalytical/core/dispatcher.py:15-29
+  A6/J6        retry-cap check     src/kalytical/core/dispatcher.py:48-58
+  ST9          event vs ingest time src/kalytical/core/data_provider.py:128-131
+  C7           props JSON decode   src/kalytical/core/mq_poller.py:31-36
+
+Scale notes: the event log is the unbounded table. Every aggregation below
+is a single hash-aggregate keyed on low-cardinality columns (map-side
+partial agg, no skew); the top-k is TakeOrderedAndProject (no global sort);
+the defs join side is broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .common import SQL_NOW, now_expr, t
+
+
+def events_recent_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6+F7+O1: newest failure events in the last 7 days (relative to the
+    deterministic data clock), top-20 — Spark plans this as
+    TakeOrderedAndProject, never a full sort."""
+    ev = t(spark, sf_dir, "lifecycle_events")
+    now = now_expr(spark, sf_dir)
+    return (
+        ev.filter(F.col("event_subtype") == "failure")
+        .filter(F.col("received_time") >= now - F.expr("INTERVAL 7 DAYS"))
+        .orderBy(F.desc("received_time"), F.desc("exec_uuid"))
+        .limit(20)
+        .select("event_subtype", "pipeline_uuid", "exec_uuid", "event_time", "received_time", "retry_count")
+    )
+
+
+ORACLE_RECENT_TOPK = f"""
+SELECT event_subtype, pipeline_uuid, exec_uuid, event_time, received_time, retry_count
+FROM lifecycle_events
+WHERE event_subtype = 'failure'
+  AND received_time >= {SQL_NOW} - INTERVAL 7 DAY
+ORDER BY received_time DESC, exec_uuid DESC
+LIMIT 20
+"""
+
+
+def events_subtype_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2 as batch: route-by-subtype counters (dispatcher handler fan-out)."""
+    ev = t(spark, sf_dir, "lifecycle_events")
+    return ev.groupBy("event_subtype").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("pipeline_uuid").alias("n_pipelines"),
+        F.sum("retry_count").alias("total_retries"),
+        F.sum(F.col("disable_downstream").cast("int")).alias("n_disabled"),
+    )
+
+
+ORACLE_SUBTYPE_COUNTS = """
+SELECT event_subtype,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT pipeline_uuid) AS BIGINT) AS n_pipelines,
+       CAST(SUM(retry_count) AS BIGINT) AS total_retries,
+       CAST(SUM(CASE WHEN disable_downstream THEN 1 ELSE 0 END) AS BIGINT) AS n_disabled
+FROM lifecycle_events
+GROUP BY event_subtype
+"""
+
+
+def events_retry_exceeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+J6: failure events at-or-over the pipeline's retry_max — the
+    MaxPipelineRetryReached condition (dispatcher.py:51-53), defs broadcast."""
+    ev = t(spark, sf_dir, "lifecycle_events")
+    defs = t(spark, sf_dir, "pipeline_defs").select("pipeline_uuid", "retry_max")
+    return (
+        ev.filter(F.col("event_subtype") == "failure")
+        .join(F.broadcast(defs), "pipeline_uuid")
+        .filter(F.col("retry_count") >= F.col("retry_max"))
+        .groupBy("pipeline_uuid", "retry_max")
+        .agg(
+            F.count("*").alias("n_exceeded"),
+            F.max("retry_count").alias("max_retry_seen"),
+        )
+    )
+
+
+ORACLE_RETRY_EXCEEDED = """
+SELECT e.pipeline_uuid, d.retry_max,
+       CAST(COUNT(*) AS BIGINT) AS n_exceeded,
+       MAX(e.retry_count) AS max_retry_seen
+FROM lifecycle_events e
+JOIN pipeline_defs d USING (pipeline_uuid)
+WHERE e.event_subtype = 'failure' AND e.retry_count >= d.retry_max
+GROUP BY e.pipeline_uuid, d.retry_max
+"""
+
+
+def events_ingest_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST9/C6: event-time vs ingest-time lag distribution per subtype (the
+    received_time stamp of data_provider.py:130)."""
+    ev = t(spark, sf_dir, "lifecycle_events")
+    lag = F.unix_timestamp("received_time") - F.unix_timestamp("event_time")
+    return ev.groupBy("event_subtype").agg(
+        F.min(lag).alias("min_lag_s"),
+        F.max(lag).alias("max_lag_s"),
+        (F.sum(lag).cast("double") / F.count("*").cast("double")).alias("avg_lag_s"),
+    )
+
+
+ORACLE_INGEST_LAG = """
+SELECT event_subtype,
+       MIN(date_diff('second', event_time, received_time)) AS min_lag_s,
+       MAX(date_diff('second', event_time, received_time)) AS max_lag_s,
+       CAST(CAST(SUM(date_diff('second', event_time, received_time)) AS BIGINT) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_lag_s
+FROM lifecycle_events
+GROUP BY event_subtype
+"""
+
+
+def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed rollup over the raw event stream (the windowed-agg
+    extension the reference lacks, SURVEY.md section 2.8 note)."""
+    ev = t(spark, sf_dir, "events_ms")
+    from .common import dsum
+
+    return (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+ORACLE_DAILY_ROLLUP = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+FROM events_ms
+GROUP BY 1, 2
+"""
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user sessions split on 30-minute inactivity gaps
+    (lag + cumulative-sum pattern; streaming twin is session_window)."""
+    ev = t(spark, sf_dir, "events_ms")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = W.partitionBy("user_id").orderBy(*order)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_sess = (
+        ev.withColumn("new_sess", (gap.isNull() | (gap > 1800)).cast("int"))
+        .withColumn("sess_id", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    )
+    per_sess = with_sess.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("dur_s"),
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.max("sess_id").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+        F.max("dur_s").alias("max_session_dur_s"),
+    )
+
+
+ORACLE_SESSIONIZATION = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events_ms
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+), per_sess AS (
+  SELECT user_id, sess_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         date_diff('second', MIN(ts), MAX(ts)) AS dur_s
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(MAX(sess_id) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+       CAST(MAX(dur_s) AS BIGINT) AS max_session_dur_s
+FROM per_sess GROUP BY user_id
+"""
+
+
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: decode the opaque JSON props column (mq_poller unmarshal analog)
+    and aggregate on the extracted field."""
+    ev = t(spark, sf_dir, "events_ms")
+    from .common import dsum
+
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k_bucket", (k - k % 10))
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+ORACLE_PROPS_JSON = """
+SELECT k - k % 10 AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, value
+  FROM events_ms
+)
+GROUP BY 1
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "events_recent_topk": (events_recent_topk, ORACLE_RECENT_TOPK),
+    "events_subtype_counts": (events_subtype_counts, ORACLE_SUBTYPE_COUNTS),
+    "events_retry_exceeded": (events_retry_exceeded, ORACLE_RETRY_EXCEEDED),
+    "events_ingest_lag": (events_ingest_lag, ORACLE_INGEST_LAG),
+    "events_daily_rollup": (events_daily_rollup, ORACLE_DAILY_ROLLUP),
+    "events_sessionization": (events_sessionization, ORACLE_SESSIONIZATION),
+    "events_props_json": (events_props_json, ORACLE_PROPS_JSON),
+}

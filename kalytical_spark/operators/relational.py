@@ -1,0 +1,235 @@
+"""General relational/OLAP queries over the TPC-H-style tables — the generic
+analytic surface our engine exposes beyond the reference's own operators
+(SURVEY.md section 2.4 note: Spark supplies cube/window/top-k for free; these
+are the headline bench queries).
+
+Determinism: all money aggregates use exact decimal arithmetic surfaced as
+double (see operators/common.py); every LIMIT has a unique tie-break.
+
+Scale notes: Q1 is a single map-side-combinable hash aggregate; Q3/Q5 join
+fact-to-dim with broadcast on every dim side (customer at 100 TB would be
+bucketed/shuffled — the code keeps explicit broadcast only for true dims and
+lets AQE pick for customer); the window top-k shuffles once on the partition
+key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .common import dsum, dsum_prod, sql_dsum, sql_dsum_prod, t
+
+DEC = "decimal(12,4)"
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) adapted to the driver schema."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount")).cast(DEC)
+    charge = disc_price * (1 + F.col("l_tax")).cast(DEC)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(38,6)").cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(38,6)").cast("double").alias("sum_charge"),
+            (dsum("l_quantity") / F.count("*").cast("double")).alias("avg_qty"),
+            (dsum("l_extendedprice") / F.count("*").cast("double")).alias("avg_price"),
+            (dsum("l_discount") / F.count("*").cast("double")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_base_price,
+       {sql_dsum_prod('l_extendedprice', '1 - l_discount')} AS sum_disc_price,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                     * CAST(1 - l_discount AS DECIMAL(12,4))
+                     * CAST(1 + l_tax AS DECIMAL(12,4))) AS DECIMAL(38,6)) AS DOUBLE)
+         AS sum_charge,
+       {sql_dsum('l_quantity')} / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+       {sql_dsum('l_extendedprice')} / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+       {sql_dsum('l_discount')} / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: top unshipped orders by revenue for one market segment."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(orders.filter(F.col("o_orderdate") < cutoff), li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum_prod(F.col("l_extendedprice"), 1 - F.col("l_discount")).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_Q3 = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {sql_dsum_prod('l_extendedprice', '1 - l_discount')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation within one region, requiring the
+    supplier and customer to share a nation (5-way join; all dims broadcast)."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum_prod(F.col("l_extendedprice"), 1 - F.col("l_discount")).alias("revenue"))
+    )
+
+
+ORACLE_Q5 = f"""
+SELECT n_name, {sql_dsum_prod('l_extendedprice', '1 - l_discount')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def q_top_customers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k: top-5 customers by order value per market segment."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(dsum("o_totalprice").alias("total_value"), F.count("*").alias("n_orders"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.desc("total_value"), F.asc("c_custkey")
+    )
+    return (
+        per_cust.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("c_mktsegment", "c_custkey", "c_name", "total_value", "n_orders", "rank")
+    )
+
+
+ORACLE_TOP_CUSTOMERS = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         {sql_dsum('o_totalprice')} AS total_value,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT c.c_mktsegment, c.c_custkey, c.c_name, p.total_value, p.n_orders,
+         row_number() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY p.total_value DESC, c.c_custkey) AS rank
+  FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, c_custkey, c_name, total_value, n_orders, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts by status x priority (conditional aggregation —
+    the DataFrame .pivot() shape with explicit value list)."""
+    orders = t(spark, sf_dir, "orders")
+    priorities = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", priorities)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, [p for p in priorities])
+    )
+
+
+ORACLE_PRIORITY_PIVOT = """
+SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT)
+         AS "1-URGENT",
+       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT)
+         AS "2-HIGH",
+       CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT)
+         AS "3-MEDIUM",
+       CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT)
+         AS "4-NOT SPECIFIED",
+       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT)
+         AS "5-LOW"
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def q_rollup_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: customer account balance totals by region/nation with
+    subtotals (grouping-set surface the reference lacks entirely)."""
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        dsum("c_acctbal").alias("total_acctbal"),
+    )
+
+
+ORACLE_ROLLUP = f"""
+SELECT r_name, n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {sql_dsum('c_acctbal')} AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "q1_pricing_summary": (q1_pricing_summary, ORACLE_Q1),
+    "q3_shipping_priority": (q3_shipping_priority, ORACLE_Q3),
+    "q5_region_revenue": (q5_region_revenue, ORACLE_Q5),
+    "q_top_customers_window": (q_top_customers_window, ORACLE_TOP_CUSTOMERS),
+    "q_order_priority_pivot": (q_order_priority_pivot, ORACLE_PRIORITY_PIVOT),
+    "q_rollup_nation_region": (q_rollup_nation_region, ORACLE_ROLLUP),
+}

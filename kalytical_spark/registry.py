@@ -1,0 +1,39 @@
+"""Assembles the query registry consumed by __spark_entry__.py.
+
+Each entry: name -> (fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+Oracle SQL strings are the DuckDB-dialect query bodies; the shared fixture
+WITH-block (domain.py) is prepended here so every oracle sees the same
+derived tables the Spark side registered.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import domain
+from .operators import dag, events, metadata, relational, runs
+
+_MODULES = [metadata, events, dag, runs, relational]
+
+
+def _load_optional():
+    mods = []
+    for name in ("text", "dedup", "similarity", "multimodal", "streaming_batch"):
+        try:
+            mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
+        except ImportError:
+            pass
+    return mods
+
+
+def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
+    out: dict[str, tuple] = {}
+    for mod in _MODULES + _load_optional():
+        for name, (fn, oracle_body) in mod.QUERIES.items():
+            if name in out:
+                raise ValueError(f"duplicate query name: {name}")
+            oracle = domain.oracle(oracle_body) if oracle_body else None
+            out[name] = (fn, oracle)
+    return out
