@@ -1,0 +1,296 @@
+"""Deduplication operators over the documents/embeddings tables — the core
+LLM-training-data pipeline family (north star): exact/normalized dedup,
+n-gram Jaccard pair mining, MinHash+LSH candidate generation, and
+embedding-cosine near-dup pairs.
+
+Design for scale:
+* Exact dedup is one hash-groupBy (map-side combinable).
+* Jaccard pair mining joins on shared shingles — quadratic in the worst
+  case; it is the CORRECTNESS baseline the LSH variant is measured against.
+* MinHash+LSH is the 100 TB path: per-doc signatures (one groupBy over the
+  exploded shingles with K min-aggregates), band keys, pair generation only
+  within band buckets, then exact-Jaccard verification of the (tiny)
+  candidate set. Everything stays JVM-side; hashes are md5-based so both
+  engines derive identical signatures (hex-string min == 128-bit numeric min).
+
+Determinism: Jaccard ratios are single IEEE divisions of exact counts;
+cosine is rounded to 4 decimals BEFORE thresholding/ranking (float noise is
+~1e-6, far below the 5e-5 rounding margin; ties break on ids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import t
+
+N_MINHASH = 16
+N_BANDS = 8  # rows-per-band = 2
+LSH_VERIFY_THRESHOLD = 0.7
+JACCARD_THRESHOLD = 0.5
+COSINE_PAIR_THRESHOLD = 0.45
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-gram word shingles per document."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    # shingle i = tokens[i..i+2] joined; sequence over 0..n-3
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+        ),
+    )
+    # The docs parquet is a single small file at test scale -> the explode
+    # would run in one partition and serialize all downstream hash work.
+    # Hash-partition by doc_id: parallelizes minhash/signature computation
+    # AND pre-aligns with the groupBy(doc_id) so no further shuffle needed.
+    n_part = spark.sparkContext.defaultParallelism
+    return docs.repartition(n_part, "doc_id").select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+    )
+
+
+# DuckDB twin of _shingles_df (1-based list indexing there too)
+_SQL_SHINGLES = """
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       unnest(range(1, len(ts) - 1)) AS u(i)
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + normalized (bag-of-words) dedup: one hash-groupBy per key;
+    keeper = min doc_id per group. Reports group sizes (n_dups = size-1)."""
+    docs = t(spark, sf_dir, "documents")
+    bag_fp = F.md5(F.array_join(F.array_sort(F.split(F.col("text"), " ")), " "))
+    return (
+        docs.select("doc_id", F.md5("text").alias("content_fp"), bag_fp.alias("bag_fp"))
+        .groupBy("bag_fp")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.countDistinct("content_fp").alias("n_distinct_contents"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+ORACLE_EXACT = """
+SELECT md5(list_aggregate(list_sort(string_split(text, ' ')), 'string_agg', ' ')) AS bag_fp,
+       CAST(COUNT(*) AS BIGINT) AS group_size,
+       MIN(doc_id) AS keeper_doc_id,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_contents
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) > 1
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive n-gram Jaccard near-dup pairs (candidate generation via
+    shared shingles, then |A ∩ B| / |A ∪ B| >= threshold). The exact baseline
+    for the LSH variant below."""
+    sh = _shingles_df(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard"
+    )
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+def _minhash_aggs() -> list:
+    """K min-aggregates over md5(seed || shingle): lexicographic min of the
+    hex string equals numeric min of the 128-bit hash, identically in both
+    engines."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup mining (the scale path): 16 minhashes per doc
+    -> 8 bands of 2 -> candidate pairs within band buckets -> verified with
+    exact Jaccard >= 0.7. At 100 TB the expensive all-pairs join never
+    happens; only band-bucket collisions are compared."""
+    sh = _shingles_df(spark, sf_dir).cache()
+    sh.count()  # eager: three downstream subtrees scan this; materialize once
+    sig = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"), *_minhash_aggs())
+    band_cols = [
+        F.md5(F.concat_ws("|", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+    banded = sig.select("doc_id", "n_sh", *band_cols)
+    # unpivot bands -> (doc_id, band_idx, band_key)
+    stack_expr = ", ".join(f"'{b}', band{b}" for b in range(N_BANDS))
+    long = banded.selectExpr(
+        "doc_id", "n_sh", f"stack({N_BANDS}, {stack_expr}) AS (band_idx, band_key)"
+    )
+    l, r = long.alias("l"), long.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.n_sh").alias("n_a"),
+            F.col("r.n_sh").alias("n_b"),
+        )
+        .distinct()
+        .cache()  # cand feeds both the intersection and the final join
+    )
+    cand.count()  # eager for the same reason
+    # verify ONLY candidate pairs: intersect shingle sets via two joins keyed
+    # on the candidate ids — never the all-pairs intersection (that would
+    # defeat LSH at scale; the oracle may do it the slow way, we must not).
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.select("doc_a", "doc_b")
+        .join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    verified = cand.join(inter, ["doc_a", "doc_b"]).withColumn(
+        "jaccard",
+        F.col("n_inter").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+    )
+    return verified.filter(F.col("jaccard") >= LSH_VERIFY_THRESHOLD).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def _sql_minhash_lsh() -> str:
+    mh = ",\n         ".join(
+        f"MIN(md5('s{i}:' || shingle)) AS mh{i}" for i in range(N_MINHASH)
+    )
+    bands = ",\n         ".join(
+        f"md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS band{b}" for b in range(N_BANDS)
+    )
+    band_union = "\nUNION ALL\n".join(
+        f"  SELECT doc_id, n_sh, '{b}' AS band_idx, band{b} AS band_key FROM banded"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sig AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh,
+         {mh}
+  FROM sh GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, n_sh,
+         {bands}
+  FROM sig
+), long AS (
+{band_union}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                  l.n_sh AS n_a, r.n_sh AS n_b
+  FROM long l JOIN long r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+   AND l.doc_id < r.doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(i.n_inter AS DOUBLE) / CAST(c.n_a + c.n_b - i.n_inter AS DOUBLE) AS jaccard
+FROM cand c JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+WHERE CAST(i.n_inter AS DOUBLE) / CAST(c.n_a + c.n_b - i.n_inter AS DOUBLE)
+      >= {LSH_VERIFY_THRESHOLD}
+"""
+
+
+def _cosine(a, b) -> F.Column:
+    """Deterministic-order double-precision cosine of two float arrays,
+    rounded to 4 decimals (see module docstring)."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(F.transform(da, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(db, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    return F.round(dot / (na * nb), 4)
+
+
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above a threshold, blocked by the
+    coarse label (the IVF-style pruning that makes this survive scale:
+    within-block brute force only)."""
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = a.join(
+        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            _cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= COSINE_PAIR_THRESHOLD)
+    )
+
+
+ORACLE_EMBEDDING_PAIRS = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       round(CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 4) AS cos_sim
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 4)
+      >= {COSINE_PAIR_THRESHOLD}
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "dedup_exact": (dedup_exact, ORACLE_EXACT),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, _sql_minhash_lsh()),
+    "dedup_embedding_pairs": (dedup_embedding_pairs, ORACLE_EMBEDDING_PAIRS),
+}

@@ -1,0 +1,128 @@
+"""Multimodal-column plumbing (north star): image/audio/video payloads are
+opaque BINARY columns with typed metadata. The container has no media
+libraries, so the actual decode is stubbed behind a deterministic fake
+(clearly marked below) — but the Spark-side machinery is real and tested:
+binary schema, Arrow-batched mapInPandas with controlled batch size, typed
+feature StructType output, and partition-aware processing.
+
+At scale: payload columns are read lazily (Parquet column pruning keeps
+metadata-only queries from touching the bytes); decode runs partition-local
+with spark.sql.execution.arrow.maxRecordsPerBatch bounding executor memory;
+feature extraction emits a narrow typed schema so downstream joins never
+reshuffle blobs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .common import t
+
+
+def _with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive an opaque binary payload column from the documents table (the
+    testdata carries no real media; the bytes stand in for encoded frames)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.col("text").cast("binary").alias("payload"),
+        F.lit("application/octet-stream").alias("mime_type"),
+    )
+
+
+def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only scan over binary payloads: sizes and content hashes per
+    source — never decodes, and at scale never even materializes the blob
+    beyond the projected columns."""
+    payloads = _with_payload(spark, sf_dir)
+    return payloads.groupBy("source").agg(
+        F.count("*").alias("n_assets"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.min(F.length("payload")).cast("bigint").alias("min_bytes"),
+        F.max(F.length("payload")).cast("bigint").alias("max_bytes"),
+        F.countDistinct(F.sha2("payload", 256)).alias("n_distinct_hashes"),
+    )
+
+
+ORACLE_BINARY_STATS = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_assets,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(MIN(octet_length(encode(text))) AS BIGINT) AS min_bytes,
+       CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+       CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_distinct_hashes
+FROM documents
+GROUP BY source
+"""
+
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("feature_norm", T.DoubleType()),
+    ]
+)
+
+
+def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB DECODER: a real deployment would decode image/audio bytes here
+    (PIL/librosa/ffmpeg are not in this container). This deterministic fake
+    derives pseudo-dimensions and a pseudo-feature from the payload hash so
+    the full Arrow batch path, schema contract, and partition behavior are
+    exercised end-to-end."""
+    for pdf in batches:
+        out = {
+            "doc_id": pdf["doc_id"],
+            "source": pdf["source"],
+            "n_bytes": pdf["payload"].map(len).astype("int64"),
+        }
+        hashes = pdf["payload"].map(lambda b: hashlib.sha256(bytes(b)).hexdigest())
+        out["content_hash"] = hashes
+        out["width"] = hashes.map(lambda h: 64 + int(h[:4], 16) % 1984).astype("int32")
+        out["height"] = hashes.map(lambda h: 64 + int(h[4:8], 16) % 1984).astype("int32")
+        out["n_frames"] = hashes.map(lambda h: 1 + int(h[8:10], 16) % 64).astype("int32")
+        out["feature_norm"] = hashes.map(lambda h: round(int(h[10:18], 16) / 0xFFFFFFFF, 6))
+        yield pd.DataFrame(out)
+
+
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract over binary payloads via Arrow-batched
+    mapInPandas (rows-only check: the stub decoder is not SQL-expressible,
+    and a real decoder wouldn't be either)."""
+    payloads = _with_payload(spark, sf_dir)
+    return payloads.mapInPandas(_decode_batch, schema=_FEATURE_SCHEMA)
+
+
+def mm_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-decode analytics: the narrow feature frame aggregates without
+    ever reshuffling payload bytes."""
+    feats = mm_decode_features(spark, sf_dir)
+    return feats.groupBy("source").agg(
+        F.count("*").alias("n_assets"),
+        F.sum(F.col("width").cast("bigint") * F.col("height").cast("bigint")).alias(
+            "total_pixels"
+        ),
+        F.sum("n_frames").alias("total_frames"),
+        F.min("feature_norm").alias("min_feature_norm"),
+        F.max("feature_norm").alias("max_feature_norm"),
+    )
+
+
+QUERIES: dict[str, tuple] = {
+    "mm_binary_stats": (mm_binary_stats, ORACLE_BINARY_STATS),
+    "mm_decode_features": (mm_decode_features, None),
+    "mm_feature_rollup": (mm_feature_rollup, None),
+}

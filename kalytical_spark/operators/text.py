@@ -1,0 +1,212 @@
+"""Text-analysis operators over the documents table — the LLM-data-pipeline
+surface (north star): quality scoring, token statistics, language-ID
+scaffolding, fingerprinting. All pure pyspark.sql.functions (JVM-side,
+whole-stage codegen); no Python UDFs in this family.
+
+Determinism: ratios are single IEEE divisions of exact integer counts;
+every top-k carries a unique tie-break.
+
+Scale notes: token explosion is the only row-multiplying step (~n_tokens x
+docs); aggregations after it are map-side combinable. At 100 TB the explode
+happens partition-local with no shuffle before the partial aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .common import t
+
+STOPWORDS = ["a", "the", "of", "and"]  # intersects the synthetic vocab at 'a'/'the'
+_SW_SQL = "('" + "', '".join(STOPWORDS) + "')"
+
+
+def _tokens() -> F.Column:
+    return F.split(F.col("text"), " ")
+
+
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: token counts, type-token ratio, stopword
+    ratio, average token length — the standard cheap quality filters applied
+    before expensive LLM training steps."""
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS))).cast("bigint")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("bigint").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        (n_distinct.cast("double") / n_tokens.cast("double")).alias("type_token_ratio"),
+        (n_stop.cast("double") / n_tokens.cast("double")).alias("stopword_ratio"),
+        # single-space-joined text: total token chars = len - (n_tokens - 1)
+        ((F.length("text") - n_tokens + 1).cast("double") / n_tokens.cast("double")).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+ORACLE_QUALITY = f"""
+SELECT doc_id, lang, source,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS type_token_ratio,
+       CAST(len(list_filter(string_split(text, ' '), x -> x IN {_SW_SQL})) AS DOUBLE)
+         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+       CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+FROM documents
+"""
+
+
+def text_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition by language and source: the dataset-curation
+    dashboard query (doc counts, volume, token totals)."""
+    docs = t(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens()).cast("bigint")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(n_tokens).alias("total_tokens"),
+        (F.sum(n_tokens).cast("double") / F.count("*").cast("double")).alias(
+            "avg_tokens_per_doc"
+        ),
+    )
+
+
+ORACLE_CORPUS_ROLLUP = """
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_tokens_per_doc
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token frequency top-20 (explode -> count -> TakeOrdered):
+    vocabulary analysis / BPE-merge-candidate shape."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+ORACLE_TOKEN_TOPK = """
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+"""
+
+
+def text_langid_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: build per-language token profiles (top-5 tokens
+    by frequency over a deterministic training split), score every doc by
+    profile overlap, argmax with total-order tie-breaks. On this synthetic
+    corpus the vocabulary is shared across languages, so accuracy is near
+    chance — the operator demonstrates the distributed profile-scoring
+    pipeline (train split -> profile -> broadcast -> score -> argmax)."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(_tokens()).alias("token"))
+    train = tok.filter(F.col("doc_id") % 2 == 0)
+    prof_w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    profiles = (
+        train.groupBy("lang", "token")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rk", F.row_number().over(prof_w))
+        .filter(F.col("rk") <= 5)
+        .select(F.col("lang").alias("profile_lang"), "token")
+    )
+    doc_tokens = docs.select("doc_id", "lang", F.explode(F.array_distinct(_tokens())).alias("token"))
+    scores = (
+        doc_tokens.join(F.broadcast(profiles), "token")
+        .groupBy("doc_id", "lang", "profile_lang")
+        .agg(F.count("*").alias("overlap"))
+    )
+    pick_w = W.partitionBy("doc_id").orderBy(F.desc("overlap"), F.asc("profile_lang"))
+    return (
+        scores.withColumn("rk", F.row_number().over(pick_w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("profile_lang").alias("predicted_lang"),
+            F.col("overlap").alias("score"),
+            (F.col("lang") == F.col("profile_lang")).alias("correct"),
+        )
+    )
+
+
+ORACLE_LANGID = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+), profiles AS (
+  SELECT lang AS profile_lang, token FROM (
+    SELECT lang, token, COUNT(*) AS n,
+           row_number() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, token) AS rk
+    FROM tok WHERE doc_id % 2 = 0
+    GROUP BY lang, token
+  ) WHERE rk <= 5
+), doc_tokens AS (
+  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), scores AS (
+  SELECT d.doc_id, d.lang, p.profile_lang, CAST(COUNT(*) AS BIGINT) AS overlap
+  FROM doc_tokens d JOIN profiles p USING (token)
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, lang, profile_lang AS predicted_lang, overlap AS score,
+       lang = profile_lang AS correct
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY overlap DESC, profile_lang) AS rk
+  FROM scores
+) WHERE rk = 1
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: content hash (md5) and an order-insensitive
+    bag-of-words hash — the keys used by exact/normalized dedup."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.substring(F.md5(F.col("text")), 1, 16).alias("content_fp"),
+        F.substring(
+            F.md5(F.array_join(F.array_sort(F.split(F.col("text"), " ")), " ")), 1, 16
+        ).alias("bag_fp"),
+    )
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id,
+       substr(md5(text), 1, 16) AS content_fp,
+       substr(md5(list_aggregate(list_sort(string_split(text, ' ')), 'string_agg', ' ')), 1, 16)
+         AS bag_fp
+FROM documents
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "text_quality_stats": (text_quality_stats, ORACLE_QUALITY),
+    "text_corpus_rollup": (text_corpus_rollup, ORACLE_CORPUS_ROLLUP),
+    "text_token_topk": (text_token_topk, ORACLE_TOKEN_TOPK),
+    "text_langid_predict": (text_langid_predict, ORACLE_LANGID),
+    "text_fingerprint": (text_fingerprint, ORACLE_FINGERPRINT),
+}

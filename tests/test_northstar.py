@@ -1,0 +1,81 @@
+"""Semantic tests for the LLM-data-pipeline operators: LSH recall against
+the exact Jaccard baseline, IVF recall against brute force, multimodal
+batch plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kalytical_spark.operators import dedup, multimodal, similarity
+from tests.conftest import SF_ORACLE
+
+
+def test_minhash_lsh_recall(spark):
+    """LSH candidates verified at >=0.7 must recover most exact pairs at
+    >=0.8 (8 bands x 2 rows: ~97% expected recall at j=0.8) with zero
+    false positives (verification step guarantees precision)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_ngram_jaccard(spark, SF_ORACLE).collect()
+        if r.jaccard >= 0.8
+    }
+    lsh = {(r.doc_a, r.doc_b) for r in dedup.dedup_minhash_lsh(spark, SF_ORACLE).collect()}
+    assert exact, "fixture should contain planted near-dup pairs"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall} too low ({len(exact)} exact pairs)"
+    # verification step: every LSH pair really has jaccard >= threshold
+    for r in dedup.dedup_minhash_lsh(spark, SF_ORACLE).collect():
+        assert r.jaccard >= dedup.LSH_VERIFY_THRESHOLD
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF probing N_PROBE of 10 cells must beat chance recall of the exact
+    top-10 (the synthetic embeddings are near-random, so cells are weak)."""
+    bf = similarity.sim_topk_bruteforce(spark, SF_ORACLE).collect()
+    ivf = similarity.sim_topk_ivf(spark, SF_ORACLE).collect()
+    bf_set = {(r.query_id, r.vec_id) for r in bf}
+    ivf_set = {(r.query_id, r.vec_id) for r in ivf}
+    assert bf_set and len(ivf_set) == len(bf_set)
+    recall = len(bf_set & ivf_set) / len(bf_set)
+    # labels are weak quantizers on this near-random corpus: chance recall
+    # is N_PROBE/10; assert materially better than chance
+    assert recall > similarity.N_PROBE / 10.0, f"IVF recall {recall} vs brute force"
+
+
+def test_bruteforce_topk_shape(spark):
+    rows = similarity.sim_topk_bruteforce(spark, SF_ORACLE).collect()
+    per_query: dict[int, list] = {}
+    for r in rows:
+        per_query.setdefault(r.query_id, []).append(r)
+    for q, rs in per_query.items():
+        assert len(rs) == similarity.TOP_K
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, similarity.TOP_K + 1))
+        by_rank = sorted(rs, key=lambda r: r.rank)
+        sims = [r.cos_sim for r in by_rank]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.vec_id != q for r in rs)
+
+
+def test_multimodal_decode_plumbing(spark):
+    """The stubbed decoder must preserve row count, emit the typed schema,
+    and be deterministic across runs/partitionings."""
+    feats = multimodal.mm_decode_features(spark, SF_ORACLE)
+    n_docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").count()
+    rows1 = {r.doc_id: (r.width, r.height, r.n_frames, r.content_hash)
+             for r in feats.collect()}
+    assert len(rows1) == n_docs
+    rows2 = {
+        r.doc_id: (r.width, r.height, r.n_frames, r.content_hash)
+        for r in multimodal.mm_decode_features(spark, SF_ORACLE).repartition(7).collect()
+    }
+    assert rows1 == rows2
+    for w, h, nf, _ in rows1.values():
+        assert 64 <= w < 2048 and 64 <= h < 2048 and 1 <= nf <= 64
+
+
+def test_exact_dedup_consistency(spark):
+    """Bag-of-words groups must contain at least as many docs as distinct
+    contents (normalized dedup is a superset of exact dedup)."""
+    for r in dedup.dedup_exact(spark, SF_ORACLE).collect():
+        assert r.group_size >= r.n_distinct_contents
