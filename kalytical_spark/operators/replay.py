@@ -1,0 +1,183 @@
+"""Batch DAG-replay engine (SURVEY.md section 7 phase 3, lifecycle E1/E3 in
+batch form): a deterministic fold over the ordered lifecycle event log that
+reproduces the reference's dispatch decision sequence — which pipelines
+fired, when, and with which upstream sources — plus the retry ledger.
+
+Execution shape: the event->downstream delivery mapping is a broadcast hash
+join (parallel over the unbounded event side); the per-pipeline fold runs as
+applyInPandas grouped by downstream pipeline, each group sorted by
+(event_time, exec_uuid) for a total order. State transitions are the shared
+pure functions in streaming/transitions.py — the streaming layer executes
+the identical logic incrementally.
+
+Not SQL-expressible (sequential trigger-map folds with resets), so these are
+rows-only checks for the driver; golden tests in tests/test_replay.py pin
+the semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..streaming.transitions import TriggerState, apply_delivery, sources_repr
+from .common import t
+
+_DECISION_SCHEMA = T.StructType(
+    [
+        T.StructField("pipeline_uuid", T.StringType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("fired_at", T.TimestampType()),
+        T.StructField("trigger_operator", T.StringType()),
+        T.StructField("n_deps", T.IntegerType()),
+        T.StructField("sources", T.StringType()),
+    ]
+)
+
+
+def _deliveries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Success events resolved to (downstream, upstream, exec, time) trigger
+    deliveries with the downstream's operator metadata attached."""
+    ev = t(spark, sf_dir, "lifecycle_events")
+    edges = t(spark, sf_dir, "dag_edges")
+    defs = t(spark, sf_dir, "pipeline_defs").select("pipeline_uuid", "trigger_operator")
+    n_deps = edges.groupBy("pipeline_uuid").agg(F.count("*").cast("int").alias("n_deps"))
+    triggers = ev.filter(
+        (F.col("event_subtype") == "success") & ~F.col("disable_downstream")
+    ).select(F.col("pipeline_uuid").alias("upstream_uuid"), "exec_uuid", "event_time")
+    return (
+        triggers.join(F.broadcast(edges), "upstream_uuid")
+        .join(F.broadcast(defs), "pipeline_uuid")
+        .join(F.broadcast(n_deps), "pipeline_uuid")
+    )
+
+
+def _fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["event_time", "exec_uuid"], kind="mergesort")
+    first = pdf.iloc[0]
+    state = TriggerState(operator=first["trigger_operator"], n_deps=int(first["n_deps"]))
+    out = []
+    seq = 0
+    for row in pdf.itertuples(index=False):
+        fire = apply_delivery(state, row.upstream_uuid, row.exec_uuid, row.event_time)
+        if fire is not None:
+            seq += 1
+            out.append(
+                {
+                    "pipeline_uuid": row.pipeline_uuid,
+                    "seq": seq,
+                    "fired_at": fire.event_time,
+                    "trigger_operator": state.operator,
+                    "n_deps": state.n_deps,
+                    "sources": sources_repr(fire.sources),
+                }
+            )
+    return pd.DataFrame(
+        out,
+        columns=[f.name for f in _DECISION_SCHEMA.fields],
+    )
+
+
+def dag_replay_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full fire-decision ledger: every dispatch the reference control
+    loop would have made over this event history, in order per pipeline."""
+    deliveries = _deliveries(spark, sf_dir)
+    return deliveries.groupBy("pipeline_uuid").applyInPandas(
+        _fold_group, schema=_DECISION_SCHEMA
+    )
+
+
+def dag_replay_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregated replay ledger (oracle-checkable for the 'any'/'all'-1dep
+    part of the semantics): fire counts per pipeline.
+
+    For 'any' and single-dep 'all' pipelines, fires == deliveries, which SQL
+    can count directly; multi-dep 'all' fire counts require the sequential
+    fold (min over per-upstream delivery counts is an upper bound, not the
+    exact reset semantics) — so the oracle covers the closed-form subset and
+    the golden tests pin the rest.
+    """
+    dec = dag_replay_decisions(spark, sf_dir)
+    return (
+        dec.groupBy("pipeline_uuid", "trigger_operator", "n_deps")
+        .agg(
+            F.count("*").alias("n_fires"),
+            F.max("seq").alias("max_seq"),
+            F.min("fired_at").alias("first_fire"),
+            F.max("fired_at").alias("last_fire"),
+        )
+        .filter((F.col("trigger_operator") == "any") | (F.col("n_deps") == 1))
+    )
+
+
+ORACLE_REPLAY_SUMMARY = """
+WITH n_deps AS (
+  SELECT pipeline_uuid, CAST(COUNT(*) AS INT) AS n_deps
+  FROM dag_edges GROUP BY 1
+), deliveries AS (
+  SELECT e.pipeline_uuid, d.trigger_operator, n.n_deps,
+         t.exec_uuid, t.event_time
+  FROM (SELECT pipeline_uuid AS upstream_uuid, exec_uuid, event_time
+        FROM lifecycle_events
+        WHERE event_subtype = 'success' AND NOT disable_downstream) t
+  JOIN dag_edges e USING (upstream_uuid)
+  JOIN pipeline_defs d ON e.pipeline_uuid = d.pipeline_uuid
+  JOIN n_deps n ON e.pipeline_uuid = n.pipeline_uuid
+)
+SELECT pipeline_uuid, trigger_operator, n_deps,
+       CAST(COUNT(*) AS BIGINT) AS n_fires,
+       CAST(COUNT(*) AS INT) AS max_seq,
+       MIN(event_time) AS first_fire,
+       MAX(event_time) AS last_fire
+FROM deliveries
+WHERE trigger_operator = 'any' OR n_deps = 1
+GROUP BY 1, 2, 3
+"""
+
+
+def retry_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The failure-handling decision per failure event (dispatcher.py:48-58):
+    requeue with retry_count+1 while below the pipeline's retry_max, else
+    exhausted (MaxPipelineRetryReachedException path)."""
+    ev = t(spark, sf_dir, "lifecycle_events")
+    defs = t(spark, sf_dir, "pipeline_defs").select("pipeline_uuid", "retry_max")
+    failures = ev.filter(F.col("event_subtype") == "failure")
+    return (
+        failures.join(F.broadcast(defs), "pipeline_uuid")
+        .select(
+            "pipeline_uuid",
+            "exec_uuid",
+            "event_time",
+            "retry_count",
+            "retry_max",
+            F.when(F.col("retry_count") >= F.col("retry_max"), F.lit("exhausted"))
+            .otherwise(F.lit("requeue"))
+            .alias("decision"),
+            F.when(
+                F.col("retry_count") < F.col("retry_max"), F.col("retry_count") + 1
+            ).alias("next_retry_count"),
+        )
+    )
+
+
+ORACLE_RETRY_LEDGER = """
+SELECT e.pipeline_uuid, e.exec_uuid, e.event_time, e.retry_count, d.retry_max,
+       CASE WHEN e.retry_count >= d.retry_max THEN 'exhausted'
+            ELSE 'requeue' END AS decision,
+       CASE WHEN e.retry_count < d.retry_max THEN e.retry_count + 1 END
+         AS next_retry_count
+FROM lifecycle_events e
+JOIN pipeline_defs d USING (pipeline_uuid)
+WHERE e.event_subtype = 'failure'
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "dag_replay_decisions": (dag_replay_decisions, None),
+    "dag_replay_summary": (dag_replay_summary, ORACLE_REPLAY_SUMMARY),
+    "retry_ledger": (retry_ledger, ORACLE_RETRY_LEDGER),
+}
