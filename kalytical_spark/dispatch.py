@@ -1,0 +1,130 @@
+"""Execution-engine abstraction (SURVEY.md UD1/UD3/UD4): the reference's
+pluggable engine factory (engine.py:21-36) and retry decorator
+(utils/retry.py:7-18) re-expressed for the Spark engine. Submission becomes
+a decision-row append to a dispatch ledger DataFrame — the within-engine
+analog of pod creation; a real deployment's foreachBatch sink would hand
+these rows to spark-submit/K8s.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class EngineNotImplementedError(NotImplementedError):
+    """Unknown engine name in the registry (engine.py:35-36 analog)."""
+
+
+def retry(attempts: int = 3, delay_s: float = 0.0):
+    """Driver-side operation retry (utils/retry.py:7-18; the reference has
+    no backoff — we add an optional linear delay). Executor-side retries are
+    Spark's own spark.task.maxFailures."""
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            last: Exception | None = None
+            for i in range(max(1, attempts)):
+                try:
+                    return fn(*args, **kwargs)
+                except Exception as exc:  # noqa: BLE001 - mirror reference semantics
+                    last = exc
+                    if delay_s:
+                        time.sleep(delay_s * (i + 1))
+            raise last  # type: ignore[misc]
+
+        return wrapper
+
+    return deco
+
+
+@dataclass(frozen=True)
+class SubmitResult:
+    pipeline_uuid: str
+    exec_uuid: str
+    engine: str
+    tracking_id: str
+
+
+class BaseEngine:
+    """Strategy interface: submit/list/abort (engine.py:38-66 analog)."""
+
+    name = "BaseEngine"
+
+    def submit(self, spark: SparkSession, row: dict) -> SubmitResult:
+        raise NotImplementedError
+
+    def ledger(self, spark: SparkSession) -> DataFrame:
+        raise NotImplementedError
+
+
+class LocalLedgerEngine(BaseEngine):
+    """Records submissions in an in-memory ledger; deterministic tracking ids
+    (sha2 of the submission identity — the reference's uuid1()[:8] is
+    nondeterministic and excluded from oracle checks, SURVEY.md C1)."""
+
+    name = "LocalLedgerEngine"
+
+    def __init__(self):
+        self._rows: list[dict] = []
+
+    def submit(self, spark: SparkSession, row: dict) -> SubmitResult:
+        import hashlib
+
+        ident = f"{row['pipeline_uuid']}|{row['exec_uuid']}|{row.get('retry_count', 0)}"
+        tracking = hashlib.sha256(ident.encode()).hexdigest()[:10]
+        rec = {
+            "pipeline_uuid": row["pipeline_uuid"],
+            "exec_uuid": row["exec_uuid"],
+            "engine": self.name,
+            "tracking_id": tracking,
+            "retry_count": int(row.get("retry_count", 0)),
+        }
+        self._rows.append(rec)
+        return SubmitResult(row["pipeline_uuid"], row["exec_uuid"], self.name, tracking)
+
+    def ledger(self, spark: SparkSession) -> DataFrame:
+        schema = "pipeline_uuid string, exec_uuid string, engine string, tracking_id string, retry_count int"
+        return spark.createDataFrame(self._rows, schema=schema)
+
+
+_REGISTRY: dict[str, type[BaseEngine]] = {
+    "LocalLedgerEngine": LocalLedgerEngine,
+}
+
+
+def register_engine(name: str, cls: type[BaseEngine]) -> None:
+    _REGISTRY[name] = cls
+
+
+def engine_factory(name: str) -> BaseEngine:
+    """Strategy lookup (engine.py:21-36): unknown names raise, like the
+    reference's NotImplementedError branch."""
+    try:
+        return _REGISTRY[name]()
+    except KeyError as exc:
+        raise EngineNotImplementedError(f"engine not registered: {name}") from exc
+
+
+def submit_fires(
+    spark: SparkSession, fires: DataFrame, engine: BaseEngine, limit: int | None = None
+) -> DataFrame:
+    """UD4 within-engine analog: hand a fire-decision frame to an engine and
+    return its ledger. Driver-side iteration is bounded (limit) — the real
+    sink is foreachBatch, which keeps submission on the streaming path."""
+    rows = fires.select("pipeline_uuid", "sources", "fired_at").limit(limit or 1000).collect()
+    for i, r in enumerate(rows):
+        engine.submit(
+            spark,
+            {
+                "pipeline_uuid": r.pipeline_uuid,
+                "exec_uuid": f"replay{i:06d}",
+                "retry_count": 0,
+            },
+        )
+    return engine.ledger(spark)

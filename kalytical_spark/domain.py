@@ -68,13 +68,13 @@ _CTES: list[tuple[str, str]] = [
         "dag_edges",
         """
         SELECT 'p-' || CAST(s_suppkey AS STRING)            AS pipeline_uuid,
-               'p-' || CAST((s_suppkey + 1) % n AS STRING)  AS upstream_uuid
-        FROM supplier CROSS JOIN sup_n
+               'p-' || CAST((s_suppkey + 1) % (SELECT n FROM sup_n) AS STRING)  AS upstream_uuid
+        FROM supplier
         WHERE s_suppkey % 7 <> 0
         UNION ALL
         SELECT 'p-' || CAST(s_suppkey AS STRING)            AS pipeline_uuid,
-               'p-' || CAST((s_suppkey + 17) % n AS STRING) AS upstream_uuid
-        FROM supplier CROSS JOIN sup_n
+               'p-' || CAST((s_suppkey + 17) % (SELECT n FROM sup_n) AS STRING) AS upstream_uuid
+        FROM supplier
         WHERE s_suppkey % 7 <> 0 AND s_suppkey % 2 = 0
         """,
     ),
@@ -89,13 +89,13 @@ _CTES: list[tuple[str, str]] = [
                WHEN event_id % 10 < 7 THEN 'failure'
                WHEN event_id % 10 < 8 THEN 'origination'
                ELSE 'submitted' END                          AS event_subtype,
-          'p-' || CAST(user_id % n AS STRING)                AS pipeline_uuid,
+          'p-' || CAST(user_id % (SELECT n FROM sup_n) AS STRING)                AS pipeline_uuid,
           substr(md5(CAST(event_id AS STRING)), 1, 8)        AS exec_uuid,
           ts                                                 AS event_time,
           ts + INTERVAL 1 SECOND * (event_id % 30)           AS received_time,
           CAST(event_id % 5 AS INT)                          AS retry_count,
           (event_id % 17 = 0)                                AS disable_downstream
-        FROM events_ms CROSS JOIN sup_n
+        FROM events_ms
         """,
     ),
     # --- running-jobs snapshot (engine.py:171-197 unmarshal analog) ---
@@ -103,7 +103,7 @@ _CTES: list[tuple[str, str]] = [
         "running_jobs",
         """
         SELECT
-          'p-' || CAST(user_id % n AS STRING)                        AS pipeline_uuid,
+          'p-' || CAST(user_id % (SELECT n FROM sup_n) AS STRING)                        AS pipeline_uuid,
           substr(md5('run' || CAST(event_id AS STRING)), 1, 8)       AS exec_uuid,
           CASE WHEN event_id % 2 = 0 THEN 'K8sJobEngine'
                ELSE 'LocalEngine' END                                AS engine,
@@ -117,7 +117,7 @@ _CTES: list[tuple[str, str]] = [
           ts                                                         AS start_time,
           CASE WHEN event_id % 7 >= 3
                THEN ts + INTERVAL 1 SECOND * (60 + event_id % 600) END AS end_time
-        FROM events_ms CROSS JOIN sup_n
+        FROM events_ms
         WHERE event_id % 3 = 0
         """,
     ),
@@ -127,12 +127,12 @@ _CTES: list[tuple[str, str]] = [
         """
         SELECT
           substr(md5('inc' || CAST(event_id AS STRING)), 1, 12) AS obj_id,
-          'p-' || CAST(user_id % n AS STRING)                   AS pipeline_uuid,
+          'p-' || CAST(user_id % (SELECT n FROM sup_n) AS STRING)                   AS pipeline_uuid,
           ts                                                    AS create_time,
           CASE WHEN event_id % 4 = 0 THEN 'concurrency'
                ELSE 'dependencies' END                          AS reason,
           CAST(event_id % 3 AS INT)                             AS retry_count
-        FROM events_ms CROSS JOIN sup_n
+        FROM events_ms
         WHERE event_id % 5 = 0
         """,
     ),

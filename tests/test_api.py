@@ -1,0 +1,97 @@
+"""Facade-layer tests: the section-2.10 endpoint surface, input validation,
+engine registry, and retry decorator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kalytical_spark import api, dispatch
+from kalytical_spark.operators import replay
+from tests.conftest import SF_SMALL
+
+
+def test_list_with_prefix_and_tag(spark):
+    df = api.list_pipeline_configs(spark, SF_SMALL, prefix="p-", tags={"tier": "tier-1"})
+    rows = df.collect()
+    assert rows
+    assert all(r.pipeline_uuid.startswith("p-") for r in rows)
+    assert all(r.tags["tier"] == "tier-1" for r in rows)
+    assert "pipeline_body" not in df.columns
+
+
+def test_describe_and_body_roundtrip(spark):
+    assert api.describe_pipeline(spark, SF_SMALL, "p-3").count() == 1
+    body = api.fetch_pipeline_body(spark, SF_SMALL, "p-3").collect()[0]
+    assert body.pipeline_body.startswith('{"steps":')
+    # miss -> empty frame (the facade's 404)
+    assert api.describe_pipeline(spark, SF_SMALL, "p-nope").count() == 0
+
+
+def test_input_validation_rejects_hostile_patterns(spark):
+    with pytest.raises(api.QueryException):
+        api.list_pipeline_configs(spark, SF_SMALL, prefix="p-.*")
+    with pytest.raises(api.QueryException):
+        api.describe_pipeline(spark, SF_SMALL, "P-UPPER")
+
+
+def test_downstream_and_delete_guard_agree(spark):
+    down = {r.pipeline_uuid for r in api.downstream_pipelines(spark, SF_SMALL, "p-3").collect()}
+    guard = {r.pipeline_uuid for r in api.delete_guard(spark, SF_SMALL, "p-3").collect()}
+    assert down == guard
+
+
+def test_event_history_defaults_and_filters(spark):
+    df = api.event_history(spark, SF_SMALL, since_seconds=30 * 86400, max_records=15)
+    rows = df.collect()
+    assert len(rows) == 15
+    times = [r.received_time for r in rows]
+    assert times == sorted(times, reverse=True)
+    only_fail = api.event_history(
+        spark, SF_SMALL, event_subtype="failure", since_seconds=30 * 86400
+    ).collect()
+    assert only_fail and all(r.event_subtype == "failure" for r in only_fail)
+
+
+def test_running_pipelines_paging(spark):
+    rows = api.running_pipelines(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 10
+    assert all(r.engine_status in ("running", "pending") for r in rows)
+
+
+def test_engine_registry_and_submission(spark):
+    with pytest.raises(dispatch.EngineNotImplementedError):
+        dispatch.engine_factory("K8sPodEngine")
+    eng = dispatch.engine_factory("LocalLedgerEngine")
+    fires = replay.dag_replay_decisions(spark, SF_SMALL)
+    ledger = dispatch.submit_fires(spark, fires, eng, limit=25)
+    rows = ledger.collect()
+    assert len(rows) == 25
+    assert len({r.tracking_id for r in rows}) == 25  # deterministic + unique
+
+
+def test_retry_decorator():
+    calls = {"n": 0}
+
+    @dispatch.retry(attempts=3)
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("boom")
+        return "ok"
+
+    assert flaky() == "ok"
+    assert calls["n"] == 3
+
+    @dispatch.retry(attempts=2)
+    def always_fails():
+        raise RuntimeError("nope")
+
+    with pytest.raises(RuntimeError):
+        always_fails()
+
+
+def test_sys_config_roundtrip():
+    cfg = api.sys_config()
+    assert cfg["running_jobs_page_size"] == 10
+    assert cfg["history_max_records"] == 20
