@@ -21,15 +21,24 @@ from . import domain
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# sessions we've already registered, keyed by (java session hash, sf_dir)
-_REGISTERED: set[tuple[int, str]] = set()
+# Temp views are session-global, so only ONE sf_dir can be registered per
+# session at a time. Track the current one and re-register (unpersisting the
+# previous domain caches) whenever a query targets a different sf_dir — the
+# driver mixes sf0.001 (entry smoke) and sf0.01 (oracle gate) on one session.
+_CURRENT_SF: dict[int, str] = {}
+_CACHED_DFS: dict[int, list[DataFrame]] = {}
 
 
 def register(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, cache_domain: bool = True) -> None:
     """Register base parquet tables and derived domain views as temp views."""
-    key = (id(spark._jsparkSession), sf_dir)
-    if key in _REGISTERED:
+    sid = id(spark._jsparkSession)
+    if _CURRENT_SF.get(sid) == sf_dir:
         return
+    for df in _CACHED_DFS.pop(sid, []):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
     from .session import tune_session
 
     tune_session(spark)
@@ -45,13 +54,16 @@ def register(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, cache_domain: bo
             if field.name == "ts" and field.dataType.simpleString() == "bigint":
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         df.createOrReplaceTempView(name)
+    cached: list[DataFrame] = []
     for name in domain.DOMAIN_TABLES:
         df = spark.sql(domain.domain_select(name))
         if cache_domain and name != "sup_n":
             df = df.cache()
+            cached.append(df)
         df.createOrReplaceTempView(name)
     _register_defs_full(spark)
-    _REGISTERED.add(key)
+    _CURRENT_SF[sid] = sf_dir
+    _CACHED_DFS[sid] = cached
 
 
 def _register_defs_full(spark: SparkSession) -> None:

@@ -20,7 +20,16 @@ _MODULES = [metadata, events, dag, runs, relational]
 
 def _load_optional():
     mods = []
-    for name in ("text", "dedup", "similarity", "multimodal", "replay", "mutations"):
+    for name in (
+        "text",
+        "dedup",
+        "similarity",
+        "multimodal",
+        "replay",
+        "mutations",
+        "scheduling",
+        "simhash",
+    ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
         except ImportError:
