@@ -161,7 +161,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack_expr = ", ".join(f"'{b}', band{b}" for b in range(N_BANDS))
     long = banded.selectExpr(
         "doc_id", "n_sh", f"stack({N_BANDS}, {stack_expr}) AS (band_idx, band_key)"
-    )
+    ).cache()
+    # eager: the self-join scans `long` twice; without materialization each
+    # side recomputes the 16 minhash aggregates over every shingle (a count()
+    # alone would NOT materialize them — Catalyst prunes unused agg columns)
+    long.count()
     l, r = long.alias("l"), long.alias("r")
     cand = (
         l.join(

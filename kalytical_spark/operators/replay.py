@@ -82,13 +82,49 @@ def _fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+# per-(session, sf) cache: the summary and downstream consumers reuse the
+# folded ledger instead of recomputing the whole replay
+_DECISIONS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def dag_replay_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full fire-decision ledger: every dispatch the reference control
-    loop would have made over this event history, in order per pipeline."""
+    loop would have made over this event history, in order per pipeline.
+
+    Hybrid execution: 'any' and single-dep pipelines fire on every delivery
+    (dispatcher.py:41-42) — a pure-JVM window computes their seq/sources with
+    no Python in the loop. Only multi-dep 'all' pipelines need the sequential
+    trigger-map fold, which runs in applyInPandas over that (much smaller)
+    subset. Both paths share the transition semantics pinned by tests.
+    """
+    key = (id(spark._jsparkSession), sf_dir)
+    if key in _DECISIONS_CACHE:
+        return _DECISIONS_CACHE[key]
     deliveries = _deliveries(spark, sf_dir)
-    return deliveries.groupBy("pipeline_uuid").applyInPandas(
+
+    from pyspark.sql import Window as W
+
+    simple = deliveries.filter(
+        (F.col("trigger_operator") == "any") | (F.col("n_deps") == 1)
+    )
+    w = W.partitionBy("pipeline_uuid").orderBy(F.asc("event_time"), F.asc("exec_uuid"))
+    fires_simple = simple.select(
+        "pipeline_uuid",
+        F.row_number().over(w).alias("seq"),
+        F.col("event_time").alias("fired_at"),
+        "trigger_operator",
+        "n_deps",
+        F.concat(F.col("upstream_uuid"), F.lit("="), F.col("exec_uuid")).alias("sources"),
+    )
+    multi = deliveries.filter(
+        (F.col("trigger_operator") == "all") & (F.col("n_deps") > 1)
+    )
+    fires_multi = multi.groupBy("pipeline_uuid").applyInPandas(
         _fold_group, schema=_DECISION_SCHEMA
     )
+    out = fires_simple.unionByName(fires_multi).cache()
+    _DECISIONS_CACHE[key] = out
+    return out
 
 
 def dag_replay_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,7 +137,7 @@ def dag_replay_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact reset semantics) — so the oracle covers the closed-form subset and
     the golden tests pin the rest.
     """
-    dec = dag_replay_decisions(spark, sf_dir)
+    dec = dag_replay_decisions(spark, sf_dir)  # cached ledger, no recompute
     return (
         dec.groupBy("pipeline_uuid", "trigger_operator", "n_deps")
         .agg(
