@@ -121,8 +121,55 @@ def mm_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+        T.StructField("target_w", T.IntegerType()),
+        T.StructField("target_h", T.IntegerType()),
+    ]
+)
+
+SAMPLE_EVERY_N = 8
+RESIZE_TO = (224, 224)
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB FRAME SAMPLER/RESIZER: a real deployment decodes video bytes and
+    emits every Nth frame resized to RESIZE_TO (ffmpeg/PIL absent in this
+    container). The fake slices the payload into fixed-size 'frames' so the
+    one-to-many Arrow batch contract (one asset row -> many frame rows) and
+    the byte-column handling are exercised for real."""
+    for pdf in batches:
+        out: list[dict] = []
+        for row in pdf.itertuples(index=False):
+            payload = bytes(row.payload)
+            chunk = 64
+            n_frames = max(1, len(payload) // chunk)
+            for idx in range(0, n_frames, SAMPLE_EVERY_N):
+                out.append(
+                    {
+                        "doc_id": row.doc_id,
+                        "frame_idx": idx,
+                        "frame_bytes": payload[idx * chunk : (idx + 1) * chunk],
+                        "target_w": RESIZE_TO[0],
+                        "target_h": RESIZE_TO[1],
+                    }
+                )
+        yield pd.DataFrame(out, columns=[f.name for f in _FRAME_SCHEMA.fields])
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video-shaped binary payloads: one asset row fans
+    out to every-Nth-frame rows via mapInPandas (rows-only check)."""
+    payloads = _with_payload(spark, sf_dir)
+    return payloads.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)
+
+
 QUERIES: dict[str, tuple] = {
     "mm_binary_stats": (mm_binary_stats, ORACLE_BINARY_STATS),
     "mm_decode_features": (mm_decode_features, None),
     "mm_feature_rollup": (mm_feature_rollup, None),
+    "mm_frame_sample": (mm_frame_sample, None),
 }

@@ -29,6 +29,7 @@ def _load_optional():
         "mutations",
         "scheduling",
         "simhash",
+        "subqueries",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))

@@ -1,0 +1,48 @@
+"""Streaming windowed aggregation with watermarks (SURVEY.md ST9 and the
+section-2.8 window extension): the streaming twin of
+operators/mutations.events_tumbling_windows. Late data beyond the watermark
+is dropped — the semantic the reference approximates with its age-out TTL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling event-time windows over a streaming event frame; watermark
+    bounds state and defines the late-data cutoff."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def start_windowed_query(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    query_name: str = "windowed_counts",
+):
+    """Bounded run to a memory sink (append mode: only watermark-closed
+    windows emit — the exactly-once ledger shape)."""
+    agg = windowed_event_counts(events_stream)
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

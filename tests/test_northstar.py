@@ -79,3 +79,23 @@ def test_exact_dedup_consistency(spark):
     contents (normalized dedup is a superset of exact dedup)."""
     for r in dedup.dedup_exact(spark, SF_ORACLE).collect():
         assert r.group_size >= r.n_distinct_contents
+
+
+def test_frame_sampling_fanout(spark):
+    """One asset row fans out to every-Nth-frame rows; frames carry the
+    resize contract and slice the payload deterministically."""
+    frames = multimodal.mm_frame_sample(spark, SF_ORACLE).collect()
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").collect()
+    by_doc: dict[int, list] = {}
+    for f in frames:
+        by_doc.setdefault(f.doc_id, []).append(f)
+    assert len(by_doc) == len(docs)
+    text_by_id = {d.doc_id: d.text for d in docs}
+    for doc_id, fs in by_doc.items():
+        idxs = sorted(f.frame_idx for f in fs)
+        assert idxs[0] == 0
+        assert all(i % multimodal.SAMPLE_EVERY_N == 0 for i in idxs)
+        assert all((f.target_w, f.target_h) == multimodal.RESIZE_TO for f in fs)
+        payload = text_by_id[doc_id].encode()
+        for f in fs:
+            assert bytes(f.frame_bytes) == payload[f.frame_idx * 64 : (f.frame_idx + 1) * 64]
