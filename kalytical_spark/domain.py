@@ -179,8 +179,13 @@ def with_block() -> str:
 
 def oracle(query_sql: str) -> str:
     """Wrap an oracle query with the shared fixture WITH-block; a body that
-    opens its own WITH-clause is merged into the shared one."""
+    opens its own WITH-clause is merged into the shared one (RECURSIVE moves
+    to the front of the merged block, where SQL requires it)."""
     body = query_sql.strip()
+    if body.upper().startswith("WITH RECURSIVE"):
+        block = with_block()
+        assert block.startswith("WITH ")
+        return "WITH RECURSIVE " + block[5:] + "," + body[len("WITH RECURSIVE") :]
     if body.upper().startswith("WITH"):
         return with_block() + "," + body[4:]
     return with_block() + body

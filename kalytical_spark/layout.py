@@ -1,0 +1,73 @@
+"""Physical-layout toolkit for cluster scale: bucketed tables (co-located
+joins with no shuffle) and hash-salted joins (skew mitigation) — the two
+techniques SURVEY.md section 4.2 calls out as 'we choose layout'.
+
+At 100 TB these are the difference between a join that shuffles the fact
+table every query and one that never does: bucket the fact tables on their
+join key at ingest, broadcast true dims, salt only the keys AQE's skew
+handling can't fix (e.g. a single hot pipeline_uuid in the event log).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by its join key; a
+    later join of two tables bucketed the same way needs no Exchange."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # a stale location without catalog metadata (fresh session, old warehouse
+    # dir) still blocks saveAsTable — clear it
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    stale = os.path.join(warehouse, table_name.lower())
+    if os.path.isdir(stale):
+        shutil.rmtree(stale, ignore_errors=True)
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str
+) -> DataFrame:
+    """Join two same-bucketed tables on the bucket key (shuffle-free)."""
+    return spark.table(left_table).join(spark.table(right_table), key)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the left side's hot keys spread across n_salts
+    sub-partitions. The right side replicates each row n_salts times
+    (explode over the salt range); the left side derives its salt
+    deterministically from a hash of the whole row, so the result is
+    row-for-row identical to the plain join while the shuffle spreads a
+    skewed key over n_salts reducers.
+
+    Use when one side has a pathological hot key; AQE's skew-join splitting
+    handles moderate skew automatically, but a single key holding >1 task's
+    worth of build-side rows still needs salting."""
+    salt = F.pmod(F.hash(F.struct(*[F.col(c) for c in left.columns])), F.lit(n_salts))
+    left_s = left.withColumn("__salt", salt)
+    right_s = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = left_s.join(right_s, [key, "__salt"], how)
+    return out.drop("__salt")

@@ -30,6 +30,7 @@ def _load_optional():
         "scheduling",
         "simhash",
         "subqueries",
+        "graph",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))

@@ -31,6 +31,7 @@ def get_spark(app_name: str = "kalytical_spark", cpus: int | None = None) -> Spa
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/kalytical_warehouse")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     spark = builder.getOrCreate()

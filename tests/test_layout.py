@@ -1,0 +1,65 @@
+"""Layout toolkit tests: bucketed joins must be shuffle-free; salted joins
+must be result-identical to plain joins while spreading hot keys."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kalytical_spark import layout
+from tests.conftest import SF_SMALL
+
+
+def _n_shuffles(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    return plan.count("Exchange hashpartitioning") + plan.count("Exchange rangepartitioning")
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    layout.write_bucketed(li, "li_bucketed", "l_orderkey", n_buckets=4)
+    layout.write_bucketed(orders, "orders_bucketed", "l_orderkey", n_buckets=4)
+    joined = layout.bucketed_join(spark, "li_bucketed", "orders_bucketed", "l_orderkey")
+    agg = joined.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    # join on the bucket key: no exchange for the join; the groupBy on the
+    # same key also rides the bucketing -> zero shuffles end to end
+    assert _n_shuffles(agg) == 0, agg._jdf.queryExecution().executedPlan().toString()
+    assert joined.count() == li.count()
+
+
+def test_salted_join_matches_plain_join(spark):
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    plain = (
+        li.join(orders, "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    salted = (
+        layout.salted_join(li, orders, "l_orderkey", n_salts=4)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert {(r.o_orderpriority, r.n) for r in plain} == {
+        (r.o_orderpriority, r.n) for r in salted
+    }
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """A pathologically hot key must land in n_salts distinct salt groups."""
+    hot = spark.range(0, 10000).select(
+        F.lit(7).alias("k"), F.col("id").alias("payload")
+    )
+    dim = spark.range(0, 10).select(F.col("id").alias("k"), F.lit("x").alias("d"))
+    out = layout.salted_join(hot, dim, "k", n_salts=8)
+    assert out.count() == 10000
+    salt = F.pmod(F.hash(F.struct(*[F.col(c) for c in hot.columns])), F.lit(8))
+    n_groups = hot.withColumn("s", salt).select("s").distinct().count()
+    assert n_groups == 8

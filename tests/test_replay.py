@@ -166,3 +166,68 @@ def test_streaming_end_to_end_matches_replay(spark):
     }
     assert want
     assert got == want
+
+
+@pytest.mark.slow
+def test_streaming_exactly_once_resume(spark):
+    """Exactly-once across restarts (the upgrade over the reference's
+    at-most-once SQS delete, mq_poller.py:30): run half the events with a
+    checkpoint, stop, add the rest, resume from the same checkpoint — the
+    combined fire ledger equals the one-shot batch replay with no
+    duplicates."""
+    catalog.register(spark, SF_SMALL)
+    events = spark.table("lifecycle_events").orderBy("event_time", "exec_uuid")
+    half = events.count() // 2
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events")
+        ckpt = os.path.join(tmp, "ckpt")
+        out = os.path.join(tmp, "fires")
+        first = events.limit(half)
+        rest = events.subtract(first)
+        os.makedirs(src)
+        first.coalesce(1).write.mode("append").parquet(src)
+
+        def run_once():
+            stream = spark.readStream.schema(events.schema).parquet(src)
+            deliveries = incubation.delivery_stream(spark, stream, SF_SMALL)
+            from pyspark.sql.streaming.state import GroupStateTimeout
+
+            fires = deliveries.groupBy("pipeline_uuid").applyInPandasWithState(
+                incubation._update_group,
+                outputStructType=incubation.OUTPUT_SCHEMA,
+                stateStructType=incubation.STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            q = (
+                fires.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120)
+            q.stop()
+
+        run_once()
+        rest.coalesce(1).write.mode("append").parquet(src)
+        run_once()
+
+        got = [
+            (r.pipeline_uuid, r.fired_at, r.sources)
+            for r in spark.read.parquet(out).collect()
+        ]
+    assert len(got) == len(set(got)), "duplicate fires after resume"
+    want = {
+        (r.pipeline_uuid, r.fired_at, r.sources)
+        for r in replay.dag_replay_decisions(spark, SF_SMALL).collect()
+    }
+    # ordering caveat: the file-split boundary can interleave deliveries of
+    # multi-dep 'all' pipelines differently than global event-time order, so
+    # compare 'any'/1-dep fires exactly and multi-dep fires as counts
+    got_set = set(got)
+    simple_want = {w for w in want if "," not in w[2]}
+    simple_got = {g for g in got_set if "," not in g[2]}
+    assert simple_got == simple_want
+    assert len(got_set) == len(want)
