@@ -190,7 +190,99 @@ FROM (
 """
 
 
+N_HYPERPLANES = 12
+LSH_PAIR_THRESHOLD = 0.4
+
+
+def _hyperplanes(dim: int):
+    """Deterministic pseudo-random hyperplanes: coordinates derive from md5
+    of (plane, dim) so every run/engine/partition sees identical planes."""
+    import hashlib
+
+    import numpy as np
+
+    H = np.empty((N_HYPERPLANES, dim), dtype=np.float64)
+    for p in range(N_HYPERPLANES):
+        for d in range(dim):
+            h = hashlib.md5(f"hp{p}:{d}".encode()).digest()
+            H[p, d] = int.from_bytes(h[:8], "big") / float(1 << 64) - 0.5
+    return H
+
+
+def sim_lsh_hyperplane_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-free near-dup mining via random-hyperplane (sign) LSH: each
+    vector hashes to an N_HYPERPLANES-bit sketch (numpy matmul per Arrow
+    batch); vectors sharing a band of sign bits become candidates; exact
+    cosine verifies. The fully self-contained ANN path when no coarse
+    labels/centroids exist — candidates scale with bucket collisions, never
+    all pairs."""
+    import pandas as pd
+
+    emb = t(spark, sf_dir, "embeddings")
+    n_part = spark.sparkContext.defaultParallelism
+
+    def sketch(batches):
+        import numpy as np
+
+        H = None
+        for pdf in batches:
+            V = np.stack(pdf["embedding"].map(lambda a: np.asarray(a, dtype=np.float64)))
+            if H is None:
+                H = _hyperplanes(V.shape[1])
+            bits = (V @ H.T) > 0  # (n, planes)
+            weights = 1 << np.arange(N_HYPERPLANES, dtype=np.int64)
+            codes = (bits * weights).sum(axis=1).astype("int64")
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "label": pdf["label"], "code": codes}
+            )
+
+    sketched = (
+        emb.repartition(n_part)
+        .mapInPandas(sketch, schema="vec_id long, label int, code long")
+        .cache()
+    )
+    sketched.count()
+    # 4 bands of 3 bits: on weakly-separated (near-random) vectors, band
+    # match probability at cos 0.4 is ~(0.63)^3 per band -> ~0.68 recall
+    # over 4 bands, while still pruning a good share of random pairs; tighter
+    # corpora (real near-dups at cos 0.8+) prune far harder with wider bands
+    bands = sketched.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("code"), 3 * i)
+                        .bitwiseAND(F.lit(7))
+                        .alias("band_key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "b.band_idx", "b.band_key")
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    verified = cand.join(ea, "vec_a").join(eb, "vec_b").select(
+        "vec_a", "vec_b", _cos_rounded(F.col("emb_a"), F.col("emb_b")).alias("cos_sim")
+    )
+    return verified.filter(F.col("cos_sim") >= LSH_PAIR_THRESHOLD)
+
+
 QUERIES: dict[str, tuple] = {
     "sim_topk_bruteforce": (sim_topk_bruteforce, ORACLE_TOPK_BRUTEFORCE),
     "sim_topk_ivf": (sim_topk_ivf, ORACLE_TOPK_IVF),
+    "sim_lsh_hyperplane_pairs": (sim_lsh_hyperplane_pairs, None),
 }

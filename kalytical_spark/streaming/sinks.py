@@ -1,0 +1,80 @@
+"""Streaming sinks (SURVEY.md UD4/ST2 streaming path): foreachBatch handing
+fire decisions to an execution engine with idempotent, batch-id-keyed
+appends — the exactly-once submission ledger that replaces the reference's
+fire-and-forget pod creation (engine.py:96-150).
+
+foreachBatch contract: a micro-batch can be REPLAYED after a failure with
+the same batch_id; the sink must be idempotent. Here each ledger row carries
+its batch_id and replays overwrite that batch's partition (the standard
+transactional-append pattern for non-transactional stores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def dispatch_ledger_sink(ledger_dir: str):
+    """Build a foreachBatch function appending fire decisions to a
+    batch-partitioned parquet ledger, idempotent under micro-batch replay."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .withColumn(
+                "tracking_id",
+                F.substring(
+                    F.sha2(
+                        F.concat_ws(
+                            "|", "pipeline_uuid", "sources",
+                            F.col("fired_at").cast("string"),
+                        ),
+                        256,
+                    ),
+                    1,
+                    10,
+                ),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(ledger_dir, f"batch_id={batch_id}"))
+        )
+
+    return sink
+
+
+def start_dispatch_query(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    sf_dir: str,
+    ledger_dir: str,
+    checkpoint_dir: str,
+):
+    """The full streaming dispatch pipeline: event stream -> incubation
+    state machine -> foreachBatch submission ledger (bounded run)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .incubation import OUTPUT_SCHEMA, STATE_SCHEMA, _update_group, delivery_stream
+
+    deliveries = delivery_stream(spark, events_stream, sf_dir)
+    fires = deliveries.groupBy("pipeline_uuid").applyInPandasWithState(
+        _update_group,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        fires.writeStream.foreachBatch(dispatch_ledger_sink(ledger_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_ledger(spark: SparkSession, ledger_dir: str) -> DataFrame:
+    return spark.read.option("basePath", ledger_dir).parquet(
+        os.path.join(ledger_dir, "batch_id=*")
+    )

@@ -99,3 +99,33 @@ def test_frame_sampling_fanout(spark):
         payload = text_by_id[doc_id].encode()
         for f in fs:
             assert bytes(f.frame_bytes) == payload[f.frame_idx * 64 : (f.frame_idx + 1) * 64]
+
+
+def test_hyperplane_lsh_recall_vs_bruteforce(spark):
+    """Sign-LSH candidates verified at the threshold must recover a healthy
+    share of the true pairs (recall measured against exact pairwise cosine),
+    with perfect precision (verification is exact)."""
+    from kalytical_spark import catalog
+    import numpy as np
+
+    catalog.register(spark, SF_ORACLE)
+    rows = spark.table("embeddings").collect()
+    V = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    ids = np.array([r.vec_id for r in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = Vn @ Vn.T
+    iu = np.triu_indices(len(ids), k=1)
+    thr = similarity.LSH_PAIR_THRESHOLD
+    mask = np.round(sims[iu], 4) >= thr
+    truth = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in zip(ids[iu[0][mask]], ids[iu[1][mask]])
+    }
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.sim_lsh_hyperplane_pairs(spark, SF_ORACLE).collect()
+    }
+    assert got <= truth, "false positives despite exact verification"
+    if truth:
+        recall = len(got) / len(truth)
+        assert recall >= 0.45, f"hyperplane LSH recall {recall} ({len(truth)} true pairs)"

@@ -231,3 +231,31 @@ def test_streaming_exactly_once_resume(spark):
     simple_got = {g for g in got_set if "," not in g[2]}
     assert simple_got == simple_want
     assert len(got_set) == len(want)
+
+
+@pytest.mark.slow
+def test_foreachbatch_dispatch_ledger(spark):
+    """The foreachBatch submission ledger: fires land in batch-partitioned
+    parquet with deterministic tracking ids, idempotent under replay."""
+    from kalytical_spark.streaming import sinks
+
+    catalog.register(spark, SF_SMALL)
+    events = spark.table("lifecycle_events")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events")
+        events.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = sinks.start_dispatch_query(
+            spark, stream, SF_SMALL,
+            ledger_dir=os.path.join(tmp, "ledger"),
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+        )
+        try:
+            assert q.awaitTermination(120)
+        finally:
+            q.stop()
+        ledger = sinks.read_ledger(spark, os.path.join(tmp, "ledger")).collect()
+    want = replay.dag_replay_decisions(spark, SF_SMALL).count()
+    assert len(ledger) == want
+    assert len({r.tracking_id for r in ledger}) == len(ledger)
+    assert all(r.batch_id is not None for r in ledger)
