@@ -233,3 +233,78 @@ QUERIES: dict[str, tuple] = {
     "q_order_priority_pivot": (q_order_priority_pivot, ORACLE_PRIORITY_PIVOT),
     "q_rollup_nation_region": (q_rollup_nation_region, ORACLE_ROLLUP),
 }
+
+
+def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): pure filter + single aggregate —
+    the pushdown showcase (all predicates reach the parquet scan)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        .filter(F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        .filter((F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07))
+        .filter(F.col("l_quantity") < 24)
+        .agg(
+            dsum_prod(F.col("l_extendedprice"), F.col("l_discount")).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+ORACLE_Q6 = f"""
+SELECT {sql_dsum_prod('l_extendedprice', 'l_discount')} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned item reporting): top-20 customers by revenue lost
+    to returns in a quarter."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    q_start = F.lit("1996-10-01 00:00:00").cast("timestamp")
+    q_end = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter((F.col("o_orderdate") >= q_start) & (F.col("o_orderdate") < q_end)),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(dsum_prod(F.col("l_extendedprice"), 1 - F.col("l_discount")).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_Q10 = f"""
+SELECT c_custkey, c_name, n_name, c_acctbal,
+       {sql_dsum_prod('l_extendedprice', '1 - l_discount')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+QUERIES.update(
+    {
+        "q6_revenue_change": (q6_revenue_change, ORACLE_Q6),
+        "q10_returned_items": (q10_returned_items, ORACLE_Q10),
+    }
+)

@@ -273,12 +273,34 @@ def sim_lsh_hyperplane_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b"))
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    verified = cand.join(ea, "vec_a").join(eb, "vec_b").select(
-        "vec_a", "vec_b", _cos_rounded(F.col("emb_a"), F.col("emb_b")).alias("cos_sim")
-    )
-    return verified.filter(F.col("cos_sim") >= LSH_PAIR_THRESHOLD)
+    # Verification via a broadcast normalized index: only id PAIRS move
+    # through the shuffle; every task looks vectors up in the broadcast
+    # matrix and verifies in one numpy batch (the in-memory-index re-rank
+    # pattern — at true scale the index shards, but it never rides the join).
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    V = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    index = {"pos": {int(v): i for i, v in enumerate(ids)}, "V": V}
+    bindex = spark.sparkContext.broadcast(index)
+
+    def verify(batches):
+        idx = bindex.value
+        pos, Vn = idx["pos"], idx["V"]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.array([pos[int(v)] for v in pdf["vec_a"]])
+            b = np.array([pos[int(v)] for v in pdf["vec_b"]])
+            sims = np.round(np.einsum("ij,ij->i", Vn[a], Vn[b]), 4)
+            keep = sims >= LSH_PAIR_THRESHOLD
+            out = pdf.loc[keep, ["vec_a", "vec_b"]].copy()
+            out["cos_sim"] = sims[keep]
+            yield out
+
+    return cand.mapInPandas(verify, schema="vec_a long, vec_b long, cos_sim double")
 
 
 QUERIES: dict[str, tuple] = {
