@@ -63,7 +63,12 @@ def salted_join(
 
     Use when one side has a pathological hot key; AQE's skew-join splitting
     handles moderate skew automatically, but a single key holding >1 task's
-    worth of build-side rows still needs salting."""
+    worth of build-side rows still needs salting.
+
+    Only inner and left joins preserve plain-join semantics: under
+    right/full-outer, unmatched right rows would surface once per salt."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left joins only, got {how!r}")
     salt = F.pmod(F.hash(F.struct(*[F.col(c) for c in left.columns])), F.lit(n_salts))
     left_s = left.withColumn("__salt", salt)
     right_s = right.withColumn(

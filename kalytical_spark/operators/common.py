@@ -62,12 +62,20 @@ def sql_davg(expr: str) -> str:
     return f"{sql_dsum(expr)} / CAST(COUNT({expr}) AS DOUBLE)"
 
 
+_NOW_CACHE: dict[tuple[int, str], object] = {}
+
+
 def now_expr(spark: SparkSession, sf_dir: str) -> Column:
     """Deterministic 'now': max event time in the dataset (shared with the
     oracle as a scalar subquery). Replaces reference datetime.now() usages
-    (data_provider.py:130,135; job_culler.py:22,35)."""
-    catalog.register(spark, sf_dir)
-    return F.lit(spark.table("events_ms").agg(F.max("ts")).collect()[0][0])
+    (data_provider.py:130,135; job_culler.py:22,35). Memoized per
+    (session, sf_dir) — otherwise every time-based query pays an extra
+    aggregate job just to build its expression."""
+    key = (id(spark._jsparkSession), sf_dir)
+    if key not in _NOW_CACHE:
+        catalog.register(spark, sf_dir)
+        _NOW_CACHE[key] = spark.table("events_ms").agg(F.max("ts")).collect()[0][0]
+    return F.lit(_NOW_CACHE[key])
 
 
 SQL_NOW = "(SELECT max(ts) FROM events_ms)"

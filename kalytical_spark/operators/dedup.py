@@ -48,8 +48,13 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Hash-partition by doc_id: parallelizes minhash/signature computation
     # AND pre-aligns with the groupBy(doc_id) so no further shuffle needed.
     n_part = spark.sparkContext.defaultParallelism
-    return docs.repartition(n_part, "doc_id").select(
-        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+    # docs with fewer than 3 tokens have no 3-gram shingles; without the
+    # guard, sequence(0, size-3) would run descending and element_at(toks, 0)
+    # would fault (the DuckDB twin's range() just yields empty)
+    return (
+        docs.filter(F.size(toks) >= 3)
+        .repartition(n_part, "doc_id")
+        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
     )
 
 

@@ -254,8 +254,8 @@ def events_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TUMBLING = """
-SELECT make_timestamp(((epoch(ts)::BIGINT // 21600) * 21600) * 1000000) AS window_start,
-       make_timestamp(((epoch(ts)::BIGINT // 21600) * 21600 + 21600) * 1000000) AS window_end,
+SELECT make_timestamp(((floor(epoch(ts))::BIGINT // 21600) * 21600) * 1000000) AS window_start,
+       make_timestamp(((floor(epoch(ts))::BIGINT // 21600) * 21600 + 21600) * 1000000) AS window_end,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value

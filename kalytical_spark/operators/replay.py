@@ -41,19 +41,14 @@ _DECISION_SCHEMA = T.StructType(
 
 def _deliveries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Success events resolved to (downstream, upstream, exec, time) trigger
-    deliveries with the downstream's operator metadata attached."""
+    deliveries with the downstream's operator metadata attached — the batch
+    instantiation of the ONE delivery-resolution definition shared with the
+    streaming layer (streaming/incubation.delivery_stream), so the two
+    execution modes cannot drift semantically."""
+    from ..streaming.incubation import delivery_stream
+
     ev = t(spark, sf_dir, "lifecycle_events")
-    edges = t(spark, sf_dir, "dag_edges")
-    defs = t(spark, sf_dir, "pipeline_defs").select("pipeline_uuid", "trigger_operator")
-    n_deps = edges.groupBy("pipeline_uuid").agg(F.count("*").cast("int").alias("n_deps"))
-    triggers = ev.filter(
-        (F.col("event_subtype") == "success") & ~F.col("disable_downstream")
-    ).select(F.col("pipeline_uuid").alias("upstream_uuid"), "exec_uuid", "event_time")
-    return (
-        triggers.join(F.broadcast(edges), "upstream_uuid")
-        .join(F.broadcast(defs), "pipeline_uuid")
-        .join(F.broadcast(n_deps), "pipeline_uuid")
-    )
+    return delivery_stream(spark, ev, sf_dir)
 
 
 def _fold_group(pdf: pd.DataFrame) -> pd.DataFrame:

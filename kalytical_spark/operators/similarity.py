@@ -192,6 +192,9 @@ FROM (
 
 N_HYPERPLANES = 12
 LSH_PAIR_THRESHOLD = 0.4
+# above this corpus size the normalized index no longer broadcasts; the
+# verification falls back to the distributed join path
+SIM_INDEX_MAX_ROWS = 2_000_000
 
 
 def _hyperplanes(dim: int):
@@ -273,11 +276,36 @@ def sim_lsh_hyperplane_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b"))
         .distinct()
     )
-    # Verification via a broadcast normalized index: only id PAIRS move
-    # through the shuffle; every task looks vectors up in the broadcast
-    # matrix and verifies in one numpy batch (the in-memory-index re-rank
-    # pattern — at true scale the index shards, but it never rides the join).
+    # Verification: broadcast-index when the corpus fits (only id PAIRS move
+    # through the shuffle; each task verifies its batch with one einsum);
+    # beyond the broadcast budget, fall back to the distributed path — join
+    # the two embedding sides onto the candidates and verify per Arrow batch.
     import numpy as np
+
+    if emb.count() > SIM_INDEX_MAX_ROWS:
+        ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+        eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+        with_vecs = cand.join(ea, "vec_a").join(eb, "vec_b")
+
+        def verify_joined(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                A = np.stack(pdf["emb_a"].map(lambda a: np.asarray(a, dtype=np.float64)))
+                B = np.stack(pdf["emb_b"].map(lambda a: np.asarray(a, dtype=np.float64)))
+                A /= np.linalg.norm(A, axis=1, keepdims=True)
+                B /= np.linalg.norm(B, axis=1, keepdims=True)
+                sims = np.round(np.einsum("ij,ij->i", A, B), 4)
+                keep = sims >= LSH_PAIR_THRESHOLD
+                out = pdf.loc[keep, ["vec_a", "vec_b"]].copy()
+                out["cos_sim"] = sims[keep]
+                yield out
+
+        return with_vecs.mapInPandas(
+            verify_joined, schema="vec_a long, vec_b long, cos_sim double"
+        )
 
     rows = emb.select("vec_id", "embedding").collect()
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)

@@ -19,6 +19,8 @@ _MODULES = [metadata, events, dag, runs, relational]
 
 
 def _load_optional():
+    import sys
+
     mods = []
     for name in (
         "text",
@@ -34,8 +36,14 @@ def _load_optional():
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
-        except ImportError:
-            pass
+        except ImportError as exc:
+            # never let one broken module take down the whole registry, but a
+            # silent drop would shrink the correctness gate unnoticed
+            print(
+                f"WARNING: operator module {name!r} failed to import and its "
+                f"queries are EXCLUDED from the registry: {exc}",
+                file=sys.stderr,
+            )
     return mods
 
 

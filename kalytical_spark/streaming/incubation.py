@@ -88,7 +88,10 @@ def _update_group(
         ups = sorted(seen)
         state.update((ups, [seen[u] for u in ups]))
         try:
-            state.setTimeoutDuration(7 * 24 * 3600 * 1000)  # age-out TTL (ST5)
+            # age-out TTL (ST5) — same knob the batch culler uses
+            from ..config import load_config
+
+            state.setTimeoutDuration(load_config().incubating_job_age_out_s * 1000)
         except Exception:
             pass  # bounded mode runs with NoTimeout (no TTL to arm)
     elif state.exists:
