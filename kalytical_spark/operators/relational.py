@@ -308,3 +308,107 @@ QUERIES.update(
         "q10_returned_items": (q10_returned_items, ORACLE_Q10),
     }
 )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS: order value by (status), (priority), and grand total
+    in one pass — the generalized form of rollup/cube the reference lacks."""
+    orders = t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum('o_totalprice')} AS total_value
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum('o_totalprice')} AS total_value
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_cube_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over returnflag x linestatus with quantity totals."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+ORACLE_CUBE = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (stack): per-nation wide metrics melted to (metric, value)
+    rows — the melt shape for metric stores."""
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    wide = (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("double").alias("n_customers"),
+            dsum("c_acctbal").alias("cust_balance"),
+        )
+        .join(
+            supp.groupBy(F.col("s_nationkey").alias("c_nationkey")).agg(
+                F.count("*").cast("double").alias("n_suppliers"),
+                dsum("s_acctbal").alias("supp_balance"),
+            ),
+            "c_nationkey",
+            "left",
+        )
+        .na.fill(0.0)
+    )
+    return wide.selectExpr(
+        "c_nationkey AS nationkey",
+        """stack(4,
+           'n_customers', n_customers,
+           'cust_balance', cust_balance,
+           'n_suppliers', n_suppliers,
+           'supp_balance', supp_balance) AS (metric, value)""",
+    )
+
+
+ORACLE_UNPIVOT = f"""
+WITH wide AS (
+  SELECT c.c_nationkey AS nationkey,
+         CAST(c.n_customers AS DOUBLE) AS n_customers,
+         c.cust_balance,
+         COALESCE(CAST(s.n_suppliers AS DOUBLE), 0.0) AS n_suppliers,
+         COALESCE(s.supp_balance, 0.0) AS supp_balance
+  FROM (SELECT c_nationkey, COUNT(*) AS n_customers,
+               {sql_dsum('c_acctbal')} AS cust_balance
+        FROM customer GROUP BY 1) c
+  LEFT JOIN (SELECT s_nationkey, COUNT(*) AS n_suppliers,
+                    {sql_dsum('s_acctbal')} AS supp_balance
+             FROM supplier GROUP BY 1) s
+    ON c.c_nationkey = s.s_nationkey
+)
+SELECT nationkey, 'n_customers' AS metric, n_customers AS value FROM wide
+UNION ALL SELECT nationkey, 'cust_balance', cust_balance FROM wide
+UNION ALL SELECT nationkey, 'n_suppliers', n_suppliers FROM wide
+UNION ALL SELECT nationkey, 'supp_balance', supp_balance FROM wide
+"""
+
+
+QUERIES.update(
+    {
+        "q_grouping_sets": (q_grouping_sets, ORACLE_GROUPING_SETS),
+        "q_cube_returns": (q_cube_returns, ORACLE_CUBE),
+        "q_unpivot_balances": (q_unpivot_balances, ORACLE_UNPIVOT),
+    }
+)

@@ -33,6 +33,7 @@ def _load_optional():
         "simhash",
         "subqueries",
         "graph",
+        "asof",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
