@@ -46,3 +46,32 @@ def start_windowed_query(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def session_window_counts(events_stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows (dynamic-gap sessionization) — the streaming twin of
+    the batch lag+cumsum sessionization in operators/events.py."""
+    return (
+        events_stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def start_session_query(
+    spark: SparkSession, events_stream: DataFrame, query_name: str = "sessions"
+):
+    return (
+        session_window_counts(events_stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -42,3 +42,44 @@ def test_windowed_stream_matches_batch(spark):
     for k, v in got.items():
         assert want[k] == v, k
     assert len(got) >= 0.9 * len(want)
+
+
+def test_session_window_matches_batch_sessionization(spark):
+    """Streaming session_window must produce the same (user, n_events)
+    session multiset as the batch lag+cumsum sessionization."""
+    catalog.register(spark, SF_SMALL)
+    ev = spark.table("events_ms").select("ts", "user_id", "event_id")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events")
+        ev.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = aggregates.start_session_query(spark, stream, "sess_e2e")
+        try:
+            assert q.awaitTermination(120)
+        finally:
+            q.stop()
+        got = sorted(
+            (r.user_id, r.n_events)
+            for r in spark.sql("SELECT * FROM sess_e2e").collect()
+        )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    batch = (
+        ev.withColumn("new_sess", (gap.isNull() | (gap > 1800)).cast("int"))
+        .withColumn("sess_id", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess_id")
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    )
+    want = sorted((r.user_id, r.n_events) for r in batch)
+    # append mode emits only watermark-closed sessions; require near-complete
+    # closure and exact agreement on the emitted multiset
+    assert len(got) >= 0.9 * len(want)
+    want_set: dict = {}
+    for k in want:
+        want_set[k] = want_set.get(k, 0) + 1
+    for k in got:
+        assert want_set.get(k, 0) > 0, f"session {k} not in batch result"
+        want_set[k] -= 1
