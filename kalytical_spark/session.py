@@ -43,12 +43,19 @@ def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an externally provided session (the
     driver passes its own SparkSession to entry()/queries(); static confs like
     driver memory cannot change post-start, but these can)."""
+    try:
+        n_cores = str(spark.sparkContext.defaultParallelism)
+    except Exception:
+        n_cores = "32"
     for key, value in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        # a driver-owned session arrives with the 200-partition default:
+        # wrong in both directions at our scales; match the core count
+        ("spark.sql.shuffle.partitions", n_cores),
     ):
         try:
             spark.conf.set(key, value)
