@@ -210,3 +210,93 @@ QUERIES: dict[str, tuple] = {
     "text_langid_predict": (text_langid_predict, ORACLE_LANGID),
     "text_fingerprint": (text_fingerprint, ORACLE_FINGERPRINT),
 }
+
+
+def text_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, whitespace + BPE-ish: whitespace tokens plus a
+    subword estimate that chunks each word into <=4-char pieces (the
+    ceil(len/4) approximation of byte-pair tokenizer output length) and a
+    chars-per-token ratio — the budget numbers an LLM-data pipeline tracks."""
+    docs = t(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks).cast("bigint")
+    n_subwords = F.aggregate(
+        F.transform(toks, lambda x: F.ceil(F.length(x) / 4.0)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_ws_tokens"),
+        n_subwords.alias("n_subword_est"),
+        (F.length("text").cast("double") / n_subwords.cast("double")).alias(
+            "chars_per_subword"
+        ),
+    )
+
+
+ORACLE_TOKEN_ESTIMATES = """
+SELECT doc_id, lang,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(list_sum(list_transform(string_split(text, ' '),
+                                    x -> CAST(ceil(length(x) / 4.0) AS BIGINT)))
+            AS BIGINT) AS n_subword_est,
+       CAST(length(text) AS DOUBLE)
+         / CAST(list_sum(list_transform(string_split(text, ' '),
+                         x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS DOUBLE)
+         AS chars_per_subword
+FROM documents
+"""
+
+
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing): hash every 8-char
+    k-gram, take the lexicographic minimum per window of 4 consecutive
+    positions — the classic plagiarism/near-dup fingerprint set, fully
+    JVM-side (sequence -> transform -> explode -> min per bucket)."""
+    docs = t(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    K, WIN = 8, 4
+    positions = F.sequence(F.lit(1), F.length("text") - (K - 1))
+    kgrams = docs.filter(F.length("text") >= K).repartition(n_part, "doc_id").select(
+        "doc_id",
+        F.posexplode(
+            F.transform(positions, lambda i: F.md5(F.col("text").substr(i, F.lit(K))))
+        ).alias("pos", "khash"),
+    )
+    winnowed = (
+        # integer division: DuckDB's CAST(double AS INT) rounds to nearest
+        # while Spark's truncates — pos DIV 4 and pos // 4 agree exactly
+        kgrams.withColumn("bucket", F.expr(f"pos DIV {WIN}").cast("int"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.min("khash").alias("fp"))
+    )
+    return winnowed.groupBy("doc_id").agg(
+        F.countDistinct("fp").alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+    )
+
+
+ORACLE_WINNOW = """
+WITH kgrams AS (
+  SELECT doc_id, u.i - 1 AS pos, md5(substr(text, u.i, 8)) AS khash
+  FROM documents, unnest(range(1, length(text) - 6)) AS u(i)
+  WHERE length(text) >= 8
+), winnowed AS (
+  SELECT doc_id, CAST(pos // 4 AS INT) AS bucket, MIN(khash) AS fp
+  FROM kgrams GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+       MIN(fp) AS min_fp
+FROM winnowed GROUP BY doc_id
+"""
+
+
+QUERIES.update(
+    {
+        "text_token_estimates": (text_token_estimates, ORACLE_TOKEN_ESTIMATES),
+        "text_winnow_fingerprints": (text_winnow_fingerprints, ORACLE_WINNOW),
+    }
+)
