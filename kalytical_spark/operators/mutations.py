@@ -290,3 +290,44 @@ QUERIES: dict[str, tuple] = {
     "events_tumbling_windows": (events_tumbling_windows, ORACLE_TUMBLING),
     "events_approx_stats": (events_approx_stats, None),
 }
+
+
+def events_hot_key_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys: ~90% of events collapse
+    onto one 'hot' group; a direct groupBy would send them all to one
+    reducer. Phase 1 aggregates by (key, salt-of-16), phase 2 merges the 16
+    partials — the shuffle spreads the hot key across 16 reducers. Counts
+    and decimal-exact sums are merge-associative, so the result is
+    bit-identical to the oracle's plain GROUP BY."""
+    ev = t(spark, sf_dir, "events_ms")
+    from pyspark.sql import functions as F2
+
+    hot_key = F2.when(F2.col("event_id") % 10 < 9, F2.lit("hot")).otherwise(
+        F2.concat(F2.lit("cold-"), (F2.col("user_id") % 10).cast("string"))
+    )
+    salted = ev.withColumn("k", hot_key).withColumn(
+        "salt", F2.pmod(F2.hash("event_id"), F2.lit(16))
+    )
+    partial = salted.groupBy("k", "salt").agg(
+        F2.count("*").alias("pn"),
+        F2.sum(F2.col("value").cast("decimal(12,4)")).alias("psum"),
+    )
+    return partial.groupBy("k").agg(
+        F2.sum("pn").alias("n"),
+        F2.sum("psum").cast("double").alias("sum_value"),
+    )
+
+
+ORACLE_SALTED_AGG = """
+SELECT CASE WHEN event_id % 10 < 9 THEN 'hot'
+            ELSE 'cold-' || CAST(user_id % 10 AS STRING) END AS k,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+FROM events_ms
+GROUP BY 1
+"""
+
+
+QUERIES.update(
+    {"events_hot_key_salted_agg": (events_hot_key_salted_agg, ORACLE_SALTED_AGG)}
+)

@@ -75,3 +75,13 @@ def start_session_query(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def deduped_event_stream(events_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming deduplication: drop exact replays of an event id within the
+    watermark horizon (dropDuplicatesWithinWatermark bounds the dedup state,
+    unlike a plain dropDuplicates which grows forever) — the exactly-once
+    ingest guard for at-least-once sources."""
+    return events_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

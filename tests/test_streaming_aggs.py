@@ -83,3 +83,30 @@ def test_session_window_matches_batch_sessionization(spark):
     for k in got:
         assert want_set.get(k, 0) > 0, f"session {k} not in batch result"
         want_set[k] -= 1
+
+
+def test_streaming_dedup_drops_replays(spark):
+    """Feed every event twice (an at-least-once source); the deduped stream
+    must emit each event_id exactly once."""
+    catalog.register(spark, SF_SMALL)
+    ev = spark.table("events_ms").select("event_id", "ts")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events")
+        ev.coalesce(1).write.mode("append").parquet(src)
+        ev.coalesce(1).write.mode("append").parquet(src)  # the replay
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            aggregates.deduped_event_stream(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dedup_e2e")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(120)
+        finally:
+            q.stop()
+        got = [r.event_id for r in spark.sql("SELECT event_id FROM dedup_e2e").collect()]
+    assert len(got) == ev.count()
+    assert len(got) == len(set(got))
