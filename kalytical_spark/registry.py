@@ -34,6 +34,7 @@ def _load_optional():
         "subqueries",
         "graph",
         "asof",
+        "curation",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
