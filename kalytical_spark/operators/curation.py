@@ -22,13 +22,12 @@ from pyspark.sql import functions as F
 
 from .common import t
 from .dedup import dedup_ngram_jaccard
+from .text import STOPWORDS as _STOPWORDS
 
 QUALITY_MIN_TOKENS = 20
 QUALITY_MAX_TOKENS = 400
 QUALITY_MAX_STOPWORD_RATIO = 0.35
 NEAR_DUP_JACCARD = 0.8
-
-_STOPWORDS = ["a", "the", "of", "and"]
 
 
 def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

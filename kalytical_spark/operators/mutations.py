@@ -300,21 +300,19 @@ def events_hot_key_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     and decimal-exact sums are merge-associative, so the result is
     bit-identical to the oracle's plain GROUP BY."""
     ev = t(spark, sf_dir, "events_ms")
-    from pyspark.sql import functions as F2
-
-    hot_key = F2.when(F2.col("event_id") % 10 < 9, F2.lit("hot")).otherwise(
-        F2.concat(F2.lit("cold-"), (F2.col("user_id") % 10).cast("string"))
+    hot_key = F.when(F.col("event_id") % 10 < 9, F.lit("hot")).otherwise(
+        F.concat(F.lit("cold-"), (F.col("user_id") % 10).cast("string"))
     )
     salted = ev.withColumn("k", hot_key).withColumn(
-        "salt", F2.pmod(F2.hash("event_id"), F2.lit(16))
+        "salt", F.pmod(F.hash("event_id"), F.lit(16))
     )
     partial = salted.groupBy("k", "salt").agg(
-        F2.count("*").alias("pn"),
-        F2.sum(F2.col("value").cast("decimal(12,4)")).alias("psum"),
+        F.count("*").alias("pn"),
+        F.sum(F.col("value").cast("decimal(12,4)")).alias("psum"),
     )
     return partial.groupBy("k").agg(
-        F2.sum("pn").alias("n"),
-        F2.sum("psum").cast("double").alias("sum_value"),
+        F.sum("pn").alias("n"),
+        F.sum("psum").cast("double").alias("sum_value"),
     )
 
 

@@ -313,14 +313,13 @@ QUERIES.update(
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS: order value by (status), (priority), and grand total
     in one pass — the generalized form of rollup/cube the reference lacks."""
-    orders = t(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("orders_gs")
+    t(spark, sf_dir, "orders")  # ensures the temp view is registered
     return spark.sql(
         f"""
         SELECT o_orderstatus, o_orderpriority,
                CAST(COUNT(*) AS BIGINT) AS n,
                {sql_dsum('o_totalprice')} AS total_value
-        FROM orders_gs
+        FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )

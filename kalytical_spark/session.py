@@ -46,7 +46,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
     try:
         n_cores = str(spark.sparkContext.defaultParallelism)
     except Exception:
-        n_cores = "32"
+        n_cores = str(DEFAULT_CPUS)
     for key, value in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),

@@ -65,9 +65,12 @@ def test_session_window_matches_batch_sessionization(spark):
     from pyspark.sql import Window as W
 
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # session_window semantics: millisecond precision, a gap of exactly the
+    # window duration starts a NEW session (end-exclusive) — the batch twin
+    # must use >= on sub-second epoch values, not > on truncated seconds
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
     batch = (
-        ev.withColumn("new_sess", (gap.isNull() | (gap > 1800)).cast("int"))
+        ev.withColumn("new_sess", (gap.isNull() | (gap >= 1800.0)).cast("int"))
         .withColumn("sess_id", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)))
         .groupBy("user_id", "sess_id")
         .agg(F.count("*").alias("n_events"))
