@@ -35,6 +35,7 @@ def _load_optional():
         "graph",
         "asof",
         "curation",
+        "kmeans_ivf",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))

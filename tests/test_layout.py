@@ -63,3 +63,27 @@ def test_salted_join_spreads_hot_key(spark):
     salt = F.pmod(F.hash(F.struct(*[F.col(c) for c in hot.columns])), F.lit(8))
     n_groups = hot.withColumn("s", salt).select("s").distinct().count()
     assert n_groups == 8
+
+
+def test_date_partitioned_events_prune(spark, tmp_path):
+    """The event log's at-rest layout: date-partitioned parquet must show
+    PartitionFilters in the scan (whole days skipped without reading files)."""
+    from kalytical_spark import catalog
+    import contextlib, io
+
+    catalog.register(spark, SF_SMALL)
+    ev = spark.table("lifecycle_events")
+    out = str(tmp_path / "events_by_day")
+    ev.withColumn("dt", F.to_date("event_time")).write.mode("overwrite").partitionBy(
+        "dt"
+    ).parquet(out)
+    q = spark.read.parquet(out).filter(F.col("dt") == "2024-01-15")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "isnotnull(dt" in plan or "dt#" in plan.split("PartitionFilters")[1].splitlines()[0]
+    # and the filter really prunes: only one partition's rows come back
+    days = {r.dt for r in q.select("dt").distinct().collect()}
+    assert days == {__import__("datetime").date(2024, 1, 15)}

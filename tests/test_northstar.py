@@ -129,3 +129,35 @@ def test_hyperplane_lsh_recall_vs_bruteforce(spark):
     if truth:
         recall = len(got) / len(truth)
         assert recall >= 0.45, f"hyperplane LSH recall {recall} ({len(truth)} true pairs)"
+
+
+def test_kmeans_ivf_beats_label_cells(spark):
+    """The learned quantizer must recall more of the exact top-10 than the
+    label-cell IVF at the same probe budget proportion, and be deterministic
+    across runs."""
+    from kalytical_spark.operators import kmeans_ivf
+
+    bf = {
+        (r.query_id, r.vec_id)
+        for r in similarity.sim_topk_bruteforce(spark, SF_ORACLE).collect()
+    }
+    km1 = {
+        (r.query_id, r.vec_id)
+        for r in kmeans_ivf.sim_topk_kmeans_ivf(spark, SF_ORACLE).collect()
+    }
+    km2 = {
+        (r.query_id, r.vec_id)
+        for r in kmeans_ivf.sim_topk_kmeans_ivf(spark, SF_ORACLE).collect()
+    }
+    assert km1 == km2, "k-means IVF must be deterministic"
+    label_ivf = {
+        (r.query_id, r.vec_id)
+        for r in similarity.sim_topk_ivf(spark, SF_ORACLE).collect()
+    }
+    recall_km = len(bf & km1) / len(bf)
+    recall_label = len(bf & label_ivf) / len(bf)
+    # 4 of 16 learned cells probed vs 3 of 10 label cells: the learned
+    # quantizer should at least match the label cells despite the smaller
+    # probe fraction
+    assert recall_km >= recall_label - 0.05, (recall_km, recall_label)
+    assert recall_km > 0.25
