@@ -78,3 +78,36 @@ def read_ledger(spark: SparkSession, ledger_dir: str) -> DataFrame:
     return spark.read.option("basePath", ledger_dir).parquet(
         os.path.join(ledger_dir, "batch_id=*")
     )
+
+
+def cron_origination_stream(
+    spark: SparkSession, ticks: DataFrame, sf_dir: str
+) -> DataFrame:
+    """ST12 streaming form: a clock-tick stream (rate source in production,
+    file-based ticks in tests) joined against the scheduled pipelines emits
+    origination events at each hourly boundary, deduped within the watermark
+    so replayed ticks cannot double-originate. Stable exec ids come from the
+    (pipeline, boundary) pair — the idempotence key."""
+    from .. import catalog
+
+    catalog.register(spark, sf_dir)
+    scheduled = F.broadcast(
+        spark.table("pipeline_defs")
+        .filter(F.col("schedule").isNotNull())
+        .select("pipeline_uuid", "schedule")
+    )
+    hours = (
+        ticks.withWatermark("tick_ts", "10 minutes")
+        .withColumn("boundary", F.date_trunc("hour", "tick_ts"))
+        .dropDuplicatesWithinWatermark(["boundary"])
+    )
+    return hours.crossJoin(scheduled).select(
+        "pipeline_uuid",
+        F.lit("origination").alias("event_subtype"),
+        F.col("boundary").alias("event_time"),
+        F.substring(
+            F.md5(F.concat(F.col("pipeline_uuid"), F.lit("@"), F.col("boundary").cast("string"))),
+            1,
+            8,
+        ).alias("exec_uuid"),
+    )
