@@ -149,3 +149,56 @@ def test_cron_origination_stream(spark):
     assert len(rows) == 2 * n_scheduled  # two distinct hour boundaries
     assert len({(r.pipeline_uuid, r.event_time) for r in rows}) == len(rows)
     assert all(len(r.exec_uuid) == 8 for r in rows)
+
+
+def test_watermark_drops_late_data(spark):
+    """ST9 semantics proof: an event arriving in a later micro-batch with a
+    timestamp older than the advanced watermark is dropped from the
+    aggregation (append mode) — the late-data discard the reference's
+    age-out TTL only approximates."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    import datetime as dt
+
+    base = dt.datetime(2024, 6, 1, 0, 0, 0)
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "ev")
+        ckpt = os.path.join(tmp, "ckpt")
+        os.makedirs(src)
+        batch1 = spark.createDataFrame(
+            [(base, "a", 1.0), (base + dt.timedelta(hours=30), "a", 1.0)], schema
+        )
+        batch1.coalesce(1).write.mode("append").parquet(src)
+
+        sink = os.path.join(tmp, "out")
+
+        def run():
+            # parquet sink: the memory sink cannot resume from a checkpoint
+            stream = spark.readStream.schema(schema).parquet(src)
+            agg = aggregates.windowed_event_counts(stream)  # 6h windows, 1h watermark
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120)
+            q.stop()
+
+        run()
+        # watermark has advanced to ~hour 29; this event is 29h late
+        late = spark.createDataFrame([(base + dt.timedelta(minutes=5), "a", 99.0)], schema)
+        late.coalesce(1).write.mode("append").parquet(src)
+        run()
+        rows = spark.read.parquet(sink).orderBy("window_start").collect()
+    first_window = [r for r in rows if r.window_start == base]
+    assert len(first_window) == 1
+    # the late 99.0 must NOT have been folded into the closed first window
+    assert first_window[0].n == 1 and first_window[0].sum_value == 1.0
