@@ -68,11 +68,20 @@ _SQL_SHINGLES = """
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact + normalized (bag-of-words) dedup: one hash-groupBy per key;
-    keeper = min doc_id per group. Reports group sizes (n_dups = size-1)."""
-    docs = t(spark, sf_dir, "documents")
+    keeper = min doc_id per group. The raw corpus contains no exact
+    duplicates, which would make this a vacuous 0-row check — so the input
+    is the corpus PLUS a deterministic re-ingest of every 50th document
+    (re-keyed doc_id + 100000), the re-crawl scenario exact dedup exists
+    for. Groups must then contain exactly the original and its copy."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    reingest = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    corpus = docs.unionByName(reingest)
     bag_fp = F.md5(F.array_join(F.array_sort(F.split(F.col("text"), " ")), " "))
     return (
-        docs.select("doc_id", F.md5("text").alias("content_fp"), bag_fp.alias("bag_fp"))
+        corpus.select("doc_id", F.md5("text").alias("content_fp"), bag_fp.alias("bag_fp"))
         .groupBy("bag_fp")
         .agg(
             F.count("*").alias("group_size"),
@@ -84,11 +93,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_EXACT = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0
+)
 SELECT md5(list_aggregate(list_sort(string_split(text, ' ')), 'string_agg', ' ')) AS bag_fp,
        CAST(COUNT(*) AS BIGINT) AS group_size,
        MIN(doc_id) AS keeper_doc_id,
        CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_contents
-FROM documents
+FROM corpus
 GROUP BY 1
 HAVING COUNT(*) > 1
 """

@@ -99,8 +99,16 @@ WHERE d.pipeline_uuid IN
 
 def meta_dep_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: create_or_replace validation — per pipeline with declared triggers,
-    how many upstream defs resolve (left-semi) and whether any are missing."""
-    defs = t(spark, sf_dir, "pipeline_defs").select("pipeline_uuid")
+    how many upstream defs resolve (left-semi) and whether any are missing.
+    Validated against the catalog AS IT WOULD LOOK after deleting the
+    scheduled pipelines (the delete-guard scenario) so the missing-deps
+    branch is actually exercised: every edge pointing at a scheduled
+    pipeline reports has_missing."""
+    defs = (
+        t(spark, sf_dir, "pipeline_defs")
+        .filter(F.col("schedule").isNull())
+        .select("pipeline_uuid")
+    )
     edges = t(spark, sf_dir, "dag_edges")
     resolved = edges.join(
         F.broadcast(defs.withColumnRenamed("pipeline_uuid", "upstream_uuid")),
@@ -128,7 +136,8 @@ SELECT e.pipeline_uuid,
        COUNT(*) <> SUM(CASE WHEN d.pipeline_uuid IS NOT NULL THEN 1 ELSE 0 END)
          AS has_missing
 FROM dag_edges e
-LEFT JOIN pipeline_defs d ON e.upstream_uuid = d.pipeline_uuid
+LEFT JOIN (SELECT pipeline_uuid FROM pipeline_defs WHERE schedule IS NULL) d
+  ON e.upstream_uuid = d.pipeline_uuid
 GROUP BY e.pipeline_uuid
 """
 
