@@ -1,7 +1,7 @@
 """K-means IVF: a LEARNED coarse quantizer for similarity search — Lloyd's
 iterations expressed as DataFrame operations (assign = broadcast centroid
-matrix via a pandas batch, update = groupBy mean), then the IVF
-probe-and-search over the learned cells.
+matrix via a pandas batch, update = distributed posexplode + groupBy mean),
+then the IVF probe-and-search over the learned cells.
 
 This is the iterative-algorithm execution pattern (loop of deterministic
 DataFrame jobs with a driver-side convergence check) and the real ANN
@@ -9,10 +9,17 @@ index: the label-cell IVF in similarity.py exists for oracle parity, but
 labels are weak quantizers on this corpus — the learned cells probe better
 (recall measured head-to-head in tests).
 
+Scale: NOTHING corpus-sized ever reaches the driver. Per iteration the
+driver receives exactly K x dim aggregated rows (the centroid update from
+``groupBy(cell, pos).avg``) and broadcasts the K x dim matrix back out;
+assignments stay a cached DataFrame. At 100 TB the per-iteration cost is
+one scan + one shuffle of K*dim*n_partition partial aggregates.
+
 Determinism: initialization picks the K vectors with the smallest
 md5(vec_id) (a deterministic pseudo-random sample); assignment ties break
-on the lower centroid id; centroid updates are numpy float64 means rounded
-to 6 decimals each iteration, so the whole fit is reproducible
+on the lower centroid id (argmax returns the first max); the distributed
+mean is rounded to 9 decimals before the driver renormalizes, and centroids
+are rounded to 6 decimals at broadcast, so the fit is reproducible
 run-to-run and partitioning-independent. Rows-only for the driver (k-means
 is not SQL-expressible); tests pin determinism and recall.
 """
@@ -24,49 +31,48 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from .common import t
-from .similarity import QUERY_STRIDE, TOP_K
+from .similarity import QUERY_STRIDE, TOP_K, _dbl, _dot
 
 K_CELLS = 16
 N_ITERS = 5
 N_PROBE = 4
 
 
-def _emb_matrix(spark: SparkSession, sf_dir: str):
-    import numpy as np
-
-    rows = t(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    V = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
-    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-    return ids, Vn
+def _normalized(emb: DataFrame) -> DataFrame:
+    """L2-normalized embeddings, JVM-side (no Python in the plan)."""
+    d = _dbl(F.col("embedding"))
+    nrm = F.sqrt(_dot(d, d))
+    return emb.select(
+        "vec_id", F.transform(d, lambda x: x / nrm).alias("nemb")
+    )
 
 
 def fit_kmeans_cells(spark: SparkSession, sf_dir: str):
-    """Lloyd's iterations over the (normalized) corpus. The corpus matrix is
-    broadcast per iteration and assignments stream through mapInPandas; the
-    centroid update is a distributed groupBy-mean over the exploded
-    coordinates. Driver holds only the K x dim centroid matrix.
+    """Lloyd's iterations over the (normalized) corpus. Assignment streams
+    through mapInPandas against the broadcast K x dim centroid matrix; the
+    centroid update is a distributed ``posexplode`` + ``groupBy(cell, pos)``
+    mean (same shape as similarity._centroids), so the driver only ever
+    holds K x dim values — never the corpus, never the assignments.
 
     Returns (assignments DataFrame [vec_id, cell], centroids ndarray)."""
-    import hashlib
-
     import numpy as np
 
     emb = t(spark, sf_dir, "embeddings")
     n_part = spark.sparkContext.defaultParallelism
+    nemb = _normalized(emb).repartition(n_part).cache()
 
-    # deterministic init: the K vectors with smallest md5(vec_id)
-    seeds = (
-        emb.select("vec_id")
-        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
+    # deterministic init: the K vectors with smallest md5(vec_id) — collects
+    # exactly K rows (bounded by K, not the corpus)
+    seed_rows = (
+        nemb.withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h")
         .limit(K_CELLS)
+        .select("vec_id", "nemb")
         .collect()
     )
-    seed_ids = {r.vec_id for r in seeds}
-    ids, Vn = _emb_matrix(spark, sf_dir)
-    pos = {int(v): i for i, v in enumerate(ids)}
-    C = np.stack([Vn[pos[i]] for i in sorted(seed_ids)])
+    C = np.stack(
+        [np.asarray(r.nemb, dtype=np.float64) for r in sorted(seed_rows, key=lambda r: r.vec_id)]
+    )
 
     assignments = None
     for _ in range(N_ITERS):
@@ -75,32 +81,41 @@ def fit_kmeans_cells(spark: SparkSession, sf_dir: str):
         def assign(batches):
             Cb = bC.value
             for pdf in batches:
-                X = np.stack(pdf["embedding"].map(lambda a: np.asarray(a, dtype=np.float64)))
-                X /= np.linalg.norm(X, axis=1, keepdims=True)
+                X = np.stack(pdf["nemb"].map(lambda a: np.asarray(a, dtype=np.float64)))
                 sims = X @ Cb.T
                 # argmax with lower-cell tie-break (argmax returns first max)
                 cell = sims.argmax(axis=1).astype("int32")
                 yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell": cell})
 
+        prev = assignments
         assignments = (
-            emb.repartition(n_part)
-            .mapInPandas(assign, schema="vec_id long, cell int")
-            .cache()
+            nemb.mapInPandas(assign, schema="vec_id long, cell int").cache()
         )
         assignments.count()
-        # centroid update: normalized mean of members (numpy, per cell)
-        members = {r.vec_id: r.cell for r in assignments.collect()}
-        C_new = np.zeros_like(C)
-        counts = np.zeros(K_CELLS)
-        for vid, cell in members.items():
-            C_new[cell] += Vn[pos[int(vid)]]
-            counts[cell] += 1
+        if prev is not None:
+            prev.unpersist()
+        # centroid update, fully distributed: mean of member coordinates per
+        # (cell, pos); only K x dim aggregated rows come back to the driver
+        upd = (
+            nemb.join(assignments, "vec_id")
+            .select("cell", F.posexplode("nemb").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("v"), 9).alias("c"))
+            .collect()
+        )
+        C_new = C.copy()  # empty cells keep their centroid
+        sums = np.zeros_like(C)
+        seen = np.zeros(K_CELLS, dtype=bool)
+        for r in upd:
+            sums[r.cell, r.pos] = r.c
+            seen[r.cell] = True
         for k in range(K_CELLS):
-            if counts[k] > 0:
-                C_new[k] /= np.linalg.norm(C_new[k]) or 1.0
-            else:
-                C_new[k] = C[k]  # empty cell keeps its centroid
+            if seen[k]:
+                C_new[k] = sums[k] / (np.linalg.norm(sums[k]) or 1.0)
         C = C_new
+    # assignments is materialized in its own cache; the normalized-corpus
+    # cache is no longer needed
+    nemb.unpersist()
     return assignments, np.round(C, 6)
 
 

@@ -161,3 +161,17 @@ def test_kmeans_ivf_beats_label_cells(spark):
     # probe fraction
     assert recall_km >= recall_label - 0.05, (recall_km, recall_label)
     assert recall_km > 0.25
+
+
+def test_kmeans_ivf_never_collects_the_corpus():
+    """Scale invariant: the only driver-side collects in the k-means IVF
+    trainer are bounded by K (seed init) and K x dim (the aggregated
+    centroid update) — never the corpus or the per-row assignments."""
+    import inspect
+
+    from kalytical_spark.operators import kmeans_ivf
+
+    src = inspect.getsource(kmeans_ivf)
+    assert "_emb_matrix" not in src, "full-corpus driver collect is back"
+    collects = [ln.strip() for ln in src.splitlines() if ".collect()" in ln]
+    assert len(collects) == 2, collects  # .limit(K) seeds + K*dim centroid agg
