@@ -10,9 +10,17 @@ Stage rules (deterministic, no cascade):
      stopword ratio below QUALITY_MAX_STOPWORD_RATIO;
   2. exact: among quality survivors, keep the min doc_id per bag-of-words
      fingerprint;
-  3. near-dup: a survivor b is dropped when some pair (a, b), a < b, has
-     3-gram Jaccard >= NEAR_DUP_JACCARD and a itself survived stages 1-2
-     (a's survival never depends on this stage, so no cascading).
+  3. near-dup: a survivor b is dropped when some MinHash-LSH candidate pair
+     (a, b), a < b, verifies at 3-gram Jaccard >= NEAR_DUP_JACCARD and a
+     itself survived stages 1-2 (a's survival never depends on this stage,
+     so no cascading).
+
+Scale: the near-dup stage consumes dedup_minhash_lsh — band-bucket
+candidates verified exactly — never the exhaustive shared-shingle join
+(dedup_ngram_jaccard stays a correctness baseline only). This works because
+NEAR_DUP_JACCARD >= the LSH verify threshold, so filtering the verified LSH
+pairs at NEAR_DUP_JACCARD is exact over the candidate set; the oracle
+mirrors the banding so both engines see the same candidate universe.
 """
 
 from __future__ import annotations
@@ -21,13 +29,21 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from .common import t
-from .dedup import dedup_ngram_jaccard
+from .dedup import (
+    LSH_VERIFY_THRESHOLD,
+    _sql_minhash_lsh_ctes,
+    dedup_minhash_lsh,
+)
 from .text import STOPWORDS as _STOPWORDS
 
 QUALITY_MIN_TOKENS = 20
 QUALITY_MAX_TOKENS = 400
 QUALITY_MAX_STOPWORD_RATIO = 0.35
 NEAR_DUP_JACCARD = 0.8
+assert NEAR_DUP_JACCARD >= LSH_VERIFY_THRESHOLD, (
+    "curation filters the verified LSH pairs; its threshold must not be "
+    "below the LSH verify threshold or pairs would be silently missing"
+)
 
 
 def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,7 +73,9 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survivors2 = exact.filter(F.col("exact_keeper")).select("doc_id")
 
-    pairs = dedup_ngram_jaccard(spark, sf_dir).filter(
+    # near-dup candidates via MinHash band buckets, exact-verified — the
+    # 100 TB path; the exhaustive shared-shingle join never runs here
+    pairs = dedup_minhash_lsh(spark, sf_dir).filter(
         F.col("jaccard") >= NEAR_DUP_JACCARD
     )
     # b is near-dup-dropped iff matched by some surviving a < b
@@ -106,23 +124,10 @@ WITH staged AS (
   FROM staged WHERE quality_ok
 ), survivors2 AS (
   SELECT doc_id FROM exact WHERE exact_keeper
-), sh AS (
-  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
-  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-       unnest(range(1, len(ts) - 1)) AS u(i)
-), sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), pairs AS (
-  SELECT doc_a, doc_b
-  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
-        >= {NEAR_DUP_JACCARD}
-), dropped_b AS (
+), {_sql_minhash_lsh_ctes()}, dropped_b AS (
   SELECT DISTINCT p.doc_b AS doc_id
-  FROM pairs p JOIN survivors2 s ON p.doc_a = s.doc_id
+  FROM lsh_pairs p JOIN survivors2 s ON p.doc_a = s.doc_id
+  WHERE p.jaccard >= {NEAR_DUP_JACCARD}
 )
 SELECT st.doc_id, st.lang, st.n_tokens,
        CASE WHEN NOT st.quality_ok THEN 'dropped_quality'

@@ -225,7 +225,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_minhash_lsh() -> str:
+def _sql_minhash_lsh_ctes() -> str:
+    """The DuckDB twin of the LSH pipeline as a reusable CTE chain ending in
+    ``lsh_pairs(doc_a, doc_b, jaccard)`` — every band-bucket candidate pair
+    with its exact Jaccard, UNFILTERED so each consumer applies its own
+    threshold (dedup_minhash_lsh at {LSH_VERIFY_THRESHOLD}, curation at its
+    NEAR_DUP_JACCARD). The banding must mirror the Spark side exactly or a
+    high-Jaccard pair missed by the bands would diverge between engines."""
     mh = ",\n         ".join(
         f"MIN(md5('s{i}:' || shingle)) AS mh{i}" for i in range(N_MINHASH)
     )
@@ -236,8 +242,7 @@ def _sql_minhash_lsh() -> str:
         f"  SELECT doc_id, n_sh, '{b}' AS band_idx, band{b} AS band_key FROM banded"
         for b in range(N_BANDS)
     )
-    return f"""
-WITH sh AS ({_SQL_SHINGLES}),
+    return f"""sh AS ({_SQL_SHINGLES}),
 sig AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh,
          {mh}
@@ -258,12 +263,18 @@ sig AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
-SELECT c.doc_a, c.doc_b,
-       CAST(i.n_inter AS DOUBLE) / CAST(c.n_a + c.n_b - i.n_inter AS DOUBLE) AS jaccard
-FROM cand c JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
-WHERE CAST(i.n_inter AS DOUBLE) / CAST(c.n_a + c.n_b - i.n_inter AS DOUBLE)
-      >= {LSH_VERIFY_THRESHOLD}
+), lsh_pairs AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(i.n_inter AS DOUBLE) / CAST(c.n_a + c.n_b - i.n_inter AS DOUBLE) AS jaccard
+  FROM cand c JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+)"""
+
+
+def _sql_minhash_lsh() -> str:
+    return f"""
+WITH {_sql_minhash_lsh_ctes()}
+SELECT doc_a, doc_b, jaccard FROM lsh_pairs
+WHERE jaccard >= {LSH_VERIFY_THRESHOLD}
 """
 
 

@@ -175,3 +175,18 @@ def test_kmeans_ivf_never_collects_the_corpus():
     assert "_emb_matrix" not in src, "full-corpus driver collect is back"
     collects = [ln.strip() for ln in src.splitlines() if ".collect()" in ln]
     assert len(collects) == 2, collects  # .limit(K) seeds + K*dim centroid agg
+
+
+def test_curation_uses_lsh_not_exhaustive_pairs():
+    """The flagship curation pipeline must drive near-dup removal from the
+    MinHash-LSH candidate path, never the exhaustive shared-shingle join
+    (dedup_ngram_jaccard is a correctness baseline only)."""
+    import inspect
+
+    from kalytical_spark.operators import curation
+
+    src = inspect.getsource(curation)
+    assert "dedup_ngram_jaccard(" not in src  # never called (prose mention ok)
+    assert "dedup_minhash_lsh(" in src
+    # the oracle must mirror the banding (same candidate universe)
+    assert "lsh_pairs" in curation.ORACLE_CURATE
