@@ -59,19 +59,38 @@ def main() -> None:
             print(f"# bench error {name}: {exc}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "kalytical_spark_headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "warmup_sec": round(warm_s, 3),
-                "n_queries": len(timings),
-            }
+    payload = {
+        "metric": "kalytical_spark_headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "warmup_sec": round(warm_s, 2),
+        "n_queries": len(timings),
+    }
+    # The driver parses the JSON line out of the LAST 2000 bytes of stdout
+    # (BENCH_r01.json came back "parsed": null because the full 79-query map
+    # overflowed that window). Keep the line under budget by dropping the
+    # FASTEST queries from the inline map; the complete map always lands in
+    # BENCH_FULL.json next to this script.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
+    budget = 1900
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > budget:
+        # never drop errored entries (-1.0): a hidden failure is worse than
+        # a hidden fast query
+        by_time = sorted(
+            (k for k in timings if timings[k] >= 0),
+            key=lambda k: timings[k],
+            reverse=True,
         )
-    )
+        while len(line) > budget and by_time:
+            dropped = by_time.pop()
+            del payload["queries"][dropped]
+            payload["queries_omitted"] = len(timings) - len(payload["queries"])
+            line = json.dumps(payload, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
