@@ -15,11 +15,12 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import catalog
+from . import catalog, dispatch
 from .config import KalyticalSparkConfig, load_config
 
 _PREFIX_RE = re.compile(r"^[a-zA-Z0-9-]+$")
 _UUID_RE = re.compile(r"^[a-z0-9-]+$")
+_TRACKING_RE = re.compile(r"^[a-z0-9-]+$")
 
 
 class QueryException(ValueError):
@@ -116,21 +117,66 @@ def running_pipelines(
     spark: SparkSession,
     sf_dir: str,
     pipeline_uuid: str | None = None,
-    status: tuple[str, ...] = ("running", "pending"),
+    status: tuple[str, ...] = ("running", "waiting", "pending"),
+    engine_name: str | None = None,
     limit: int | None = None,
     cfg: KalyticalSparkConfig | None = None,
 ) -> DataFrame:
     """GET /pipeline/dispatcher/running — F9+F10 -> O3; filters are Catalyst
     predicates, not the reference's list-then-filter-in-Python
-    (engine.py:53 TODO)."""
+    (engine.py:53 TODO). Defaults mirror the reference contract
+    (facade.py:86-88): status ['running', 'waiting', 'pending'] and an
+    optional engine_name filter."""
     cfg = cfg or load_config()
     jobs = catalog.table(spark, sf_dir, "running_jobs")
     out = jobs.filter(F.col("engine_status").isin(*status))
     if pipeline_uuid is not None:
         _check(_UUID_RE, pipeline_uuid, "pipeline_uuid")
         out = out.filter(F.col("pipeline_uuid") == pipeline_uuid)
+    if engine_name is not None:
+        out = out.filter(F.col("engine") == engine_name)
     return out.orderBy(F.desc("start_time"), F.desc("exec_uuid")).limit(
         limit or cfg.running_jobs_page_size
+    )
+
+
+def abort_pipeline(
+    spark: SparkSession, engine: "dispatch.BaseEngine", engine_tracking_id: str
+) -> dict:
+    """DELETE /pipeline/dispatcher/abort_pipeline (facade.py:95-98):
+    delegate to the engine strategy; unknown ids surface as
+    JobNotFoundError (the reference's 404)."""
+    _check(_TRACKING_RE, engine_tracking_id, "engine_tracking_id")
+    return engine.abort(spark, engine_tracking_id)
+
+
+def run_single_use(
+    spark: SparkSession,
+    pipeline_model: dict,
+    engine: "dispatch.BaseEngine | None" = None,
+) -> "dispatch.SubmitResult":
+    """POST /pipeline/dispatcher/run_single_use (facade.py:80-83): submit a
+    caller-supplied pipeline body straight to its engine, bypassing the defs
+    table; source_uuid is 'singleuse'. The reference's gen_uuid() is
+    nondeterministic — here exec_uuid is a deterministic digest of the
+    submission identity (SURVEY.md C1 convention)."""
+    import hashlib
+
+    pipeline_uuid = pipeline_model["pipeline_uuid"]
+    _check(_UUID_RE, pipeline_uuid, "pipeline_uuid")
+    eng = engine or dispatch.engine_factory(
+        pipeline_model.get("engine", "LocalLedgerEngine")
+    )
+    body = pipeline_model.get("pipeline_body", "")
+    exec_uuid = hashlib.sha256(f"singleuse|{pipeline_uuid}|{body}".encode()).hexdigest()[:8]
+    return eng.submit(
+        spark,
+        {
+            "pipeline_uuid": pipeline_uuid,
+            "exec_uuid": exec_uuid,
+            "retry_count": 0,
+            "source_uuid": "singleuse",
+        },
     )
 
 

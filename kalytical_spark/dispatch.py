@@ -20,6 +20,11 @@ class EngineNotImplementedError(NotImplementedError):
     """Unknown engine name in the registry (engine.py:35-36 analog)."""
 
 
+class JobNotFoundError(KeyError):
+    """Abort target unknown to the engine — the reference's 404 when the pod
+    is already gone (engine.py:162-169)."""
+
+
 def retry(attempts: int = 3, delay_s: float = 0.0):
     """Driver-side operation retry (utils/retry.py:7-18; the reference has
     no backoff — we add an optional linear delay). Executor-side retries are
@@ -62,6 +67,11 @@ class BaseEngine:
     def ledger(self, spark: SparkSession) -> DataFrame:
         raise NotImplementedError
 
+    def abort(self, spark: SparkSession, tracking_id: str) -> dict:
+        """DELETE /pipeline/dispatcher/abort_pipeline analog
+        (facade.py:95-98 -> engine.py:162-169: delete pod by tracking id)."""
+        raise NotImplementedError
+
 
 class LocalLedgerEngine(BaseEngine):
     """Records submissions in an in-memory ledger; deterministic tracking ids
@@ -84,13 +94,27 @@ class LocalLedgerEngine(BaseEngine):
             "engine": self.name,
             "tracking_id": tracking,
             "retry_count": int(row.get("retry_count", 0)),
+            "source_uuid": row.get("source_uuid", "api_call"),
+            "status": "submitted",
         }
         self._rows.append(rec)
         return SubmitResult(row["pipeline_uuid"], row["exec_uuid"], self.name, tracking)
 
     def ledger(self, spark: SparkSession) -> DataFrame:
-        schema = "pipeline_uuid string, exec_uuid string, engine string, tracking_id string, retry_count int"
+        schema = (
+            "pipeline_uuid string, exec_uuid string, engine string, "
+            "tracking_id string, retry_count int, source_uuid string, status string"
+        )
         return spark.createDataFrame(self._rows, schema=schema)
+
+    def abort(self, spark: SparkSession, tracking_id: str) -> dict:
+        """Mark the submission aborted (the ledger analog of deleting the
+        pod); unknown ids raise, mirroring the reference's 404."""
+        for rec in self._rows:
+            if rec["tracking_id"] == tracking_id and rec["status"] != "aborted":
+                rec["status"] = "aborted"
+                return {"operation_result": True}
+        raise JobNotFoundError(tracking_id)
 
 
 _REGISTRY: dict[str, type[BaseEngine]] = {

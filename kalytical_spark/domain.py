@@ -110,7 +110,7 @@ _CTES: list[tuple[str, str]] = [
           'pod-' || substr(md5('run' || CAST(event_id AS STRING)), 1, 10)
                                                                      AS engine_tracking_id,
           CASE CAST(event_id % 7 AS INT)
-               WHEN 0 THEN 'running' WHEN 1 THEN 'running'
+               WHEN 0 THEN 'running' WHEN 1 THEN 'waiting'
                WHEN 2 THEN 'pending' WHEN 3 THEN 'success'
                WHEN 4 THEN 'failed'  WHEN 5 THEN 'aborted'
                ELSE 'timed_out' END                                  AS engine_status,

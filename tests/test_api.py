@@ -56,7 +56,7 @@ def test_event_history_defaults_and_filters(spark):
 def test_running_pipelines_paging(spark):
     rows = api.running_pipelines(spark, SF_SMALL).collect()
     assert 0 < len(rows) <= 10
-    assert all(r.engine_status in ("running", "pending") for r in rows)
+    assert all(r.engine_status in ("running", "waiting", "pending") for r in rows)
 
 
 def test_engine_registry_and_submission(spark):
@@ -95,3 +95,52 @@ def test_sys_config_roundtrip():
     cfg = api.sys_config()
     assert cfg["running_jobs_page_size"] == 10
     assert cfg["history_max_records"] == 20
+
+
+def test_running_pipelines_reference_defaults(spark):
+    """facade.py:86-88 contract: default status set is
+    ['running', 'waiting', 'pending'] and engine_name is a filter."""
+    rows = api.running_pipelines(spark, SF_SMALL, limit=1000).collect()
+    statuses = {r.engine_status for r in rows}
+    assert statuses <= {"running", "waiting", "pending"}
+    assert "waiting" in statuses, "waiting jobs must exist (non-vacuous)"
+    k8s = api.running_pipelines(spark, SF_SMALL, engine_name="K8sJobEngine", limit=1000).collect()
+    assert k8s and all(r.engine == "K8sJobEngine" for r in k8s)
+
+
+def test_abort_pipeline_lifecycle(spark):
+    """abort_pipeline (facade.py:95-98): an aborted submission flips to
+    status=aborted in the ledger; unknown tracking ids raise (the 404)."""
+    eng = dispatch.engine_factory("LocalLedgerEngine")
+    res = api.run_single_use(
+        spark,
+        {"pipeline_uuid": "p-777", "pipeline_body": '{"steps": 1}'},
+        engine=eng,
+    )
+    assert res.engine == "LocalLedgerEngine"
+    out = api.abort_pipeline(spark, eng, res.tracking_id)
+    assert out == {"operation_result": True}
+    rows = {r.tracking_id: r for r in eng.ledger(spark).collect()}
+    assert rows[res.tracking_id].status == "aborted"
+    assert rows[res.tracking_id].source_uuid == "singleuse"
+    with pytest.raises(dispatch.JobNotFoundError):
+        api.abort_pipeline(spark, eng, res.tracking_id)  # already aborted
+    with pytest.raises(dispatch.JobNotFoundError):
+        api.abort_pipeline(spark, eng, "feedfeed99")
+    with pytest.raises(api.QueryException):
+        api.abort_pipeline(spark, eng, "DROP TABLE;--")
+
+
+def test_run_single_use_is_deterministic_and_bypasses_defs(spark):
+    """run_single_use (facade.py:80-83): same body -> same exec/tracking id;
+    the submitted pipeline_uuid need not exist in pipeline_defs."""
+    eng = dispatch.engine_factory("LocalLedgerEngine")
+    body = {"pipeline_uuid": "ephemeral-42", "pipeline_body": '{"steps": 9}'}
+    r1 = api.run_single_use(spark, body, engine=eng)
+    eng2 = dispatch.engine_factory("LocalLedgerEngine")
+    r2 = api.run_single_use(spark, body, engine=eng2)
+    assert (r1.exec_uuid, r1.tracking_id) == (r2.exec_uuid, r2.tracking_id)
+    defs = api.list_pipeline_configs(spark, SF_SMALL, prefix="ephemeral").collect()
+    assert defs == []
+    with pytest.raises(dispatch.EngineNotImplementedError):
+        api.run_single_use(spark, {"pipeline_uuid": "p-1", "engine": "K8sPodEngine"})
