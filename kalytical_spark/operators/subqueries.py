@@ -46,11 +46,19 @@ AND ps.l_partkey % 50 = 0
 
 
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS as left anti-join: customers that never ordered."""
+    """NOT EXISTS as left anti-join: customers with no URGENT order. (Every
+    customer in the synthetic data has SOME order, which made the plain
+    never-ordered variant a vacuous 0-row check — the priority predicate
+    keeps the anti-join non-trivial at every sf; the filter is pushed to the
+    right side before the join.)"""
     cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    urgent = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return (
-        cust.join(orders, "c_custkey", "left_anti")
+        cust.join(urgent, "c_custkey", "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_idle_customers"), dsum("c_acctbal").alias("idle_acctbal"))
     )
@@ -61,7 +69,9 @@ SELECT c_mktsegment,
        CAST(COUNT(*) AS BIGINT) AS n_idle_customers,
        {sql_dsum('c_acctbal')} AS idle_acctbal
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
 GROUP BY c_mktsegment
 """
 
