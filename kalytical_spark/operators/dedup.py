@@ -278,27 +278,47 @@ WHERE jaccard >= {LSH_VERIFY_THRESHOLD}
 """
 
 
-def _cosine_block(pdf):
-    """Per-label brute force as one numpy gram matrix — BLAS does in
-    milliseconds what a per-element Catalyst fold interprets in seconds
-    (measured 38s -> ~1s at sf0.1). float64 throughout; rounded to 4
-    decimals before thresholding like every similarity in this engine."""
+# hard ceiling on either side of a gram block: block memory is O(CAP^2)
+# doubles (~128 MiB at 4096), independent of how hot a label gets
+EMB_BLOCK_CAP = 4096
+
+
+def _cosine_block(key, pdf):
+    """One bounded gram block — BLAS does in milliseconds what a
+    per-element Catalyst fold interprets in seconds (measured 38s -> ~1s at
+    sf0.1). key = (label, chunk_i, chunk_j): the diagonal block (i == i)
+    scores its upper triangle; an off-diagonal block scores only
+    cross-chunk pairs (each unordered pair lands in exactly one block).
+    float64 throughout; rounded to 4 decimals before thresholding like
+    every similarity in this engine."""
     import numpy as np
     import pandas as pd
 
+    label, bi, bj = (int(k) for k in key)
     pdf = pdf.sort_values("vec_id").reset_index(drop=True)
     V = np.stack(pdf["embedding"].map(lambda a: np.asarray(a, dtype=np.float64)))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
     ids = pdf["vec_id"].to_numpy()
-    norms = np.linalg.norm(V, axis=1)
-    sims = (V @ V.T) / np.outer(norms, norms)
-    i, j = np.triu_indices(len(ids), k=1)
-    sims_r = np.round(sims[i, j], 4)
+    if bi == bj:
+        gram = V @ V.T
+        i, j = np.triu_indices(len(ids), k=1)
+        vals = gram[i, j]
+    else:
+        mi = (pdf["chunk"] == bi).to_numpy()
+        mj = (pdf["chunk"] == bj).to_numpy()
+        vals = (V[mi] @ V[mj].T).reshape(-1)
+        # map gram coordinates back to positions in the combined frame
+        pi, pj = np.flatnonzero(mi), np.flatnonzero(mj)
+        gi, gj = np.divmod(np.arange(vals.size), len(pj))
+        i, j = pi[gi], pj[gj]
+        i, j = np.minimum(i, j), np.maximum(i, j)  # ids ascend with position
+    sims_r = np.round(vals, 4)
     keep = sims_r >= COSINE_PAIR_THRESHOLD
     return pd.DataFrame(
         {
             "vec_a": ids[i[keep]],
             "vec_b": ids[j[keep]],
-            "label": pdf["label"].iloc[0],
+            "label": label,
             "cos_sim": sims_r[keep],
         }
     )
@@ -307,9 +327,30 @@ def _cosine_block(pdf):
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs above a threshold, blocked by the
     coarse label (the IVF-style pruning that makes this survive scale:
-    within-block brute force only, vectorized in numpy per block)."""
+    within-block brute force only, vectorized in numpy per block).
+
+    Hot labels never OOM an executor: a label with n rows is split into
+    C = ceil(n / EMB_BLOCK_CAP) chunks by vec_id; every vector is
+    replicated into the C blocks (min(chunk, d), max(chunk, d)) it pairs
+    across, so each gram block is at most CAP x CAP while the union of
+    blocks still covers every within-label pair exactly once."""
     emb = t(spark, sf_dir, "embeddings")
-    return emb.groupBy("label").applyInPandas(
+    counts = emb.groupBy("label").agg(F.count("*").alias("n_lab"))
+    nch = F.greatest(F.ceil(F.col("n_lab") / F.lit(EMB_BLOCK_CAP)), F.lit(1)).cast("int")
+    chunked = (
+        emb.join(F.broadcast(counts), "label")
+        .withColumn("chunk", F.pmod(F.col("vec_id"), nch).cast("int"))
+        .withColumn("d", F.explode(F.sequence(F.lit(0), nch - 1)))
+        .select(
+            "label",
+            "vec_id",
+            "embedding",
+            "chunk",
+            F.least("chunk", "d").alias("chunk_i"),
+            F.greatest("chunk", "d").alias("chunk_j"),
+        )
+    )
+    return chunked.groupBy("label", "chunk_i", "chunk_j").applyInPandas(
         _cosine_block,
         schema="vec_a long, vec_b long, label int, cos_sim double",
     )

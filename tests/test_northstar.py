@@ -225,3 +225,20 @@ def test_curation_uses_lsh_not_exhaustive_pairs():
     assert "dedup_minhash_lsh(" in src
     # the oracle must mirror the banding (same candidate universe)
     assert "lsh_pairs" in curation.ORACLE_CURATE
+
+
+def test_embedding_dedup_hot_label_blocks(spark, monkeypatch):
+    """A label hotter than the block cap must be split into bounded gram
+    blocks whose union reproduces the uncapped result exactly — the
+    executor-memory guarantee for skewed labels at scale."""
+    baseline = {
+        (r.vec_a, r.vec_b, r.label, r.cos_sim)
+        for r in dedup.dedup_embedding_pairs(spark, SF_ORACLE).collect()
+    }
+    assert baseline, "fixture produced no near-dup pairs; test is vacuous"
+    monkeypatch.setattr(dedup, "EMB_BLOCK_CAP", 13)  # force multi-chunk labels
+    capped = {
+        (r.vec_a, r.vec_b, r.label, r.cos_sim)
+        for r in dedup.dedup_embedding_pairs(spark, SF_ORACLE).collect()
+    }
+    assert capped == baseline
