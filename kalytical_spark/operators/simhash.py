@@ -49,7 +49,37 @@ def _simhash_i64(s: str) -> int:
 
 
 def _simhash_batch(texts: pd.Series) -> pd.Series:
-    return texts.map(_simhash_i64).astype("int64")
+    """Vectorized SimHash over one Arrow batch: md5 runs once per UNIQUE
+    token in the batch; the 64 bit-votes per token occurrence are a numpy
+    unpackbits + scatter-add, not a per-token Python loop. Bit-for-bit
+    identical to simhash64 (the pure-Python reference pinned in tests)."""
+    import numpy as np
+
+    token_lists = [t.split(" ") for t in texts]
+    counts = np.array([len(toks) for toks in token_lists])
+    if counts.sum() == 0:
+        return pd.Series(np.zeros(len(texts), dtype=np.int64))
+    doc_idx = np.repeat(np.arange(len(texts)), counts)
+    uniq, inv = np.unique(np.concatenate(token_lists), return_inverse=True)
+    digests = b"".join(hashlib.md5(tok.encode()).digest()[:8] for tok in uniq)
+    h_bytes = np.frombuffer(digests, dtype=np.uint8).reshape(-1, 8)
+    # bit b of int.from_bytes(digest[:8], 'big') == little-endian unpack of
+    # the byte-reversed digest
+    bits = np.unpackbits(h_bytes[:, ::-1], axis=1, bitorder="little")
+    signs = bits.astype(np.int64) * 2 - 1  # (n_uniq, 64) of +-1 votes
+    if len(texts) * len(uniq) <= 1 << 26:
+        # dense (doc x uniq-token) count matrix + one matmul — much faster
+        # than scatter-add when the batch vocabulary is modest
+        cnt = np.bincount(
+            doc_idx * len(uniq) + inv, minlength=len(texts) * len(uniq)
+        ).reshape(len(texts), len(uniq))
+        votes = cnt @ signs
+    else:
+        votes = np.zeros((len(texts), 64), dtype=np.int64)
+        np.add.at(votes, doc_idx, signs[inv])
+    weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+    fp = ((votes > 0).astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+    return pd.Series(fp.view(np.int64))
 
 
 def doc_simhashes(spark: SparkSession, sf_dir: str) -> DataFrame:
