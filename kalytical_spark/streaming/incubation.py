@@ -49,9 +49,16 @@ def _update_group(
     key: tuple[str],
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
+    ttl_ms: int | None = None,
 ) -> Iterator[pd.DataFrame]:
     """applyInPandasWithState update function: fold this micro-batch's
-    deliveries for one downstream pipeline through the shared transition."""
+    deliveries for one downstream pipeline through the shared transition.
+
+    ttl_ms is bound by the caller ONLY when the query runs with
+    ProcessingTimeTimeout (the resident control loop); bounded/NoTimeout
+    runs leave it None so no timeout is ever armed. Config errors surface
+    at query construction, never silently here (a swallowed failure would
+    disable the ST5 age-out and let keyed state grow unbounded)."""
     (pipeline_uuid,) = key
     if state.hasTimedOut:
         # age-out (ST5): drop the partial trigger map
@@ -87,13 +94,9 @@ def _update_group(
     if seen:
         ups = sorted(seen)
         state.update((ups, [seen[u] for u in ups]))
-        try:
+        if ttl_ms is not None:
             # age-out TTL (ST5) — same knob the batch culler uses
-            from ..config import load_config
-
-            state.setTimeoutDuration(load_config().incubating_job_age_out_s * 1000)
-        except Exception:
-            pass  # bounded mode runs with NoTimeout (no TTL to arm)
+            state.setTimeoutDuration(ttl_ms)
     elif state.exists:
         state.remove()
     if rows:
@@ -139,8 +142,20 @@ def start_incubation_query(
     bounded=False is the resident control loop: processing-time trigger with
     the age-out TTL armed."""
     deliveries = delivery_stream(spark, events_stream, sf_dir)
+    if bounded:
+        update_fn = _update_group
+    else:
+        import functools
+
+        from ..config import load_config
+
+        # resolve the TTL on the driver, at query construction: a broken
+        # config fails the start() instead of silently disabling the age-out
+        update_fn = functools.partial(
+            _update_group, ttl_ms=load_config().incubating_job_age_out_s * 1000
+        )
     fires = deliveries.groupBy("pipeline_uuid").applyInPandasWithState(
-        _update_group,
+        update_fn,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
