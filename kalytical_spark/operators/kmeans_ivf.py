@@ -74,45 +74,65 @@ def fit_kmeans_cells(spark: SparkSession, sf_dir: str):
         [np.asarray(r.nemb, dtype=np.float64) for r in sorted(seed_rows, key=lambda r: r.vec_id)]
     )
 
-    assignments = None
     for _ in range(N_ITERS):
         bC = spark.sparkContext.broadcast(np.round(C, 6))
 
-        def assign(batches):
+        def stats(batches):
+            """Assign AND pre-aggregate in one pass: each Arrow batch emits
+            at most K x dim (cell, pos, partial_sum, partial_count) rows —
+            the map-side combine of the centroid update. One job per Lloyd
+            iteration instead of assign+materialize+join+aggregate."""
             Cb = bC.value
             for pdf in batches:
                 X = np.stack(pdf["nemb"].map(lambda a: np.asarray(a, dtype=np.float64)))
-                sims = X @ Cb.T
                 # argmax with lower-cell tie-break (argmax returns first max)
-                cell = sims.argmax(axis=1).astype("int32")
-                yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell": cell})
+                cell = (X @ Cb.T).argmax(axis=1)
+                sums = np.zeros((K_CELLS, X.shape[1]))
+                np.add.at(sums, cell, X)
+                counts = np.bincount(cell, minlength=K_CELLS)
+                present = np.flatnonzero(counts)
+                k_idx = np.repeat(present, X.shape[1])
+                yield pd.DataFrame(
+                    {
+                        "cell": k_idx.astype("int32"),
+                        "pos": np.tile(np.arange(X.shape[1], dtype="int32"), len(present)),
+                        "s": sums[present].reshape(-1),
+                        "c": counts[k_idx].astype("int64"),
+                    }
+                )
 
-        prev = assignments
-        assignments = (
-            nemb.mapInPandas(assign, schema="vec_id long, cell int").cache()
-        )
-        assignments.count()
-        if prev is not None:
-            prev.unpersist()
-        # centroid update, fully distributed: mean of member coordinates per
-        # (cell, pos); only K x dim aggregated rows come back to the driver
+        # reduce side: mean of member coordinates per (cell, pos); only
+        # K x dim aggregated rows ever reach the driver
         upd = (
-            nemb.join(assignments, "vec_id")
-            .select("cell", F.posexplode("nemb").alias("pos", "v"))
+            nemb.mapInPandas(stats, schema="cell int, pos int, s double, c long")
             .groupBy("cell", "pos")
-            .agg(F.round(F.avg("v"), 9).alias("c"))
+            .agg(F.round(F.sum("s") / F.sum("c"), 9).alias("m"))
             .collect()
         )
         C_new = C.copy()  # empty cells keep their centroid
         sums = np.zeros_like(C)
         seen = np.zeros(K_CELLS, dtype=bool)
         for r in upd:
-            sums[r.cell, r.pos] = r.c
+            sums[r.cell, r.pos] = r.m
             seen[r.cell] = True
         for k in range(K_CELLS):
             if seen[k]:
                 C_new[k] = sums[k] / (np.linalg.norm(sums[k]) or 1.0)
         C = C_new
+
+    bC = spark.sparkContext.broadcast(np.round(C, 6))
+
+    def assign(batches):
+        Cb = bC.value
+        for pdf in batches:
+            X = np.stack(pdf["nemb"].map(lambda a: np.asarray(a, dtype=np.float64)))
+            cell = (X @ Cb.T).argmax(axis=1).astype("int32")
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell": cell})
+
+    # final assignment under the FINAL centroids, so the returned index and
+    # the probe centroids are consistent
+    assignments = nemb.mapInPandas(assign, schema="vec_id long, cell int").cache()
+    assignments.count()
     # assignments is materialized in its own cache; the normalized-corpus
     # cache is no longer needed
     nemb.unpersist()
