@@ -1,0 +1,122 @@
+"""Near-duplicate cluster resolution: connected components over the
+MinHash-LSH verified pair graph, so transitive duplicate chains (a~b, b~c)
+collapse to ONE canonical keeper instead of the pairwise view leaving
+a/c both alive. This is the step a production dedup pipeline runs between
+pair mining and document selection.
+
+Spark-first shape: iterative min-label propagation expressed as DataFrame
+joins — label(v) <- min(label(v), min over neighbours) — with a driver-side
+scalar convergence check per iteration (labels only ever decrease, so the
+label SUM is a monotone convergence witness; the driver never sees a row).
+Convergence takes O(component diameter) iterations; near-dup clusters are
+shallow (dup chains, not long paths), and MAX_CC_ITERS bounds pathology.
+
+The DuckDB twin is a recursive CTE (root reachability + MIN(root) per
+vertex) — a genuinely different algorithm computing the same fixpoint,
+which makes the oracle check a strong differential test of the iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import LSH_VERIFY_THRESHOLD, _sql_minhash_lsh_ctes, dedup_minhash_lsh
+
+MAX_CC_ITERS = 50
+
+
+def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected near-dup edge list from the verified LSH pairs."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+
+
+def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component_id) for every document in at least one near-dup
+    pair; component_id = min doc_id of the component."""
+    edges = _dup_edges(spark, sf_dir).cache()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .cache()
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0] or 0
+    for _ in range(MAX_CC_ITERS):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["doc_id"] == nbr["src"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .cache()
+        )
+        # labels only decrease: an unchanged sum IS the fixpoint (scalar
+        # collect — the driver never holds per-row state)
+        new_sum = new_labels.agg(F.sum("label")).first()[0] or 0
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("component_id"))
+
+
+_SQL_CC = f"""WITH RECURSIVE {_sql_minhash_lsh_ctes()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs WHERE jaccard >= {LSH_VERIFY_THRESHOLD}
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM lsh_pairs WHERE jaccard >= {LSH_VERIFY_THRESHOLD}
+), verts AS (
+  SELECT DISTINCT src AS doc_id FROM edges
+), reach AS (
+  SELECT doc_id, doc_id AS root FROM verts
+  UNION
+  SELECT e.dst AS doc_id, r.root
+  FROM reach r JOIN edges e ON e.src = r.doc_id
+), cc AS (
+  SELECT doc_id, MIN(root) AS component_id FROM reach GROUP BY doc_id
+)"""
+
+
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document component membership of the near-dup graph."""
+    return _components(spark, sf_dir)
+
+
+ORACLE_CC = _SQL_CC + "\nSELECT doc_id, component_id FROM cc"
+
+
+def dedup_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster ledger: component size and the canonical keeper (min doc_id);
+    every non-keeper is a transitive duplicate slated for removal."""
+    cc = _components(spark, sf_dir)
+    return cc.groupBy("component_id").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("keeper_doc_id"),
+        (F.count("*") - 1).alias("n_to_drop"),
+    )
+
+
+ORACLE_CC_SUMMARY = _SQL_CC + """
+SELECT component_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS keeper_doc_id,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_to_drop
+FROM cc GROUP BY 1
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "dedup_cluster_components": (dedup_cluster_components, ORACLE_CC),
+    "dedup_cluster_summary": (dedup_cluster_summary, ORACLE_CC_SUMMARY),
+}

@@ -1,0 +1,184 @@
+"""Relevance scoring over the documents table — TF-IDF and BM25, the
+standard lexical-ranking primitives a training-data pipeline uses for
+quality weighting and query-based corpus slicing.
+
+All pure pyspark.sql.functions (JVM-side, whole-stage codegen): token
+explode -> map-side-combinable aggregates -> broadcast joins of the (tiny)
+per-term statistics back onto the doc-term frame. Corpus-level scalars
+(doc count, average doc length) ride a broadcast crossJoin exactly like
+the scalar-subquery operators in subqueries.py.
+
+Determinism: scores are rounded to 6 decimals BEFORE ranking (ln() may
+differ in the last ulp across engines; the noise is ~1e-15 of O(1..10)
+values, far below the 5e-7 rounding margin); every top-k carries a unique
+tie-break.
+
+Scale: nothing corpus-sized is ever collected or broadcast except the
+per-TERM statistics (vocabulary-sized, not corpus-sized) and two scalars.
+At 100 TB the explode is partition-local and every aggregate has a partial
+(map-side) phase; the final per-doc rank is one shuffle on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .common import t
+
+TFIDF_TOP_TERMS = 3
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_N_QUERY_TERMS = 4
+BM25_TOP_DOCS = 5
+
+
+def _doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, tf) — term frequency per document."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+_SQL_DOC_TERMS = """
+  SELECT doc_id, u.term AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       unnest(ts) AS u(term)
+  GROUP BY 1, 2
+"""
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TF-IDF terms per document: tf * ln(N / df), rounded to 6 dp,
+    top TFIDF_TOP_TERMS per doc (score desc, term asc)."""
+    tf = _doc_terms(spark, sf_dir)
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = t(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_TERMS)
+        .select("doc_id", F.col("rk").cast("int").alias("rk"), "term", "tf", "tfidf")
+    )
+
+
+ORACLE_TFIDF = f"""
+WITH tf AS ({_SQL_DOC_TERMS}),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(CAST(tf.tf AS DOUBLE)
+               * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, tfidf
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+) WHERE rk <= {TFIDF_TOP_TERMS}
+"""
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1={BM25_K1}, b={BM25_B}) of every document against the corpus's
+    BM25_N_QUERY_TERMS highest-document-frequency terms (a deterministic,
+    data-derived query set), returning the BM25_TOP_DOCS best docs per term.
+
+    idf = ln(1 + (N - df + 0.5) / (df + 0.5)) — the Robertson-Sparck-Jones
+    smoothed form; dl/avgdl uses exact integer token counts with a single
+    double division."""
+    tf = _doc_terms(spark, sf_dir)
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    docs = t(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("dl")
+    )
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("bigint")).alias("total_dl"),
+    )
+    qterms = (
+        df_.orderBy(F.desc("df"), F.asc("term"))
+        .limit(BM25_N_QUERY_TERMS)
+        .select("term", "df")
+    )
+    nd = F.col("n_docs").cast("double")
+    dfd = F.col("df").cast("double")
+    idf = F.log(F.lit(1.0) + (nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)))
+    avgdl = F.col("total_dl").cast("double") / nd
+    tfd = F.col("tf").cast("double")
+    denom = tfd + F.lit(BM25_K1) * (
+        F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl)
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            F.round(idf * (tfd * F.lit(BM25_K1 + 1.0)) / denom, 6).alias("bm25"),
+        )
+    )
+    w = W.partitionBy("term").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BM25_TOP_DOCS)
+        .select("term", F.col("rk").cast("int").alias("rk"), "doc_id", "tf", "bm25")
+    )
+
+
+ORACLE_BM25 = f"""
+WITH tf AS ({_SQL_DOC_TERMS}),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_dl
+  FROM documents
+),
+qterms AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT {BM25_N_QUERY_TERMS}),
+scored AS (
+  SELECT tf.term, tf.doc_id, tf.tf,
+         round(
+           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(qterms.df AS DOUBLE) + 0.5)
+                    / (CAST(qterms.df AS DOUBLE) + 0.5))
+           * (CAST(tf.tf AS DOUBLE) * {BM25_K1 + 1.0})
+           / (CAST(tf.tf AS DOUBLE) + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}
+                * (CAST(dl.dl AS DOUBLE) / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))),
+           6) AS bm25
+  FROM tf JOIN qterms USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT term, CAST(rk AS INT) AS rk, doc_id, tf, bm25
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY term
+                               ORDER BY bm25 DESC, doc_id) AS rk
+  FROM scored
+) WHERE rk <= {BM25_TOP_DOCS}
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "text_tfidf_topk": (text_tfidf_topk, ORACLE_TFIDF),
+    "text_bm25_topk": (text_bm25_topk, ORACLE_BM25),
+}

@@ -35,6 +35,8 @@ def _load_optional():
         "graph",
         "asof",
         "curation",
+        "ranking",
+        "components",
         "kmeans_ivf",
     ):
         try:
@@ -64,6 +66,8 @@ _GATE_FIRST_MODULES = (
     "graph",
     "asof",
     "curation",
+    "ranking",
+    "components",
 )
 
 

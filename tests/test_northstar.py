@@ -242,3 +242,28 @@ def test_embedding_dedup_hot_label_blocks(spark, monkeypatch):
         for r in dedup.dedup_embedding_pairs(spark, SF_ORACLE).collect()
     }
     assert capped == baseline
+
+
+def test_dup_components_consistent_with_pairs(spark):
+    """Connected components must assign both endpoints of every near-dup
+    pair the same component id; ids are the component minimum; and at least
+    one transitive multi-doc cluster exists (non-vacuous)."""
+    from kalytical_spark.operators import components
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_minhash_lsh(spark, SF_ORACLE).collect()
+    ]
+    cc = {
+        r.doc_id: r.component_id
+        for r in components.dedup_cluster_components(spark, SF_ORACLE).collect()
+    }
+    assert pairs and cc
+    for a, b in pairs:
+        assert cc[a] == cc[b], f"edge ({a},{b}) split across components"
+    members: dict[int, list[int]] = {}
+    for doc, comp in cc.items():
+        members.setdefault(comp, []).append(doc)
+    for comp, docs in members.items():
+        assert comp == min(docs), "component id must be the member minimum"
+    assert any(len(d) >= 2 for d in members.values())
