@@ -46,6 +46,21 @@ class KalyticalSparkConfig:
     history_max_records: int = field(
         default_factory=lambda: _env_int("KALYTICAL_HISTORY_MAX_RECORDS", 20)
     )
+    # stream-source seam (S7/ST1): the reference's SQS poller becomes a
+    # config-selected readStream source (streaming/sources.py)
+    stream_source: str = field(
+        default_factory=lambda: os.environ.get("KALYTICAL_STREAM_SOURCE", "file")
+    )
+    kafka_bootstrap_servers: str = field(
+        default_factory=lambda: os.environ.get(
+            "KALYTICAL_KAFKA_BOOTSTRAP", "localhost:9092"
+        )
+    )
+    kafka_topic: str = field(
+        default_factory=lambda: os.environ.get(
+            "KALYTICAL_KAFKA_TOPIC", "kalytical-lifecycle-events"
+        )
+    )
 
 
 def load_config() -> KalyticalSparkConfig:

@@ -1,0 +1,75 @@
+"""Stream-source factory tests: the file branch must behave exactly like a
+direct readStream; the kafka branch's option map and payload mapping are
+pinned without a broker (the mapping runs identically on batch frames)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kalytical_spark import catalog
+from kalytical_spark.config import KalyticalSparkConfig
+from kalytical_spark.streaming import sources
+from tests.conftest import SF_SMALL
+
+
+def _events(spark):
+    catalog.register(spark, SF_SMALL)
+    return spark.table("lifecycle_events")
+
+
+def test_file_source_streams_everything(spark):
+    ev = _events(spark)
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "in")
+        ev.write.parquet(src)
+        stream = sources.lifecycle_event_stream(spark, ev.schema, path=src)
+        assert stream.isStreaming
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("src_file_all")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        assert spark.table("src_file_all").count() == ev.count()
+
+
+def test_file_source_requires_path(spark):
+    with pytest.raises(ValueError, match="path"):
+        sources.lifecycle_event_stream(spark, _events(spark).schema)
+
+
+def test_kafka_reader_options_contract():
+    cfg = KalyticalSparkConfig()
+    opts = sources.kafka_reader_options(cfg)
+    assert opts["kafka.bootstrap.servers"] == cfg.kafka_bootstrap_servers
+    assert opts["subscribe"] == cfg.kafka_topic
+    assert opts["startingOffsets"] == "earliest"
+
+
+def test_kafka_payload_mapping_roundtrip(spark):
+    """value-bytes -> canonical schema, proven on a batch frame: serialize
+    the real events to JSON exactly as a producer would, parse with the
+    factory's mapping, and require a lossless roundtrip."""
+    ev = _events(spark).limit(200)
+    raw = ev.select(F.to_json(F.struct(*ev.columns)).cast("binary").alias("value"))
+    parsed = sources.parse_event_payload(raw, ev.schema)
+    # from_json emits nullable fields regardless of input nullability;
+    # names and types must match exactly
+    assert [(f.name, f.dataType) for f in parsed.schema.fields] == [
+        (f.name, f.dataType) for f in ev.schema.fields
+    ]
+    want = {tuple(r) for r in ev.collect()}
+    got = {tuple(r) for r in parsed.collect()}
+    assert got == want
+
+
+def test_unknown_source_rejected(spark):
+    cfg = KalyticalSparkConfig(stream_source="carrier-pigeon")
+    with pytest.raises(sources.UnknownStreamSourceError):
+        sources.lifecycle_event_stream(spark, _events(spark).schema, cfg=cfg)
