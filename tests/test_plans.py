@@ -90,3 +90,24 @@ def test_shuffle_counts_bounded(spark):
     O(pipelines) n_deps rollup on the broadcast build side (1)."""
     plan = _final_plan(dag.dag_fire_decisions(spark, SF_ORACLE))
     assert _n_shuffles(plan) <= 3, f"too many shuffles:\n{plan}"
+
+
+def test_tfidf_broadcasts_term_stats(spark):
+    """Ranking family: the per-TERM statistics (vocabulary-sized) must ride
+    broadcast joins onto the doc-term frame — the corpus side is never
+    shuffled for the join — and the whole plan stays JVM-side."""
+    from kalytical_spark.operators import ranking
+
+    plan = _final_plan(ranking.text_tfidf_topk(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_scalar_stats_broadcast_no_python(spark):
+    from kalytical_spark.operators import ranking
+
+    plan = _final_plan(ranking.text_bm25_topk(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
