@@ -47,6 +47,12 @@ def _normalized(emb: DataFrame) -> DataFrame:
     )
 
 
+# session-scoped memo: the coarse quantizer is shared by sim_topk_kmeans_ivf
+# and the IVF-PQ index (pq.py); training it once per sf_dir mirrors the
+# replay._DECISIONS_CACHE precedent. Assignments stay a cached DataFrame.
+_FIT_CACHE: dict[str, tuple] = {}
+
+
 def fit_kmeans_cells(spark: SparkSession, sf_dir: str):
     """Lloyd's iterations over the (normalized) corpus. Assignment streams
     through mapInPandas against the broadcast K x dim centroid matrix; the
@@ -56,6 +62,9 @@ def fit_kmeans_cells(spark: SparkSession, sf_dir: str):
 
     Returns (assignments DataFrame [vec_id, cell], centroids ndarray)."""
     import numpy as np
+
+    if sf_dir in _FIT_CACHE:
+        return _FIT_CACHE[sf_dir]
 
     emb = t(spark, sf_dir, "embeddings")
     n_part = spark.sparkContext.defaultParallelism
@@ -136,7 +145,8 @@ def fit_kmeans_cells(spark: SparkSession, sf_dir: str):
     # assignments is materialized in its own cache; the normalized-corpus
     # cache is no longer needed
     nemb.unpersist()
-    return assignments, np.round(C, 6)
+    _FIT_CACHE[sf_dir] = (assignments, np.round(C, 6))
+    return _FIT_CACHE[sf_dir]
 
 
 def sim_topk_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

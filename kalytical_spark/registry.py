@@ -38,6 +38,7 @@ def _load_optional():
         "ranking",
         "components",
         "kmeans_ivf",
+        "pq",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))

@@ -267,3 +267,31 @@ def test_dup_components_consistent_with_pairs(spark):
     for comp, docs in members.items():
         assert comp == min(docs), "component id must be the member minimum"
     assert any(len(d) >= 2 for d in members.values())
+
+
+def test_ivfpq_recall_and_compression(spark):
+    """IVF-PQ: 8x1-byte codes (32x compression of the 64-float vector) must
+    still recall a solid share of the exact top-10 after ADC + exact
+    re-rank — and be deterministic run-to-run."""
+    from kalytical_spark.operators import pq
+
+    bf = {
+        (r.query_id, r.vec_id)
+        for r in similarity.sim_topk_bruteforce(spark, SF_ORACLE).collect()
+    }
+    got1 = {
+        (r.query_id, r.vec_id)
+        for r in pq.sim_topk_ivfpq(spark, SF_ORACLE).collect()
+    }
+    got2 = {
+        (r.query_id, r.vec_id)
+        for r in pq.sim_topk_ivfpq(spark, SF_ORACLE).collect()
+    }
+    assert got1 == got2, "IVF-PQ must be deterministic"
+    recall = len(bf & got1) / len(bf)
+    # probes 4/16 cells then prunes to an ADC shortlist: chance would be
+    # ~0.25; the trained quantizers must do materially better
+    assert recall >= 0.4, f"IVF-PQ recall {recall}"
+    # the codes really are M small ints (the 32x compression claim)
+    assignments, C, B = pq._train_codebooks(spark, SF_ORACLE)
+    assert B.shape == (pq.PQ_M, pq.PQ_KS, C.shape[1] // pq.PQ_M)
