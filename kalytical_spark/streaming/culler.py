@@ -1,0 +1,85 @@
+"""The incubating-job culler as a resident streaming query (ST4/ST5/ST6
+in-engine): the reference runs ``IncubatingJobCuller.cull_jobs_loop()`` as a
+hand-rolled asyncio loop (facade.py:141, job_culler.py) — here the SAME
+branch semantics (operators/dag.dag_cull_decisions, oracle-checked) are
+driven by a tick stream through foreachBatch, which buys what the asyncio
+loop never had: checkpointed restart, an idempotent batch-keyed decision
+ledger, and graceful shutdown with the rest of the engine.
+
+Each tick re-evaluates the culler over the CURRENT incubation state and
+appends the decision set to a batch-partitioned parquet ledger (replays of
+a micro-batch overwrite their own partition — the exactly-once pattern
+shared with streaming/sinks.dispatch_ledger_sink).
+
+Production shape: ticks come from ``rate`` (one row per culling interval);
+tests drive a bounded file-source tick stream through availableNow and
+assert the ledger equals the batch culler output per tick.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import KalyticalSparkConfig, load_config
+from ..operators.dag import dag_cull_decisions
+
+
+def culler_sink(spark: SparkSession, sf_dir: str, ledger_dir: str):
+    """foreachBatch fn: one culler sweep per tick micro-batch, idempotent
+    under replay (batch-partitioned overwrite). Empty tick batches (possible
+    after restarts) do nothing."""
+
+    def sink(ticks: DataFrame, batch_id: int) -> None:
+        n_ticks = ticks.count()
+        if n_ticks == 0:
+            return
+        (
+            dag_cull_decisions(spark, sf_dir)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(os.path.join(ledger_dir, f"batch_id={batch_id}"))
+        )
+
+    return sink
+
+
+def start_culler_query(
+    spark: SparkSession,
+    sf_dir: str,
+    ledger_dir: str,
+    checkpoint_dir: str,
+    tick_stream: DataFrame | None = None,
+    query_name: str = "culler_ticks",
+    cfg: KalyticalSparkConfig | None = None,
+):
+    """Wire the culler loop as a streaming query. With no tick_stream, a
+    ``rate`` source fires one sweep per culling interval (the resident
+    mode); tests inject a bounded file-source tick stream and run it with
+    availableNow for deterministic termination."""
+    cfg = cfg or load_config()
+    bounded = tick_stream is not None
+    if tick_stream is None:
+        tick_stream = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", 1.0 / max(1, cfg.incubating_job_culling_interval_s))
+            .load()
+        )
+    writer = (
+        tick_stream.writeStream.foreachBatch(culler_sink(spark, sf_dir, ledger_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+    if bounded:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(
+            processingTime=f"{cfg.incubating_job_culling_interval_s} seconds"
+        )
+    return writer.start()
+
+
+def read_culler_ledger(spark: SparkSession, ledger_dir: str) -> DataFrame:
+    return spark.read.option("basePath", ledger_dir).parquet(ledger_dir)

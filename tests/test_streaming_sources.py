@@ -73,3 +73,37 @@ def test_unknown_source_rejected(spark):
     cfg = KalyticalSparkConfig(stream_source="carrier-pigeon")
     with pytest.raises(sources.UnknownStreamSourceError):
         sources.lifecycle_event_stream(spark, _events(spark).schema, cfg=cfg)
+
+
+def test_streaming_culler_matches_batch_and_survives_restart(spark):
+    """The culler-as-streaming-query must (1) produce exactly the batch
+    culler's decision set per tick, (2) be idempotent/checkpointed: a second
+    bounded run over the same tick source adds nothing."""
+    from kalytical_spark.operators.dag import dag_cull_decisions
+    from kalytical_spark.streaming import culler
+
+    want = {tuple(r) for r in dag_cull_decisions(spark, SF_SMALL).collect()}
+    assert want
+    with tempfile.TemporaryDirectory() as tmp:
+        ticks_src = os.path.join(tmp, "ticks")
+        ledger = os.path.join(tmp, "ledger")
+        ckpt = os.path.join(tmp, "ckpt")
+        spark.createDataFrame([(1,)], "tick int").write.parquet(ticks_src)
+        tick_stream = spark.readStream.schema("tick int").parquet(ticks_src)
+        q = culler.start_culler_query(
+            spark, SF_SMALL, ledger, ckpt, tick_stream=tick_stream
+        )
+        assert q.awaitTermination(120)
+        got_rows = culler.read_culler_ledger(spark, ledger).collect()
+        batch_ids = {r.batch_id for r in got_rows}
+        got = {tuple(r)[:-1] for r in got_rows}  # strip batch_id (last col)
+        assert got == want
+        # restart against the same checkpoint: no new ticks -> no new sweeps
+        tick_stream2 = spark.readStream.schema("tick int").parquet(ticks_src)
+        q2 = culler.start_culler_query(
+            spark, SF_SMALL, ledger, ckpt, tick_stream=tick_stream2
+        )
+        assert q2.awaitTermination(120)
+        again = culler.read_culler_ledger(spark, ledger).collect()
+        assert len(again) == len(got_rows)
+        assert {r.batch_id for r in again} == batch_ids
