@@ -25,6 +25,11 @@ from .dedup import LSH_VERIFY_THRESHOLD, _sql_minhash_lsh_ctes, dedup_minhash_ls
 
 MAX_CC_ITERS = 50
 
+# session-scoped memo: dedup_cluster_components and dedup_cluster_summary
+# share one labels computation per sf_dir (replay._DECISIONS_CACHE
+# precedent); the labels DataFrame stays cached
+_CC_CACHE: dict[str, DataFrame] = {}
+
 
 def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected near-dup edge list from the verified LSH pairs."""
@@ -37,6 +42,8 @@ def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, component_id) for every document in at least one near-dup
     pair; component_id = min doc_id of the component."""
+    if sf_dir in _CC_CACHE:
+        return _CC_CACHE[sf_dir]
     edges = _dup_edges(spark, sf_dir).cache()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
@@ -68,7 +75,8 @@ def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = new_sum
     edges.unpersist()
-    return labels.select("doc_id", F.col("label").alias("component_id"))
+    _CC_CACHE[sf_dir] = labels.select("doc_id", F.col("label").alias("component_id"))
+    return _CC_CACHE[sf_dir]
 
 
 _SQL_CC = f"""WITH RECURSIVE {_sql_minhash_lsh_ctes()},
