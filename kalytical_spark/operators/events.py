@@ -229,8 +229,68 @@ GROUP BY 1
 """
 
 
+def events_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-window aggregation (ROWS frame): per-user 7-row trailing
+    average and max of `value`, ordered by (ts, event_id). ROWS (not RANGE)
+    so both engines fold an identical ordered sequence; the float mean is
+    rounded to 6 dp (segment-tree vs sliding-sum association noise ~1e-16,
+    far below the margin). Bounded per-user output keeps rows stable."""
+    ev = t(spark, sf_dir, "events_ms").filter(F.col("user_id") % 10 == 0)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 6).alias("trail_avg"),
+        F.max("value").over(w).alias("trail_max"),
+        F.count("*").over(w).cast("bigint").alias("n_in_window"),
+    )
+
+
+ORACLE_ROLLING = """
+SELECT user_id, event_id,
+       round(AVG(value) OVER w, 6) AS trail_avg,
+       MAX(value) OVER w AS trail_max,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window
+FROM events_ms
+WHERE user_id % 10 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolated) percentiles per event_type — the non-sketch twin
+    of events_approx_stats. Spark `percentile` and DuckDB `quantile_cont`
+    both linearly interpolate over the exact sorted values; rounded to 6 dp
+    against last-ulp interpolation noise."""
+    ev = t(spark, sf_dir, "events_ms")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events_ms
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "events_recent_topk": (events_recent_topk, ORACLE_RECENT_TOPK),
+    "events_rolling_stats": (events_rolling_stats, ORACLE_ROLLING),
+    "events_value_percentiles": (events_value_percentiles, ORACLE_PERCENTILES),
     "events_subtype_counts": (events_subtype_counts, ORACLE_SUBTYPE_COUNTS),
     "events_retry_exceeded": (events_retry_exceeded, ORACLE_RETRY_EXCEEDED),
     "events_ingest_lag": (events_ingest_lag, ORACLE_INGEST_LAG),
