@@ -167,9 +167,113 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)
 
 
+PHASH_BANDS = 4
+PHASH_BITS_PER_BAND = 16  # 4 x 16 = 64: hamming<=3 pairs always collide
+PHASH_HAMMING_MAX = 3
+# every 50th asset re-ingested with one corrupted byte (re-keyed +200000):
+# the re-crawl / re-encode scenario a media dedup exists for — guarantees
+# the miner has true positives (same non-vacuous pattern as dedup_exact)
+PHASH_PLANT_STRIDE = 50
+PHASH_PLANT_OFFSET = 200_000
+
+
+def _ahash_codes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """64-bit average-hash per payload: mean byte value of 64 equal slices,
+    bit b = slice_mean(b) > global_mean. This is the byte-level analog of
+    the image aHash (a real deployment would decode pixels first); crucially
+    it is LOCALITY-PRESERVING — a few corrupted bytes flip at most a few
+    bits — which is what makes the banding non-vacuous. Emits the four
+    16-bit band keys so candidate generation and hamming verification stay
+    JVM-side."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": pdf["doc_id"]}
+        codes = np.zeros((len(pdf), 64), dtype=bool)
+        for i, b in enumerate(pdf["payload"]):
+            arr = np.frombuffer(bytes(b), dtype=np.uint8)
+            L = max(1, -(-len(arr) // 64))  # ceil
+            padded = np.zeros(L * 64, dtype=np.float64)
+            padded[: len(arr)] = arr
+            means = padded.reshape(64, L).mean(axis=1)
+            codes[i] = means > means.mean()
+        w = 1 << np.arange(PHASH_BITS_PER_BAND, dtype=np.int64)
+        for band in range(PHASH_BANDS):
+            seg = codes[:, band * PHASH_BITS_PER_BAND : (band + 1) * PHASH_BITS_PER_BAND]
+            out[f"band{band}"] = (seg * w).sum(axis=1).astype("int32")
+        yield pd.DataFrame(out)
+
+
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate binary assets via perceptual-hash banding: aHash codes
+    per payload (Arrow batches), band-bucket candidate pairs (pigeonhole:
+    hamming<=3 over 64 bits guarantees a 16-bit band match), exact hamming
+    verification with JVM bit_count on the band XORs. No all-pairs stage;
+    the planted corrupted re-ingests must always surface (pinned in tests).
+
+    Rows-only for the driver: the hash depends on byte-level slicing no SQL
+    dialect shares; the numpy differential test is the oracle."""
+    payloads = _with_payload(spark, sf_dir)
+    plant = (
+        payloads.filter(F.col("doc_id") % PHASH_PLANT_STRIDE == 0)
+        .withColumn("doc_id", F.col("doc_id") + PHASH_PLANT_OFFSET)
+        .withColumn(
+            "payload",
+            F.concat(F.lit(b"X"), F.expr("substring(payload, 2, length(payload))")),
+        )
+    )
+    corpus = payloads.unionByName(plant)
+    n_part = spark.sparkContext.defaultParallelism
+    band_fields = ", ".join(f"band{b} int" for b in range(PHASH_BANDS))
+    sketched = (
+        corpus.repartition(n_part)
+        .mapInPandas(_ahash_codes, schema=f"doc_id long, {band_fields}")
+        .cache()
+    )
+    sketched.count()
+    bands = sketched.select(
+        "doc_id",
+        *[F.col(f"band{b}") for b in range(PHASH_BANDS)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.col(f"band{b}").alias("band_key"),
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bx"),
+    ).select("doc_id", *[f"band{b}" for b in range(PHASH_BANDS)], "bx.band_idx", "bx.band_key")
+    l, r = bands.alias("l"), bands.alias("r")
+    hamming = sum(
+        F.bit_count(
+            F.col(f"l.band{b}").bitwiseXOR(F.col(f"r.band{b}")).cast("long")
+        )
+        for b in range(PHASH_BANDS)
+    )
+    return (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+    )
+
+
 QUERIES: dict[str, tuple] = {
     "mm_binary_stats": (mm_binary_stats, ORACLE_BINARY_STATS),
     "mm_decode_features": (mm_decode_features, None),
     "mm_feature_rollup": (mm_feature_rollup, None),
     "mm_frame_sample": (mm_frame_sample, None),
+    "mm_phash_neardup": (mm_phash_neardup, None),
 }

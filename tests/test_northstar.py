@@ -295,3 +295,47 @@ def test_ivfpq_recall_and_compression(spark):
     # the codes really are M small ints (the 32x compression claim)
     assignments, C, B = pq._train_codebooks(spark, SF_ORACLE)
     assert B.shape == (pq.PQ_M, pq.PQ_KS, C.shape[1] // pq.PQ_M)
+
+
+def test_phash_neardup_differential(spark):
+    """Numpy twin of the aHash miner: the Spark output must equal exactly
+    {band-colliding pairs with hamming <= 3}, and every planted
+    byte-corrupted re-ingest must be recovered."""
+    import numpy as np
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").collect()
+    payloads = {d.doc_id: d.text.encode() for d in docs}
+    stride, off = multimodal.PHASH_PLANT_STRIDE, multimodal.PHASH_PLANT_OFFSET
+    for d in docs:
+        if d.doc_id % stride == 0:
+            payloads[d.doc_id + off] = b"X" + d.text.encode()[1:]
+
+    def ahash(b: bytes) -> np.ndarray:
+        arr = np.frombuffer(b, dtype=np.uint8)
+        L = max(1, -(-len(arr) // 64))
+        padded = np.zeros(L * 64)
+        padded[: len(arr)] = arr
+        means = padded.reshape(64, L).mean(axis=1)
+        return means > means.mean()
+
+    codes = {i: ahash(b) for i, b in payloads.items()}
+    w = 1 << np.arange(16, dtype=np.int64)
+    buckets: dict[tuple, list[int]] = {}
+    for i, c in codes.items():
+        for band in range(4):
+            key = (band, int((c[band * 16 : (band + 1) * 16] * w).sum()))
+            buckets.setdefault(key, []).append(i)
+    want = set()
+    for members in buckets.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                a, b = sorted((members[x], members[y]))
+                if int((codes[a] != codes[b]).sum()) <= multimodal.PHASH_HAMMING_MAX:
+                    want.add((a, b))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in multimodal.mm_phash_neardup(spark, SF_ORACLE).collect()
+    }
+    assert got == want
+    planted = {(d.doc_id, d.doc_id + off) for d in docs if d.doc_id % stride == 0}
+    assert planted <= got, "corrupted re-ingests not all recovered"
