@@ -287,10 +287,43 @@ GROUP BY 1
 """
 
 
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured decode via Spark 4 VariantType (parse_json ->
+    variant_get): the binary-encoded variant path shreds once and reads
+    fields without re-parsing the JSON text per extraction — the modern
+    engine shape for an opaque props column. Integer-only outputs, so
+    cross-engine parity is exact."""
+    ev = t(spark, sf_dir, "events_ms")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy((F.col("k") % 7).alias("k_mod7"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+    )
+
+
+ORACLE_PROPS_VARIANT = """
+SELECT k % 7 AS k_mod7,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k
+FROM (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events_ms)
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "events_recent_topk": (events_recent_topk, ORACLE_RECENT_TOPK),
     "events_rolling_stats": (events_rolling_stats, ORACLE_ROLLING),
     "events_value_percentiles": (events_value_percentiles, ORACLE_PERCENTILES),
+    "events_props_variant": (events_props_variant, ORACLE_PROPS_VARIANT),
     "events_subtype_counts": (events_subtype_counts, ORACLE_SUBTYPE_COUNTS),
     "events_retry_exceeded": (events_retry_exceeded, ORACLE_RETRY_EXCEEDED),
     "events_ingest_lag": (events_ingest_lag, ORACLE_INGEST_LAG),
