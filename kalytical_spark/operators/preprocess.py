@@ -1,0 +1,322 @@
+"""Training-data preprocessing operators over the documents table — the
+pipeline stages that sit between raw crawl and tokenizer at 100 TB scale:
+benchmark decontamination, repetition-based quality filters (Gopher-style),
+context-window packing, and deterministic train/val/test splitting.
+
+Design for scale:
+* Decontamination joins the corpus n-grams against the BENCHMARK n-grams —
+  the benchmark side is tiny (eval sets are KBs; the corpus is TBs), so the
+  join is an explicit broadcast: corpus-side stays a single pass, no
+  shuffle of the big side.
+* Repetition stats are explode -> groupBy(doc_id) aggregations: map-side
+  combinable, one shuffle keyed on doc_id, no Python in the row path.
+* Packing is concat-and-chop per SOURCE shard (partitionBy(source) window),
+  never a global ordering: a global cumulative sum would serialize 100 TB
+  through one partition. Real pipelines pack per input shard exactly so the
+  operation stays embarrassingly parallel.
+* Split assignment is a pure hash of the stable doc key (md5 prefix ->
+  bucket), no randomness, no shuffle beyond the final rollup — and the same
+  document always lands in the same split across re-runs and engines.
+
+Determinism: fractions are single IEEE divisions of exact integer counts,
+rounded to 4 decimals BEFORE thresholding; bucket arithmetic is integer.
+
+Reference parity: the reference engine has no corpus-preprocessing surface
+(kalytical is a pipeline orchestrator; see SURVEY.md §2 note) — this module
+is part of the LLM-training-data extension family the build brief mandates,
+alongside operators/dedup.py and operators/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import t
+
+NGRAM = 8  # decontamination n-gram width (tokens)
+BENCH_PROMPT_TOKENS = 12  # tokens taken per benchmark "prompt"
+PACK_WINDOW = 512  # context-window size in (whitespace) tokens
+TOP_TOKEN_MAX = 0.10  # Gopher-style: max fraction of the most common token
+DUP_2GRAM_MAX = 0.05  # max fraction of duplicated 2-grams
+
+_HEX = "0123456789abcdef"
+
+
+def _toks() -> F.Column:
+    return F.split(F.col("text"), " ")
+
+
+def _grams(ts, n: int) -> F.Column:
+    """All n-token grams of a token array as space-joined strings."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(ts) - n),
+        lambda i: F.array_join(F.slice(ts, i + 1, n), " "),
+    )
+
+
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share any
+    8-token gram with a benchmark prompt (the standard n-gram-overlap
+    decontamination used for LLM training corpora). The synthetic
+    "benchmark" is every 41st document's first 12 tokens; the corpus under
+    test is the documents table PLUS a re-keyed copy of every 82nd document
+    (a leaked re-crawl of eval material — cross-doc contamination, so the
+    check is non-vacuous beyond trivial self-matches).
+
+    The benchmark gram set is broadcast: at 100 TB the eval suite is
+    kilobytes while the corpus side streams through map tasks untouched.
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    ts = _toks()
+    leaked = (
+        docs.filter(F.col("doc_id") % 82 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+    )
+    corpus = docs.unionByName(leaked)
+    n_part = spark.sparkContext.defaultParallelism
+    corpus_grams = (
+        corpus.filter(F.size(ts) >= NGRAM)
+        .repartition(n_part, "doc_id")
+        .select(
+            "doc_id", F.explode(F.array_distinct(_grams(ts, NGRAM))).alias("gram")
+        )
+    )
+    bench_grams = (
+        docs.filter((F.col("doc_id") % 41 == 0) & (F.size(ts) >= BENCH_PROMPT_TOKENS))
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.explode(
+                F.array_distinct(_grams(F.slice(ts, 1, BENCH_PROMPT_TOKENS), NGRAM))
+            ).alias("gram"),
+        )
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("bench_id").alias("n_bench_hits"),
+            F.countDistinct("gram").alias("n_gram_hits"),
+            F.min("bench_id").alias("first_bench_id"),
+        )
+    )
+
+
+ORACLE_DECONTAM = f"""
+WITH corpus AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, string_split(text, ' ') FROM documents WHERE doc_id % 82 = 0
+), corpus_grams AS (
+  SELECT DISTINCT doc_id, list_aggregate(ts[i:i+{NGRAM - 1}], 'string_agg', ' ') AS gram
+  FROM corpus, unnest(range(1, len(ts) - {NGRAM - 2})) AS u(i)
+  WHERE len(ts) >= {NGRAM}
+), bench_grams AS (
+  SELECT DISTINCT doc_id AS bench_id,
+         list_aggregate(ts[i:i+{NGRAM - 1}], 'string_agg', ' ') AS gram
+  FROM (SELECT doc_id, string_split(text, ' ')[1:{BENCH_PROMPT_TOKENS}] AS ts
+        FROM documents
+        WHERE doc_id % 41 = 0
+          AND len(string_split(text, ' ')) >= {BENCH_PROMPT_TOKENS}),
+       unnest(range(1, {BENCH_PROMPT_TOKENS - NGRAM + 2})) AS u(i)
+)
+SELECT c.doc_id,
+       CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_hits,
+       CAST(COUNT(DISTINCT c.gram) AS BIGINT) AS n_gram_hits,
+       MIN(b.bench_id) AS first_bench_id
+FROM corpus_grams c JOIN bench_grams b USING (gram)
+GROUP BY c.doc_id
+"""
+
+
+def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters: per document, the fraction
+    of tokens taken by the single most common token and the fraction of
+    duplicated 2-grams; a document passes when both stay under threshold.
+    Two explode->groupBy(doc_id) aggregations (map-side combinable, one
+    shuffle each) joined on doc_id — no Python in the row path."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    ts = _toks()
+    n_part = spark.sparkContext.defaultParallelism
+    base = docs.repartition(n_part, "doc_id")
+    tok_stats = (
+        base.select("doc_id", F.explode(ts).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_tokens"), F.max("c").alias("top_c"))
+    )
+    gram_stats = (
+        base.filter(F.size(ts) >= 2)
+        .select("doc_id", F.explode(_grams(ts, 2)).alias("g2"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("tot_2g"), F.countDistinct("g2").alias("dis_2g"))
+    )
+    top_frac = F.round(F.col("top_c").cast("double") / F.col("n_tokens"), 4)
+    dup_frac = F.round(
+        (F.col("tot_2g") - F.col("dis_2g")).cast("double") / F.col("tot_2g"), 4
+    )
+    return (
+        tok_stats.join(gram_stats, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            top_frac.alias("top_token_frac"),
+            dup_frac.alias("dup_2gram_frac"),
+            (
+                (top_frac <= TOP_TOKEN_MAX) & (dup_frac <= DUP_2GRAM_MAX)
+            ).alias("gopher_pass"),
+        )
+    )
+
+
+ORACLE_REPETITION = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), tok_stats AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS top_c
+  FROM (SELECT doc_id, COUNT(*) AS c
+        FROM toks, unnest(ts) AS u(tok) GROUP BY doc_id, tok)
+  GROUP BY doc_id
+), gram_stats AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tot_2g,
+         CAST(COUNT(DISTINCT g2) AS BIGINT) AS dis_2g
+  FROM (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g2
+        FROM toks, unnest(range(1, len(ts))) AS u(i)
+        WHERE len(ts) >= 2)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+       ROUND(CAST(t.top_c AS DOUBLE) / t.n_tokens, 4) AS top_token_frac,
+       ROUND(CAST(g.tot_2g - g.dis_2g AS DOUBLE) / g.tot_2g, 4) AS dup_2gram_frac,
+       (ROUND(CAST(t.top_c AS DOUBLE) / t.n_tokens, 4) <= {TOP_TOKEN_MAX}
+        AND ROUND(CAST(g.tot_2g - g.dis_2g AS DOUBLE) / g.tot_2g, 4) <= {DUP_2GRAM_MAX})
+         AS gopher_pass
+FROM tok_stats t JOIN gram_stats g USING (doc_id)
+"""
+
+
+def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing: within each SOURCE shard, documents
+    are concatenated in doc_id order and chopped into fixed 512-token
+    context windows; per (source, window) report how many documents touch
+    it, start in it, cross out of it, and how many tokens it holds (== 512
+    everywhere except each shard's final window).
+
+    Packing is per-shard on purpose: a single global cumulative sum would
+    funnel the whole corpus through one partition. partitionBy(source)
+    keeps the window function embarrassingly parallel — the 100 TB shape.
+    """
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(_toks()).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = docs.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("cum_prev"),
+    ).select(
+        "*",
+        F.expr(f"cum_prev DIV {PACK_WINDOW}").alias("start_w"),
+        F.expr(f"(cum_prev + n_tok - 1) DIV {PACK_WINDOW}").alias("end_w"),
+    )
+    win = F.col("win")
+    tokens_here = F.least(
+        (win + 1) * PACK_WINDOW, F.col("cum_prev") + F.col("n_tok")
+    ) - F.greatest(win * PACK_WINDOW, F.col("cum_prev"))
+    return (
+        placed.select(
+            "*", F.explode(F.sequence("start_w", "end_w")).alias("win")
+        )
+        .groupBy("source", "win")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((win == F.col("start_w")).cast("bigint")).alias("n_starting"),
+            F.sum((win < F.col("end_w")).cast("bigint")).alias("n_crossing_out"),
+            F.sum(tokens_here).alias("tokens_filled"),
+        )
+    )
+
+
+ORACLE_PACK = f"""
+WITH placed AS (
+  SELECT doc_id, source, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev
+  FROM (SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents)
+), spans AS (
+  SELECT *, cum_prev // {PACK_WINDOW} AS start_w,
+            (cum_prev + n_tok - 1) // {PACK_WINDOW} AS end_w
+  FROM placed
+)
+SELECT source, win,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN win = start_w THEN 1 ELSE 0 END) AS BIGINT) AS n_starting,
+       CAST(SUM(CASE WHEN win < end_w THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing_out,
+       CAST(SUM(LEAST((win + 1) * {PACK_WINDOW}, cum_prev + n_tok)
+                - GREATEST(win * {PACK_WINDOW}, cum_prev)) AS BIGINT) AS tokens_filled
+FROM spans, unnest(range(start_w, end_w + 1)) AS u(win)
+GROUP BY source, win
+"""
+
+
+def split_assign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = first two hex
+    digits of md5(doc_id) -> 0..255; <205 train (~80%), <230 val (~10%),
+    else test. Pure hash of the stable key — the same document lands in the
+    same split on every engine and every re-run, with no shuffled
+    randomness. Rolled up per (split, lang)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("long")
+    split = (
+        F.when(bucket < 205, F.lit("train"))
+        .when(bucket < 230, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            "lang",
+            F.size(_toks()).cast("bigint").alias("n_tok"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            (F.sum("n_tok").cast("double") / F.count("*")).alias("avg_tokens"),
+        )
+    )
+
+
+ORACLE_SPLIT = """
+WITH assigned AS (
+  SELECT CASE WHEN b < 205 THEN 'train' WHEN b < 230 THEN 'val' ELSE 'test' END AS split,
+         lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM (SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) AS b,
+               lang, text
+        FROM documents)
+)
+SELECT split, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM assigned
+GROUP BY split, lang
+"""
+
+
+QUERIES = {
+    "decontam_ngram_overlap": (decontam_ngram_overlap, ORACLE_DECONTAM),
+    "text_repetition_filters": (text_repetition_filters, ORACLE_REPETITION),
+    "pack_context_windows": (pack_context_windows, ORACLE_PACK),
+    "split_assign_stats": (split_assign_stats, ORACLE_SPLIT),
+}

@@ -37,6 +37,7 @@ def _load_optional():
         "curation",
         "ranking",
         "components",
+        "preprocess",
         "kmeans_ivf",
         "pq",
     ):
@@ -69,6 +70,7 @@ _GATE_FIRST_MODULES = (
     "curation",
     "ranking",
     "components",
+    "preprocess",
 )
 
 
