@@ -38,6 +38,7 @@ def _load_optional():
         "ranking",
         "components",
         "preprocess",
+        "scrub",
         "kmeans_ivf",
         "pq",
     ):
@@ -71,6 +72,7 @@ _GATE_FIRST_MODULES = (
     "ranking",
     "components",
     "preprocess",
+    "scrub",
 )
 
 

@@ -111,3 +111,34 @@ def test_bm25_scalar_stats_broadcast_no_python(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pii_scrub_stays_jvm_side_and_fires(spark):
+    """Scrub family: regex redaction must be pure regexp_replace/count in
+    whole-stage codegen (no Python anywhere — at 100 TB this is one map
+    pass), and the planted-PII rows must actually fire (non-vacuous)."""
+    from kalytical_spark.operators import scrub
+
+    df = scrub.pii_scrub_docs(spark, SF_ORACLE)
+    plan = _final_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert _n_shuffles(plan) == 0, plan  # pure map pass, zero shuffles
+    rows = df.collect()
+    assert rows and all(r.n_emails == 1 and r.n_phones == 1 and r.n_ipv4 == 1 for r in rows)
+
+
+def test_mix_sampling_broadcasts_rates_no_python(spark):
+    """The per-source rate table (8 rows) must broadcast onto the corpus —
+    the big side is never shuffled for the join — and rates stay in [0,1]
+    with small sources kept whole (rate == 1 implies kept == docs)."""
+    from kalytical_spark.operators import scrub
+
+    df = scrub.mix_temperature_sample(spark, SF_ORACLE)
+    plan = _final_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for r in df.collect():
+        assert 0.0 < r.rate <= 1.0
+        assert r.n_kept <= r.n_docs
+        if r.rate == 1.0:
+            assert r.n_kept == r.n_docs
