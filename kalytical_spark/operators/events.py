@@ -319,7 +319,36 @@ GROUP BY 1
 """
 
 
+def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-to-purchase attribution: every purchase joined to the same
+    user's clicks in the preceding 2-hour window. Delegates to
+    streaming/joins.attribution_join on the BATCH frame — the exact code
+    path the stream-stream join runs (watermark is a no-op in batch), so
+    this oracle-checks the streaming operator's join semantics at value
+    level while tests/test_streaming_joins.py proves stream==batch."""
+    from ..streaming import joins
+
+    return joins.attribution_join(t(spark, sf_dir, "events_ms"))
+
+
+ORACLE_CLICK_ATTRIBUTION = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM events_ms c
+JOIN events_ms p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 2 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "events_click_attribution": (events_click_attribution, ORACLE_CLICK_ATTRIBUTION),
     "events_recent_topk": (events_recent_topk, ORACLE_RECENT_TOPK),
     "events_rolling_stats": (events_rolling_stats, ORACLE_ROLLING),
     "events_value_percentiles": (events_value_percentiles, ORACLE_PERCENTILES),
