@@ -110,7 +110,136 @@ GROUP BY 1
 """
 
 
+CP_HOPS = 3
+DEFAULT_WEIGHT_MS = 60_000
+
+
+def _node_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pipeline weight = MAX observed wall-clock of a completed exec
+    (running -> success/failure, integer ms — exact in both engines);
+    pipelines with no completed exec get DEFAULT_WEIGHT_MS. O(pipelines)
+    rows — broadcast everywhere it's used."""
+    ev = t(spark, sf_dir, "lifecycle_events")
+    starts = (
+        ev.filter(F.col("event_subtype") == "running")
+        .groupBy("pipeline_uuid", "exec_uuid")
+        .agg(F.min("event_time").alias("t0"))
+    )
+    ends = (
+        ev.filter(F.col("event_subtype").isin("success", "failure"))
+        .groupBy("pipeline_uuid", "exec_uuid")
+        .agg(F.max("event_time").alias("t1"))
+    )
+    dur = starts.join(ends, ["pipeline_uuid", "exec_uuid"]).select(
+        "pipeline_uuid",
+        (F.unix_millis("t1") - F.unix_millis("t0")).alias("dur_ms"),
+    )
+    per = dur.groupBy("pipeline_uuid").agg(F.max("dur_ms").alias("w"))
+    defs = t(spark, sf_dir, "pipeline_defs").select("pipeline_uuid")
+    return defs.join(per, "pipeline_uuid", "left").select(
+        "pipeline_uuid", F.coalesce("w", F.lit(DEFAULT_WEIGHT_MS)).cast("bigint").alias("w")
+    )
+
+
+def dag_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Critical path (bounded weighted longest path): for each pipeline, the
+    maximum total duration of any <=CP_HOPS-edge dependency path ending at
+    it — 'how late can this pipeline start finishing'. Iterative DP: level
+    k+1 = level k joined one hop downstream, accumulating the destination's
+    weight; both the edge list and the weight table are O(pipelines) and
+    broadcast, so the DP never shuffles the path frontier. All arithmetic
+    is integer (ms), so Spark and the DuckDB recursive-CTE oracle agree
+    bit-for-bit. Cycles in the synthetic DAG are handled by the hop bound,
+    exactly as in dag_transitive_downstream."""
+    # the weight table is O(pipelines) and feeds every DP level — cache it so
+    # the lifecycle scan happens once, not once per level
+    wts = _node_weights(spark, sf_dir).cache()
+    edges = t(spark, sf_dir, "dag_edges").select(
+        F.col("upstream_uuid").alias("src"), F.col("pipeline_uuid").alias("dst")
+    )
+    frontier = wts.select(
+        F.col("pipeline_uuid").alias("node"),
+        F.col("w").alias("cost"),
+        F.lit(0).cast("int").alias("hops"),
+    )
+    levels = [frontier]
+    for k in range(1, CP_HOPS + 1):
+        frontier = (
+            frontier.alias("f")
+            .join(F.broadcast(edges.alias("e")), F.col("f.node") == F.col("e.src"))
+            .join(
+                F.broadcast(wts.alias("wt")),
+                F.col("e.dst") == F.col("wt.pipeline_uuid"),
+            )
+            .select(
+                F.col("e.dst").alias("node"),
+                (F.col("f.cost") + F.col("wt.w")).alias("cost"),
+                F.lit(k).cast("int").alias("hops"),
+            )
+        )
+        levels.append(frontier)
+    # two consumers scan the DP result (the max and the argmax join) — cache
+    # so the level joins run once
+    paths = reduce(DataFrame.unionByName, levels).cache()
+    best = paths.groupBy(F.col("node").alias("pipeline_uuid")).agg(
+        F.max("cost").alias("critical_cost")
+    )
+    return (
+        best.alias("b")
+        .join(
+            paths.alias("p"),
+            (F.col("p.node") == F.col("b.pipeline_uuid"))
+            & (F.col("p.cost") == F.col("b.critical_cost")),
+        )
+        .groupBy("b.pipeline_uuid", "b.critical_cost")
+        .agg(
+            F.min("p.hops").cast("int").alias("critical_hops"),
+            F.count("*").alias("n_critical_paths"),
+        )
+        .select(
+            F.col("pipeline_uuid"),
+            F.col("critical_cost"),
+            "critical_hops",
+            "n_critical_paths",
+        )
+    )
+
+
+ORACLE_CRITICAL_PATH = f"""
+WITH RECURSIVE starts0 AS (
+  SELECT pipeline_uuid, exec_uuid, MIN(event_time) AS t0
+  FROM lifecycle_events WHERE event_subtype = 'running' GROUP BY 1, 2
+), ends0 AS (
+  SELECT pipeline_uuid, exec_uuid, MAX(event_time) AS t1
+  FROM lifecycle_events WHERE event_subtype IN ('success', 'failure') GROUP BY 1, 2
+), wts AS (
+  SELECT d.pipeline_uuid,
+         CAST(COALESCE(MAX(epoch_ms(e.t1) - epoch_ms(s.t0)), {DEFAULT_WEIGHT_MS}) AS BIGINT) AS w
+  FROM pipeline_defs d
+  LEFT JOIN (starts0 s JOIN ends0 e USING (pipeline_uuid, exec_uuid))
+         ON d.pipeline_uuid = s.pipeline_uuid
+  GROUP BY 1
+), paths AS (
+  SELECT pipeline_uuid AS node, w AS cost, 0 AS hops FROM wts
+  UNION ALL
+  SELECT e.pipeline_uuid, p.cost + w.w, p.hops + 1
+  FROM paths p
+  JOIN dag_edges e ON p.node = e.upstream_uuid
+  JOIN wts w ON e.pipeline_uuid = w.pipeline_uuid
+  WHERE p.hops < {CP_HOPS}
+), best AS (
+  SELECT node, MAX(cost) AS critical_cost FROM paths GROUP BY 1
+)
+SELECT b.node AS pipeline_uuid, b.critical_cost,
+       CAST(MIN(p.hops) AS INT) AS critical_hops,
+       CAST(COUNT(*) AS BIGINT) AS n_critical_paths
+FROM best b JOIN paths p ON p.node = b.node AND p.cost = b.critical_cost
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dag_transitive_downstream": (dag_transitive_downstream, ORACLE_TRANSITIVE),
     "dag_impact_analysis": (dag_impact_analysis, ORACLE_IMPACT),
+    "dag_critical_path": (dag_critical_path, ORACLE_CRITICAL_PATH),
 }
