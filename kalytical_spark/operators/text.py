@@ -300,3 +300,77 @@ QUERIES.update(
         "text_winnow_fingerprints": (text_winnow_fingerprints, ORACLE_WINNOW),
     }
 )
+
+
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (perplexity proxy): fit a unigram model on
+    the corpus itself (token count / corpus total), then score each document
+    by its total and average surprisal -ln p(tok). High average surprisal =
+    statistically unusual text — the model-based quality filter that sits
+    one step above the rule-based stats in text_quality_stats.
+
+    Scale: the model is one explode->groupBy over tokens; the VOCABULARY
+    (not the corpus) is the model table — a few million rows at web scale —
+    so the scoring join broadcasts the model onto the token stream and the
+    corpus side is never shuffled for it. The corpus total rides in as a
+    broadcast scalar (cross-join of a 1-row aggregate).
+
+    Determinism: per-token surprisal is quantized to integer MICRO-NATS
+    (round(ln(c/N) * 1e6)) — one ln per distinct token — so the per-doc
+    accumulation is exact BIGINT arithmetic; the average is a single IEEE
+    division of exact integers. Cross-engine float summation order never
+    matters because nothing float is ever summed."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+    model = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = toks.groupBy().agg(F.count("*").alias("n_total"))
+    lp = model.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(
+            F.log(F.col("c").cast("double") / F.col("n_total").cast("double")) * 1e6
+        )
+        .cast("bigint")
+        .alias("lp_micro"),
+    )
+    return (
+        toks.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (-F.sum("lp_micro")).alias("surprisal_micro"),
+            F.round(
+                (-F.sum("lp_micro")).cast("double") / 1e6 / F.count("*"), 4
+            ).alias("avg_surprisal_nats"),
+        )
+    )
+
+
+ORACLE_UNIGRAM = """
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+), model AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok
+), total AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks
+), lp AS (
+  SELECT tok,
+         CAST(ROUND(ln(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1e6) AS BIGINT)
+           AS lp_micro
+  FROM model, total
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(-SUM(l.lp_micro) AS BIGINT) AS surprisal_micro,
+       ROUND(CAST(-SUM(l.lp_micro) AS DOUBLE) / 1e6 / COUNT(*), 4)
+         AS avg_surprisal_nats
+FROM toks t JOIN lp l USING (tok)
+GROUP BY t.doc_id
+"""
+
+
+QUERIES.update(
+    {
+        "text_unigram_surprisal": (text_unigram_surprisal, ORACLE_UNIGRAM),
+    }
+)
