@@ -339,3 +339,16 @@ def test_phash_neardup_differential(spark):
     assert got == want
     planted = {(d.doc_id, d.doc_id + off) for d in docs if d.doc_id % stride == 0}
     assert planted <= got, "corrupted re-ingests not all recovered"
+
+
+def test_sq8_recall_vs_bruteforce(spark):
+    """SQ8 integer-dot ranking must recover most of the exact cosine top-10:
+    8-bit affine quantization loses little — unlike the coarse IVF probes,
+    SQ8 scans everything, just at 1/4 the bandwidth."""
+    bf = similarity.sim_topk_bruteforce(spark, SF_ORACLE).collect()
+    sq = similarity.sim_topk_sq8(spark, SF_ORACLE).collect()
+    bf_set = {(r.query_id, r.vec_id) for r in bf}
+    sq_set = {(r.query_id, r.vec_id) for r in sq}
+    assert bf_set and len(sq_set) == len(bf_set)
+    recall = len(bf_set & sq_set) / len(bf_set)
+    assert recall >= 0.9, f"SQ8 recall {recall} too low"
