@@ -320,3 +320,77 @@ QUERIES = {
     "pack_context_windows": (pack_context_windows, ORACLE_PACK),
     "split_assign_stats": (split_assign_stats, ORACLE_SPLIT),
 }
+
+
+CHUNK_TOKENS = 16  # RAG/embedding chunk width (sized to the ~30-token synthetic docs
+CHUNK_STRIDE = 12  # so the overlap path genuinely fires; prod would use 512/384)
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking (the RAG / embedding-prep
+    shape): each document becomes ceil-strided CHUNK_TOKENS-token chunks
+    with a CHUNK_TOKENS-CHUNK_STRIDE overlap; per chunk we emit its offsets and an md5 of the
+    chunk text (a value-level proof both engines sliced identically —
+    payload text itself stays out of the comparison).
+
+    One explode per document (fan-out = n_tokens/stride, ~constant) with
+    all slicing in JVM expressions — no shuffle at all until a consumer
+    aggregates, which is the 100 TB shape: chunking is a map-side
+    transform of the corpus scan."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    ts = F.split(F.col("text"), " ")
+    n = F.size(ts)
+    n_chunks = F.when(n <= CHUNK_TOKENS, F.lit(1)).otherwise(
+        F.expr(
+            f"(size(split(text, ' ')) - {CHUNK_TOKENS} + {CHUNK_STRIDE - 1}) "
+            f"DIV {CHUNK_STRIDE} + 1"
+        )
+    )
+    exploded = docs.select(
+        "doc_id",
+        ts.alias("ts"),
+        n.alias("n_tok"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * CHUNK_STRIDE
+    width = F.least(F.lit(CHUNK_TOKENS), F.col("n_tok") - start)
+    chunk = F.slice(F.col("ts"), start + 1, width)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("bigint").alias("start_tok"),
+        width.cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+ORACLE_CHUNKS = f"""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS ts,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), fanned AS (
+  SELECT doc_id, ts, n_tok, CAST(k AS INT) AS chunk_idx
+  FROM docs, unnest(range(0,
+      CASE WHEN n_tok <= {CHUNK_TOKENS} THEN 1
+           ELSE (n_tok - {CHUNK_TOKENS} + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE} + 1
+      END)) AS u(k)
+)
+SELECT doc_id, chunk_idx,
+       CAST(chunk_idx * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       CAST(LEAST({CHUNK_TOKENS}, n_tok - chunk_idx * {CHUNK_STRIDE}) AS BIGINT)
+         AS n_chunk_tokens,
+       md5(list_aggregate(
+             ts[chunk_idx * {CHUNK_STRIDE} + 1 :
+                chunk_idx * {CHUNK_STRIDE}
+                + LEAST({CHUNK_TOKENS}, n_tok - chunk_idx * {CHUNK_STRIDE})],
+             'string_agg', ' ')) AS chunk_hash
+FROM fanned
+"""
+
+
+QUERIES.update(
+    {
+        "chunk_documents": (chunk_documents, ORACLE_CHUNKS),
+    }
+)

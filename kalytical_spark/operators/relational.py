@@ -411,3 +411,68 @@ QUERIES.update(
         "q_unpivot_balances": (q_unpivot_balances, ORACLE_UNPIVOT),
     }
 )
+
+
+def scd2_pipeline_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history: each pipeline's last-outcome attribute
+    (success/failure) versioned into validity intervals. Consecutive
+    identical outcomes are merged (the SCD2 'no-change, no-row' rule);
+    each surviving change gets [valid_from, valid_to) via lead() and a
+    version number, with the open interval flagged current.
+
+    The window is partitioned per pipeline — at 100 TB the history build
+    is one shuffle keyed on the dimension's natural key with no global
+    sort; this is exactly how warehouse dimension loads run on Spark.
+    Pure window functions over exact timestamps — deterministic."""
+    ev = t(spark, sf_dir, "lifecycle_events")
+    outcomes = ev.filter(
+        F.col("event_subtype").isin("success", "failure")
+    ).select(
+        "pipeline_uuid",
+        F.col("event_subtype").alias("outcome"),
+        "event_time",
+        "exec_uuid",
+    )
+    w = W.partitionBy("pipeline_uuid").orderBy("event_time", "exec_uuid")
+    changed = outcomes.withColumn("prev", F.lag("outcome").over(w)).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("outcome"))
+    )
+    w2 = W.partitionBy("pipeline_uuid").orderBy("event_time", "exec_uuid")
+    return changed.select(
+        "pipeline_uuid",
+        "outcome",
+        F.col("event_time").alias("valid_from"),
+        F.lead("event_time").over(w2).alias("valid_to"),
+        F.lead("event_time").over(w2).isNull().alias("is_current"),
+        F.row_number().over(w2).cast("int").alias("version"),
+    )
+
+
+ORACLE_SCD2 = """
+WITH outcomes AS (
+  SELECT pipeline_uuid, event_subtype AS outcome, event_time, exec_uuid
+  FROM lifecycle_events
+  WHERE event_subtype IN ('success', 'failure')
+), changed AS (
+  SELECT * FROM (
+    SELECT pipeline_uuid, outcome, event_time, exec_uuid,
+           LAG(outcome) OVER (PARTITION BY pipeline_uuid
+                              ORDER BY event_time, exec_uuid) AS prev
+    FROM outcomes
+  ) WHERE prev IS NULL OR prev <> outcome
+)
+SELECT pipeline_uuid, outcome,
+       event_time AS valid_from,
+       LEAD(event_time) OVER w AS valid_to,
+       (LEAD(event_time) OVER w IS NULL) AS is_current,
+       CAST(ROW_NUMBER() OVER w AS INT) AS version
+FROM changed
+WINDOW w AS (PARTITION BY pipeline_uuid ORDER BY event_time, exec_uuid)
+"""
+
+
+QUERIES.update(
+    {
+        "scd2_pipeline_outcomes": (scd2_pipeline_outcomes, ORACLE_SCD2),
+    }
+)
