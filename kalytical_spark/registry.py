@@ -57,40 +57,43 @@ def _load_optional():
 
 # The driver's correctness gate snapshots queries in registration order and
 # has a bounded window (CORRECTNESS_r01 covered exactly the first 50
-# entries). Order by value: families the round-1 gate never reached first,
-# then the rest of the oracle-backed queries, and rows-only entries (which
-# only get a weaker row-count check anyway) last.
-_GATE_FIRST_MODULES = (
-    "multimodal",
-    "replay",
-    "mutations",
-    "scheduling",
-    "subqueries",
-    "graph",
-    "asof",
-    "curation",
-    "ranking",
-    "components",
-    "preprocess",
-    "scrub",
-)
+# entries). Order by value: oracle-backed queries a prior driver gate has
+# NEVER checked come first (read from the newest CORRECTNESS_r*.json
+# snapshot), then previously-green oracle queries, then rows-only entries
+# (which only get a weaker row-count check anyway).
+
+
+def _previously_gated() -> set[str]:
+    import glob
+    import json
+    import os
+
+    snaps = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json")))
+    seen: set[str] = set()
+    for snap in snaps:
+        try:
+            with open(snap) as fh:
+                seen.update(json.load(fh))
+        except (OSError, ValueError):
+            continue
+    return seen
 
 
 def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     out: dict[str, tuple] = {}
-    module_of: dict[str, str] = {}
     for mod in _MODULES + _load_optional():
         for name, (fn, oracle_body) in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name: {name}")
             oracle = domain.oracle(oracle_body) if oracle_body else None
             out[name] = (fn, oracle)
-            module_of[name] = mod.__name__.rsplit(".", 1)[-1]
+
+    gated = _previously_gated()
 
     def prio(item):
         name, (_fn, oracle) = item
         if oracle is None:
             return 2
-        return 0 if module_of[name] in _GATE_FIRST_MODULES else 1
+        return 1 if name in gated else 0
 
     return dict(sorted(out.items(), key=prio))
