@@ -294,6 +294,81 @@ WHERE pipeline_uuid LIKE 'p-2%'
 """
 
 
+def meta_defs_events_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation of the definition table against observed
+    lifecycle activity: every pipeline classified as 'active' (defined and
+    emitting), 'silent' (defined, zero events), or 'undeclared' (events
+    from a uuid with no definition — the operational drift the orphan
+    check's anti-join only half-surfaces). The full outer join keeps both
+    unmatched sides in one pass; both inputs aggregate to O(pipelines)
+    rows before the join, so at scale this is a join of two small
+    pre-aggregated frames, not of raw event logs.
+
+    Non-vacuous by construction (every synthetic pipeline is otherwise
+    active): every 7th definition gets a '_shadow' twin with no events
+    (must classify 'silent') and every 5th pipeline's events get a
+    '_rogue' re-key with no definition (must classify 'undeclared') —
+    same planted-positive pattern as dedup_exact / decontam."""
+    base_defs = t(spark, sf_dir, "pipeline_defs")
+    pnum = F.substring(F.col("pipeline_uuid"), 3, 10).cast("int")  # 'p-<n>'
+    shadow = base_defs.filter(pnum % 7 == 0).withColumn(
+        "pipeline_uuid", F.concat(F.col("pipeline_uuid"), F.lit("_shadow"))
+    )
+    defs = base_defs.unionByName(shadow).select(
+        F.col("pipeline_uuid").alias("def_uuid"), "tag_team"
+    )
+    ev = t(spark, sf_dir, "lifecycle_events")
+    rogue = ev.filter(
+        F.substring(F.col("pipeline_uuid"), 3, 10).cast("int") % 5 == 0
+    ).withColumn("pipeline_uuid", F.concat(F.col("pipeline_uuid"), F.lit("_rogue")))
+    acts = (
+        ev.unionByName(rogue)
+        .groupBy(F.col("pipeline_uuid").alias("ev_uuid"))
+        .agg(F.count("*").alias("n_events"), F.max("event_time").alias("last_seen"))
+    )
+    joined = defs.join(acts, defs["def_uuid"] == acts["ev_uuid"], "full_outer")
+    status = (
+        F.when(F.col("def_uuid").isNull(), F.lit("undeclared"))
+        .when(F.col("ev_uuid").isNull(), F.lit("silent"))
+        .otherwise(F.lit("active"))
+    )
+    return joined.select(
+        F.coalesce(F.col("def_uuid"), F.col("ev_uuid")).alias("pipeline_uuid"),
+        status.alias("status"),
+        "tag_team",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+        "last_seen",
+    )
+
+
+ORACLE_RECONCILE = """
+WITH defs2 AS (
+  SELECT pipeline_uuid, tag_team FROM pipeline_defs
+  UNION ALL
+  SELECT pipeline_uuid || '_shadow', tag_team FROM pipeline_defs
+  WHERE CAST(substr(pipeline_uuid, 3) AS INT) % 7 = 0
+), ev2 AS (
+  SELECT pipeline_uuid, event_time FROM lifecycle_events
+  UNION ALL
+  SELECT pipeline_uuid || '_rogue', event_time FROM lifecycle_events
+  WHERE CAST(substr(pipeline_uuid, 3) AS INT) % 5 = 0
+), acts AS (
+  SELECT pipeline_uuid AS ev_uuid, CAST(COUNT(*) AS BIGINT) AS n_events,
+         MAX(event_time) AS last_seen
+  FROM ev2 GROUP BY 1
+)
+SELECT COALESCE(d.pipeline_uuid, a.ev_uuid) AS pipeline_uuid,
+       CASE WHEN d.pipeline_uuid IS NULL THEN 'undeclared'
+            WHEN a.ev_uuid IS NULL THEN 'silent'
+            ELSE 'active' END AS status,
+       d.tag_team,
+       COALESCE(a.n_events, 0) AS n_events,
+       a.last_seen
+FROM defs2 d FULL OUTER JOIN acts a ON d.pipeline_uuid = a.ev_uuid
+"""
+
+
+
 QUERIES: dict[str, tuple] = {
     "meta_list_by_prefix_tag": (meta_list_by_prefix_tag, ORACLE_LIST),
     "meta_point_lookup": (meta_point_lookup, ORACLE_POINT),
@@ -305,4 +380,5 @@ QUERIES: dict[str, tuple] = {
     "meta_scheduled_roots": (meta_scheduled_roots, ORACLE_SCHEDULED),
     "meta_trigger_route": (meta_trigger_route, ORACLE_TRIGGER_ROUTE),
     "meta_body_fetch": (meta_body_fetch, ORACLE_BODY_FETCH),
+    "meta_defs_events_reconcile": (meta_defs_events_reconcile, ORACLE_RECONCILE),
 }
