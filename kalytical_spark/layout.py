@@ -76,3 +76,57 @@ def salted_join(
     )
     out = left_s.join(right_s, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def morton_key(x: F.Column, y: F.Column, bits: int = 8) -> F.Column:
+    """Interleave the low ``bits`` of two integer bucket columns into a
+    Morton (Z-order) key — pure shiftleft/AND/OR expressions, fully
+    codegen'd. Rows close in Z are close in BOTH dimensions, so range
+    partitioning by the key gives every output file a compact (x, y)
+    rectangle and min/max file stats prune two-dimensional predicates —
+    the multi-dim clustering trick single-column sorting cannot deliver."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(x.cast("long").bitwiseAND(F.lit(1 << i)), i + 1)
+        ).bitwiseOR(F.shiftleft(y.cast("long").bitwiseAND(F.lit(1 << i)), i))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 16,
+    bits: int = 8,
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-order of two columns:
+    each column is min/max-scaled into 2^bits rank buckets, the Morton key
+    range-partitions the write, and files are sorted within partitions so
+    row groups inherit the locality. The scaling stats are one tiny
+    aggregate broadcast back over the corpus — at 100 TB this is a single
+    extra scan before the clustered write."""
+    stats = df.select(
+        F.min(x_col).alias("xmn"),
+        F.max(x_col).alias("xmx"),
+        F.min(y_col).alias("ymn"),
+        F.max(y_col).alias("ymx"),
+    )
+    top = (1 << bits) - 1
+
+    def bucket(c, mn, mx):
+        span = F.greatest(F.col(mx) - F.col(mn), F.lit(1))
+        scaled = (((F.col(c) - F.col(mn)) * (top + 1)) / span).cast("long")
+        return F.least(F.lit(top).cast("long"), scaled)
+
+    keyed = df.crossJoin(F.broadcast(stats)).withColumn(
+        "__z", morton_key(bucket(x_col, "xmn", "xmx"), bucket(y_col, "ymn", "ymx"), bits)
+    )
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("xmn", "xmx", "ymn", "ymx", "__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
