@@ -19,8 +19,10 @@ from . import catalog, dispatch
 from .config import KalyticalSparkConfig, load_config
 
 _PREFIX_RE = re.compile(r"^[a-zA-Z0-9-]+$")
+# pipeline uuids and engine tracking ids share one shape: lowercase
+# alphanumerics and dashes
 _UUID_RE = re.compile(r"^[a-z0-9-]+$")
-_TRACKING_RE = re.compile(r"^[a-z0-9-]+$")
+_TRACKING_RE = _UUID_RE
 
 
 class QueryException(ValueError):

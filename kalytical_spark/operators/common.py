@@ -83,3 +83,58 @@ SQL_NOW = "(SELECT max(ts) FROM events_ms)"
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return catalog.table(spark, sf_dir, name)
+
+
+def banded_candidate_pairs(
+    sketched: DataFrame,
+    id_col: str,
+    n_bands: int,
+    band_prefix: str = "band",
+    carry_bands: bool = False,
+) -> DataFrame:
+    """Shared LSH banding step: explode ``band0..band{n-1}`` columns into
+    (band_idx, band_key) rows, self-join within buckets with ``l.id <
+    r.id`` ordering, and return DISTINCT candidate pairs ``(id_a, id_b)``
+    — the sub-quadratic candidate generation used by both the sign-LSH ANN
+    (similarity.py) and the perceptual-hash near-dup miner (multimodal.py).
+    With ``carry_bands`` the per-side band values ride along as
+    ``l_band{b}`` / ``r_band{b}`` so callers can verify in-band (e.g.
+    Hamming distance) without re-joining the sketch table."""
+    band_cols = [f"{band_prefix}{b}" for b in range(n_bands)]
+    bands = sketched.select(
+        id_col,
+        *(band_cols if carry_bands else []),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.col(f"{band_prefix}{b}").alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bx"),
+    ).select(
+        id_col, *(band_cols if carry_bands else []), "bx.band_idx", "bx.band_key"
+    )
+    l, r = bands.alias("l"), bands.alias("r")
+    carried = [
+        F.col(f"{side}.{c}").alias(f"{side}_{c}")
+        for side in ("l", "r")
+        for c in (band_cols if carry_bands else [])
+    ]
+    return (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            *carried,
+        )
+        .distinct()
+    )

@@ -331,7 +331,13 @@ def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joins.attribution_join(t(spark, sf_dir, "events_ms"))
 
 
-ORACLE_CLICK_ATTRIBUTION = """
+def _attribution_oracle() -> str:
+    """Interpolates streaming.joins.ATTRIBUTION_WINDOW so the Spark operator
+    and the DuckDB twin can never drift (DuckDB accepts INTERVAL '2 hours'
+    string syntax for the same literal Spark parses)."""
+    from ..streaming.joins import ATTRIBUTION_WINDOW
+
+    return f"""
 SELECT c.user_id,
        c.event_id AS click_id,
        p.event_id AS purchase_id,
@@ -342,9 +348,12 @@ FROM events_ms c
 JOIN events_ms p
   ON c.user_id = p.user_id
  AND p.ts >= c.ts
- AND p.ts <= c.ts + INTERVAL 2 HOUR
+ AND p.ts <= c.ts + INTERVAL '{ATTRIBUTION_WINDOW}'
 WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
+
+
+ORACLE_CLICK_ATTRIBUTION = _attribution_oracle()
 
 
 QUERIES: dict[str, tuple] = {

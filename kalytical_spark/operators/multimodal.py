@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .common import t
+from .common import banded_candidate_pairs, t
 
 
 def _with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,43 +231,20 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     sketched.count()
-    bands = sketched.select(
-        "doc_id",
-        *[F.col(f"band{b}") for b in range(PHASH_BANDS)],
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.col(f"band{b}").alias("band_key"),
-                    )
-                    for b in range(PHASH_BANDS)
-                ]
-            )
-        ).alias("bx"),
-    ).select("doc_id", *[f"band{b}" for b in range(PHASH_BANDS)], "bx.band_idx", "bx.band_key")
-    l, r = bands.alias("l"), bands.alias("r")
+    pairs = banded_candidate_pairs(
+        sketched, "doc_id", PHASH_BANDS, carry_bands=True
+    )
     hamming = sum(
         F.bit_count(
-            F.col(f"l.band{b}").bitwiseXOR(F.col(f"r.band{b}")).cast("long")
+            F.col(f"l_band{b}").bitwiseXOR(F.col(f"r_band{b}")).cast("long")
         )
         for b in range(PHASH_BANDS)
     )
-    return (
-        l.join(
-            r,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            hamming.cast("int").alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
-    )
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        hamming.cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= PHASH_HAMMING_MAX)
 
 
 QUERIES: dict[str, tuple] = {

@@ -41,13 +41,17 @@ PQ_RERANK = 30  # ADC shortlist size fed to exact re-rank
 
 def _train_codebooks(spark: SparkSession, sf_dir: str):
     """Returns (assignments DF [vec_id, cell], centroids (K, dim),
-    codebooks (M, Ks, dsub)) — Lloyd's per subspace on residuals, one
-    distributed pass per iteration."""
+    codebooks (M, Ks, dsub), cached normalize-join DF) — Lloyd's per
+    subspace on residuals, one distributed pass per iteration."""
     import numpy as np
 
     assignments, C = fit_kmeans_cells(spark, sf_dir)
     emb = t(spark, sf_dir, "embeddings")
-    nemb = _normalized(emb).join(assignments, "vec_id")
+    # cached: the seed collect + PQ_ITERS training passes + the encode pass
+    # all scan this normalize-join; without the cache each pass re-reads the
+    # parquet and re-runs the shuffle join (same rationale as the cache in
+    # fit_kmeans_cells)
+    nemb = _normalized(emb).join(assignments, "vec_id").cache()
     dim = C.shape[1]
     dsub = dim // PQ_M
 
@@ -111,7 +115,9 @@ def _train_codebooks(spark: SparkSession, sf_dir: str):
         for r in upd:
             B_new[r.m, r.code, r.pos] = r.mean
         B = B_new
-    return assignments, C, np.round(B, 6)
+    # hand the cached normalize-join to the caller (the encode pass scans it
+    # once more, then unpersists)
+    return assignments, C, np.round(B, 6), nemb
 
 
 def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,9 +126,8 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries (query_id, rank, vec_id, cos_sim)."""
     import numpy as np
 
-    assignments, C, B = _train_codebooks(spark, sf_dir)
+    assignments, C, B, joined_nemb = _train_codebooks(spark, sf_dir)
     emb = t(spark, sf_dir, "embeddings")
-    nemb = _normalized(emb)
     dim = C.shape[1]
     dsub = dim // PQ_M
     bB = spark.sparkContext.broadcast(B)
@@ -146,12 +151,11 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    encoded = (
-        nemb.join(assignments, "vec_id")
-        .mapInPandas(encode, schema="vec_id long, cell int, codes array<int>")
-        .cache()
-    )
+    encoded = joined_nemb.mapInPandas(
+        encode, schema="vec_id long, cell int, codes array<int>"
+    ).cache()
     encoded.count()
+    joined_nemb.unpersist()
 
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")

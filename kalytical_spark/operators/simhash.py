@@ -67,9 +67,11 @@ def _simhash_batch(texts: pd.Series) -> pd.Series:
     # the byte-reversed digest
     bits = np.unpackbits(h_bytes[:, ::-1], axis=1, bitorder="little")
     signs = bits.astype(np.int64) * 2 - 1  # (n_uniq, 64) of +-1 votes
-    if len(texts) * len(uniq) <= 1 << 26:
+    if len(texts) * len(uniq) <= 1 << 22:
         # dense (doc x uniq-token) count matrix + one matmul — much faster
-        # than scatter-add when the batch vocabulary is modest
+        # than scatter-add when the batch vocabulary is modest. Cap at
+        # ~32 MB int64 per worker: with 32 concurrent Python workers a
+        # larger dense path multiplies into gigabytes of transient memory
         cnt = np.bincount(
             doc_idx * len(uniq) + inv, minlength=len(texts) * len(uniq)
         ).reshape(len(texts), len(uniq))

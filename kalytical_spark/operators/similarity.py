@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .common import t
+from .common import banded_candidate_pairs, t
 
 TOP_K = 10
 N_PROBE = 3
@@ -277,30 +277,8 @@ def sim_lsh_hyperplane_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     sketched.count()
-    bands = sketched.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.col(f"band{b}").alias("band_key"),
-                    )
-                    for b in range(N_SIGN_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("vec_id", "b.band_idx", "b.band_key")
-    l, r = bands.alias("l"), bands.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col("l.vec_id") < F.col("r.vec_id")),
-        )
-        .select(F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b"))
-        .distinct()
+    cand = banded_candidate_pairs(sketched, "vec_id", N_SIGN_BANDS).select(
+        F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b")
     )
     # Distributed verification — the only path: join both embedding sides
     # onto the (tiny) candidate set, score each Arrow batch with one einsum.

@@ -62,10 +62,12 @@ def start_culler_query(
     cfg = cfg or load_config()
     bounded = tick_stream is not None
     if tick_stream is None:
+        # rowsPerSecond is parsed as a LONG by the rate source — a fractional
+        # value crashes at start. The sweep cadence comes from the
+        # processingTime trigger below (one foreachBatch per interval); the
+        # tick count per batch is irrelevant, so 1 row/s is fine.
         tick_stream = (
-            spark.readStream.format("rate")
-            .option("rowsPerSecond", 1.0 / max(1, cfg.incubating_job_culling_interval_s))
-            .load()
+            spark.readStream.format("rate").option("rowsPerSecond", 1).load()
         )
     writer = (
         tick_stream.writeStream.foreachBatch(culler_sink(spark, sf_dir, ledger_dir))

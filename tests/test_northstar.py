@@ -293,7 +293,7 @@ def test_ivfpq_recall_and_compression(spark):
     # ~0.25; the trained quantizers must do materially better
     assert recall >= 0.4, f"IVF-PQ recall {recall}"
     # the codes really are M small ints (the 32x compression claim)
-    assignments, C, B = pq._train_codebooks(spark, SF_ORACLE)
+    assignments, C, B, _nemb = pq._train_codebooks(spark, SF_ORACLE)
     assert B.shape == (pq.PQ_M, pq.PQ_KS, C.shape[1] // pq.PQ_M)
 
 

@@ -107,3 +107,33 @@ def test_streaming_culler_matches_batch_and_survives_restart(spark):
         again = culler.read_culler_ledger(spark, ledger).collect()
         assert len(again) == len(got_rows)
         assert {r.batch_id for r in again} == batch_ids
+
+
+def test_streaming_culler_resident_mode_starts(spark):
+    """Resident mode (no injected tick stream) must come up on the rate
+    source and run its first sweep — regression for the fractional
+    rowsPerSecond option the rate source rejects (it parses the option as
+    a LONG; a float string crashed every production start)."""
+    import time
+
+    from kalytical_spark.config import KalyticalSparkConfig
+    from kalytical_spark.streaming import culler
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ledger = os.path.join(tmp, "ledger")
+        ckpt = os.path.join(tmp, "ckpt")
+        cfg = KalyticalSparkConfig(incubating_job_culling_interval_s=2)
+        q = culler.start_culler_query(spark, SF_SMALL, ledger, ckpt, cfg=cfg)
+        try:
+            # batch 0 fires immediately with no ticks (skipped by the sink);
+            # wait for a later batch to carry a tick and run a real sweep
+            deadline = time.time() + 60
+            while time.time() < deadline and not os.path.exists(ledger):
+                if q.exception() is not None:
+                    raise AssertionError(q.exception())
+                time.sleep(1)
+            assert q.exception() is None
+            assert os.path.exists(ledger), "no sweep landed within 60s"
+        finally:
+            q.stop()
+        assert culler.read_culler_ledger(spark, ledger).count() > 0
