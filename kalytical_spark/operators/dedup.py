@@ -372,3 +372,80 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, _sql_minhash_lsh()),
     "dedup_embedding_pairs": (dedup_embedding_pairs, ORACLE_EMBEDDING_PAIRS),
 }
+
+
+FUZZY_PLANT_STRIDE = 29
+FUZZY_KEY_OFFSET = 400000
+FUZZY_NAME_LEN = 40
+FUZZY_BLOCK_PREFIX = 8
+FUZZY_MAX_DIST = 2
+
+
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy key matching (entity resolution): near-identical 'names' (the
+    first 40 chars of each document) found by BLOCKED Levenshtein — the
+    classic record-linkage shape. Candidate pairs come only from blocks
+    sharing (first 8 chars, exact length), so the edit-distance UDF-free
+    comparison runs on block-local pairs, never all pairs; at 100 TB the
+    block key is the shuffle key and blocks stay small.
+
+    Both engines implement classic Levenshtein (integer edit count), so
+    the oracle is value-exact. Non-vacuous: every 29th document gets a
+    re-keyed twin with character 10 replaced by '#' (distance exactly 1,
+    same block by construction — prefix and length survive)."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, FUZZY_NAME_LEN).alias("name")
+    )
+    planted = docs.filter(F.col("doc_id") % FUZZY_PLANT_STRIDE == 0).select(
+        (F.col("doc_id") + FUZZY_KEY_OFFSET).alias("doc_id"),
+        F.concat(
+            F.substring("name", 1, 9),
+            F.lit("#"),
+            F.substring("name", 11, FUZZY_NAME_LEN - 10),
+        ).alias("name"),
+    )
+    names = docs.unionByName(planted).select(
+        "doc_id",
+        "name",
+        F.substring("name", 1, FUZZY_BLOCK_PREFIX).alias("blk"),
+        F.length("name").alias("ln"),
+    )
+    l, r = names.alias("l"), names.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.ln") == F.col("r.ln"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("l.name"), F.col("r.name")).cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+    )
+
+
+ORACLE_FUZZY = f"""
+WITH names AS (
+  SELECT doc_id, substr(text, 1, {FUZZY_NAME_LEN}) AS name FROM documents
+  UNION ALL
+  SELECT doc_id + {FUZZY_KEY_OFFSET},
+         substr(substr(text, 1, {FUZZY_NAME_LEN}), 1, 9) || '#'
+           || substr(substr(text, 1, {FUZZY_NAME_LEN}), 11, {FUZZY_NAME_LEN - 10})
+  FROM documents WHERE doc_id % {FUZZY_PLANT_STRIDE} = 0
+), keyed AS (
+  SELECT doc_id, name, substr(name, 1, {FUZZY_BLOCK_PREFIX}) AS blk,
+         length(name) AS ln
+  FROM names
+)
+SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       CAST(levenshtein(l.name, r.name) AS INT) AS dist
+FROM keyed l JOIN keyed r
+  ON l.blk = r.blk AND l.ln = r.ln AND l.doc_id < r.doc_id
+WHERE levenshtein(l.name, r.name) <= {FUZZY_MAX_DIST}
+"""
+
+
+QUERIES["dedup_fuzzy_names"] = (dedup_fuzzy_names, ORACLE_FUZZY)

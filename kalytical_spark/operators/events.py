@@ -369,3 +369,73 @@ QUERIES: dict[str, tuple] = {
     "events_sessionization": (events_sessionization, ORACLE_SESSIONIZATION),
     "events_props_json": (events_props_json, ORACLE_PROPS_JSON),
 }
+
+
+def events_funnel_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (signup -> click -> purchase): per user the
+    first signup, the first click strictly after it, and the first purchase
+    strictly after that — the step-N-requires-step-N-1 semantics that plain
+    per-type MINs get wrong. Three min-aggregations chained by broadcastable
+    per-user frames (each stage is O(users) rows); lags are integer epoch
+    milliseconds, exact in both engines."""
+    ev = t(spark, sf_dir, "events_ms").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_signup",
+            "t_click",
+            "t_purchase",
+            (F.unix_millis("t_click") - F.unix_millis("t_signup")).alias(
+                "signup_to_click_ms"
+            ),
+            (F.unix_millis("t_purchase") - F.unix_millis("t_click")).alias(
+                "click_to_purchase_ms"
+            ),
+        )
+    )
+
+
+ORACLE_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t_signup FROM events_ms
+  WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events_ms e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t_signup
+  GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events_ms e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+  GROUP BY 1
+)
+SELECT s1.user_id, s1.t_signup, s2.t_click, s3.t_purchase,
+       epoch_ms(s2.t_click) - epoch_ms(s1.t_signup) AS signup_to_click_ms,
+       epoch_ms(s3.t_purchase) - epoch_ms(s2.t_click) AS click_to_purchase_ms
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
+QUERIES["events_funnel_completion"] = (events_funnel_completion, ORACLE_FUNNEL)
