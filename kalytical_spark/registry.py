@@ -39,6 +39,7 @@ def _load_optional():
         "components",
         "preprocess",
         "scrub",
+        "quality",
         "kmeans_ivf",
         "pq",
     ):
