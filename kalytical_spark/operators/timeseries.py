@@ -1,0 +1,271 @@
+"""Time-series operators over the event log: regular-grid resampling with
+gap fill, cohort retention, exact-integer rate anomaly detection, and
+equi-depth histograms.
+
+The reference's event surface stops at raw history fetches
+(src/kalytical/core/data_provider.py:133-147); these are the time-series
+analytics a warehouse engine layers on the same log. All four are
+oracle-backed (DuckDB) and scale-clean:
+
+* Resample/gap-fill: the dense grid is O(keys x hours) — independent of
+  event count — generated distributed via ``sequence`` + ``explode``; the
+  hourly rollup is one hash-aggregate with map-side combine. No collect.
+* Cohort retention: two hash-aggregates plus a join keyed on user_id; the
+  per-user first-seen frame is tiny relative to the log and shuffles once.
+* Rate anomaly: windowed sums over the hourly rollup (already reduced by
+  ~4 orders of magnitude), and the z-test is exact integer arithmetic —
+  ``(x*n - s)^2`` vs ``z^2 * (n*ss - s^2)`` — so the oracle comparison is
+  bit-exact with no float variance formula in either engine.
+* Equi-depth histogram: ntile over a totally-ordered (value, event_id)
+  sort per type. A per-key sort is the unavoidable cost of exact
+  equi-depth; the approx twin (events_approx_stats) is the sketch path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .common import dsum, sql_dsum, t
+
+
+def events_gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample of a sparse event slice onto a dense per-type grid,
+    forward-filling the last observed hourly sum across gap hours.
+
+    The slice (user_id % 10 = 3) keeps the series sparse at every scale
+    factor so gap hours genuinely occur (non-vacuous fill). Grid bounds are
+    per-type min/max hours; ``sequence`` builds each key's grid on the
+    executor that owns the key — the dense frame never exists on the
+    driver."""
+    ev = (
+        t(spark, sf_dir, "events_ms")
+        .filter(F.col("user_id") % 10 == 3)
+        .withColumn("hour", F.date_trunc("hour", F.col("ts")))
+    )
+    hourly = ev.groupBy("event_type", "hour").agg(
+        F.count("*").alias("n"), dsum("value").alias("sum_value")
+    )
+    spans = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    w = W.partitionBy("event_type").orderBy("hour").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return (
+        grid.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.col("n").isNull().alias("is_gap"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("ffill_sum_value"),
+        )
+    )
+
+
+ORACLE_GAP_FILL = f"""
+WITH sliced AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, ts, value
+  FROM events_ms WHERE user_id % 10 = 3
+), hourly AS (
+  SELECT event_type, hour,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         {sql_dsum('value')} AS sum_value
+  FROM sliced GROUP BY 1, 2
+), spans AS (
+  SELECT event_type,
+         date_trunc('hour', MIN(ts)) AS h0,
+         date_trunc('hour', MAX(ts)) AS h1
+  FROM sliced GROUP BY 1
+), grid AS (
+  SELECT event_type,
+         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM spans
+)
+SELECT g.event_type, g.hour,
+       COALESCE(h.n, 0) AS n,
+       (h.n IS NULL) AS is_gap,
+       last_value(h.sum_value IGNORE NULLS)
+         OVER (PARTITION BY g.event_type ORDER BY g.hour
+               ROWS UNBOUNDED PRECEDING) AS ffill_sum_value
+FROM grid g
+LEFT JOIN hourly h ON g.event_type = h.event_type AND g.hour = h.hour
+"""
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by first-seen week,
+    counted distinct per (cohort_week, week_offset) of later activity, with
+    retention in integer basis points. Week offsets are day-diffs of
+    week-truncated stamps divided by 7 — exact integers in both engines."""
+    ev = t(spark, sf_dir, "events_ms").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("act_week")
+    ).distinct()
+    ret = (
+        activity.join(first, "user_id")
+        .withColumn(
+            "week_offset",
+            (F.datediff("act_week", "cohort_week") / F.lit(7)).cast("bigint"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    return ret.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.floor(F.col("n_active") * 10000 / F.col("cohort_size"))
+        .cast("bigint")
+        .alias("retention_bps"),
+    )
+
+
+ORACLE_COHORT = """
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events_ms GROUP BY 1
+), activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+  FROM events_ms
+), ret AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', f.cohort_week, a.act_week) / 7 AS BIGINT)
+           AS week_offset,
+         CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+  FROM activity a JOIN first_seen f USING (user_id)
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM first_seen GROUP BY 1
+)
+SELECT r.cohort_week, r.week_offset, r.n_active, s.cohort_size,
+       CAST(FLOOR(r.n_active * 10000.0 / s.cohort_size) AS BIGINT)
+         AS retention_bps
+FROM ret r JOIN sizes s USING (cohort_week)
+"""
+
+# z-threshold for the anomaly test, squared and scaled by 4 so the whole
+# inequality stays in integers: |x - mean| > 2.5 sd  <=>
+# 4*(x*n - s)^2 > 25*(n*ss - s^2). Keep Spark and oracle in sync via these
+# two constants.
+_Z4_LHS = 4
+_Z25_RHS = 25
+_BASELINE_HOURS = 24
+
+
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-rate anomalies per type: an hour is anomalous when its
+    count deviates from the trailing-24h baseline by more than 2.5 sample
+    standard deviations. The test is the cross-multiplied integer form
+    ``4*(x*n - s)^2 > 25*(n*ss - s^2)`` over window sums (n, s, ss), so
+    no float mean/variance exists in either engine — exact parity. Runs on
+    the hourly rollup (4 orders smaller than the log), one window pass."""
+    ev = t(spark, sf_dir, "events_ms").withColumn(
+        "hour", F.date_trunc("hour", F.col("ts"))
+    )
+    hourly = ev.groupBy("event_type", "hour").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-_BASELINE_HOURS, -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "hour",
+        "c",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum("c").over(w).cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).cast("bigint").alias("ss"),
+    ).filter(F.col("n") == _BASELINE_HOURS)
+    lhs = _Z4_LHS * (F.col("c") * F.col("n") - F.col("s")) ** 2
+    rhs = _Z25_RHS * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    return stats.filter(lhs.cast("bigint") > rhs.cast("bigint")).select(
+        "event_type",
+        "hour",
+        "c",
+        "s",
+        "ss",
+        lhs.cast("bigint").alias("lhs"),
+        rhs.cast("bigint").alias("rhs"),
+    )
+
+
+ORACLE_RATE_ANOMALY = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events_ms GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, hour, c,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(c) OVER w AS BIGINT) AS s,
+         CAST(SUM(c * c) OVER w AS BIGINT) AS ss
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN {_BASELINE_HOURS} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour, c, s, ss,
+       CAST({_Z4_LHS} * (c * n - s) * (c * n - s) AS BIGINT) AS lhs,
+       CAST({_Z25_RHS} * (n * ss - s * s) AS BIGINT) AS rhs
+FROM stats
+WHERE n = {_BASELINE_HOURS}
+  AND {_Z4_LHS} * (c * n - s) * (c * n - s) > {_Z25_RHS} * (n * ss - s * s)
+"""
+
+
+def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth (10-bucket) histogram of ``value`` per event type:
+    ntile over the total order (value, event_id), then per-bucket count and
+    bounds. ntile's floor-with-remainder bucket assignment is identical in
+    Spark and DuckDB given the same total order; the per-key sort is the
+    honest cost of exactness (the sketch path is events_approx_stats)."""
+    ev = t(spark, sf_dir, "events_ms")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("bucket", F.ntile(10).over(w))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
+ORACLE_EQUIDEPTH = """
+SELECT event_type, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(value) AS lo,
+       MAX(value) AS hi
+FROM (
+  SELECT event_type, value,
+         ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id)
+           AS bucket
+  FROM events_ms
+)
+GROUP BY 1, 2
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "events_gap_fill_resample": (events_gap_fill_resample, ORACLE_GAP_FILL),
+    "events_cohort_retention": (events_cohort_retention, ORACLE_COHORT),
+    "events_rate_anomaly": (events_rate_anomaly, ORACLE_RATE_ANOMALY),
+    "events_equidepth_histogram": (events_equidepth_histogram, ORACLE_EQUIDEPTH),
+}

@@ -1,0 +1,74 @@
+"""Semantic tests for the time-series family: non-vacuous gap fill,
+forward-fill carry semantics, cohort-matrix invariants, exact-integer
+anomaly algebra, and equi-depth balance."""
+
+from __future__ import annotations
+
+from kalytical_spark.operators import timeseries
+from tests.conftest import SF_ORACLE
+
+
+def test_gap_fill_has_real_gaps_and_carries_forward(spark):
+    rows = timeseries.events_gap_fill_resample(spark, SF_ORACLE).collect()
+    assert rows, "resample grid should be non-empty"
+    gaps = [r for r in rows if r.is_gap]
+    hits = [r for r in rows if not r.is_gap]
+    assert gaps, "sparse slice must produce genuine gap hours (non-vacuous)"
+    assert hits, "slice must also contain observed hours"
+    # gap rows carry n=0 and the last observed sum forward
+    by_key = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.hour)):
+        if r.is_gap:
+            assert r.n == 0
+            assert r.ffill_sum_value == by_key.get(r.event_type)
+        else:
+            assert r.n > 0
+            by_key[r.event_type] = r.ffill_sum_value
+    # grid is dense: per type, hours step by exactly 1h
+    per_type: dict[str, list] = {}
+    for r in rows:
+        per_type.setdefault(r.event_type, []).append(r.hour)
+    for hours in per_type.values():
+        hours.sort()
+        assert all(
+            (b - a).total_seconds() == 3600 for a, b in zip(hours, hours[1:])
+        )
+
+
+def test_cohort_retention_invariants(spark):
+    rows = timeseries.events_cohort_retention(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.week_offset
+        assert 0 < r.n_active <= r.cohort_size
+        assert 0 < r.retention_bps <= 10000
+    # offset-0 retention is exactly 100%: every user is active in their
+    # own first-seen week by construction
+    zero = [r for r in rows if r.week_offset == 0]
+    assert zero and all(r.retention_bps == 10000 for r in zero)
+
+
+def test_rate_anomaly_algebra_is_exact(spark):
+    rows = timeseries.events_rate_anomaly(spark, SF_ORACLE).collect()
+    assert rows, "threshold should flag some hours on this corpus"
+    n = timeseries._BASELINE_HOURS
+    for r in rows:
+        # recompute the integer inequality from the surfaced window sums
+        assert r.lhs == timeseries._Z4_LHS * (r.c * n - r.s) ** 2
+        assert r.rhs == timeseries._Z25_RHS * (n * r.ss - r.s * r.s)
+        assert r.lhs > r.rhs
+
+
+def test_equidepth_buckets_are_balanced_and_ordered(spark):
+    rows = timeseries.events_equidepth_histogram(spark, SF_ORACLE).collect()
+    per_type: dict[str, list] = {}
+    for r in rows:
+        per_type.setdefault(r.event_type, []).append(r)
+    for et, bs in per_type.items():
+        bs.sort(key=lambda r: r.bucket)
+        assert [b.bucket for b in bs] == list(range(1, 11))
+        counts = [b.n for b in bs]
+        assert max(counts) - min(counts) <= 1, f"{et}: unbalanced {counts}"
+        # bucket value ranges are non-overlapping and increasing
+        for a, b in zip(bs, bs[1:]):
+            assert a.lo <= a.hi <= b.lo <= b.hi
