@@ -42,6 +42,8 @@ def _load_optional():
         "quality",
         "kmeans_ivf",
         "pq",
+        "timeseries",
+        "incremental",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
