@@ -44,6 +44,7 @@ def _load_optional():
         "pq",
         "timeseries",
         "incremental",
+        "sampling",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
