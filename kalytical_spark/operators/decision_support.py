@@ -1,0 +1,288 @@
+"""Deep decision-support join shapes (TPC-H Q8/Q13/Q18/Q21 analogues on
+the synthetic schema): outer-join distributions, having-gated join-backs,
+windowed market share, and the double-anti-join "sole late supplier".
+
+The reference's query surface is Mongo find/sort/limit
+(src/kalytical/core/data_provider.py); these cover the relational shapes a
+warehouse engine must also serve, each chosen for a distinct physical
+plan:
+
+* Q13: LEFT OUTER join with a pushed-through join-side predicate, then a
+  re-aggregation of the aggregate (distribution of counts). The zero
+  bucket only exists because the predicate lives in the JOIN condition,
+  not the WHERE — the classic outer-join-filter trap, pinned by a test.
+* Q18: having-gated aggregate joined back to its fact — the filtered agg
+  is tiny (top ~0.1% of orders), so it broadcasts; the big side is never
+  re-shuffled.
+* Q21: EXISTS / NOT-EXISTS pair re-expressed as two aggregate gates
+  (multi-supplier orders, single-late-supplier orders) — the oracle runs
+  the literal correlated EXISTS form, proving the aggregate rewrite
+  equivalent. At scale the aggregate form wins: two hash aggregates on
+  the already-shuffled orderkey vs two correlated semi-join passes.
+* Q8: per-year market share via a window sum over an aggregate — the
+  share is one IEEE division of two decimal-exact doubles (common.py
+  conventions), bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .common import DEC, t
+
+_LATE_DAYS = 60
+_Q18_MIN_QTY = 250
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-customer order counts, excluding urgent orders.
+    The priority predicate is part of the LEFT JOIN condition so customers
+    with only urgent orders land in the zero bucket instead of vanishing."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    per_cust = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "1-URGENT"),
+        "left",
+    ).groupBy("c_custkey").agg(
+        F.count("o_orderkey").cast("bigint").alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+ORACLE_Q13 = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds the threshold, joined back to
+    customer and order attributes. The having-gated aggregate is rare
+    enough to broadcast; orders/customer are probed without a re-shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty_dec"))
+        .filter(F.col("qty_dec") > _Q18_MIN_QTY)
+    )
+    return (
+        orders.join(
+            F.broadcast(big), orders.o_orderkey == F.col("l_orderkey")
+        )
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+ORACLE_Q18 = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(qty_dec AS DOUBLE) AS total_qty
+FROM (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,4))) AS qty_dec
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,4))) > {_Q18_MIN_QTY}
+) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the ONLY late supplier on multi-supplier orders
+    (lateness = shipped more than _LATE_DAYS after the order date).
+
+    The classic formulation is EXISTS(other supplier) AND NOT EXISTS(other
+    late supplier) — the oracle runs exactly that. Here both correlated
+    quantifiers collapse into aggregate gates on l_orderkey: orders with
+    >1 distinct suppliers, and late-sets with exactly 1 distinct supplier.
+    Same rows, two hash aggregates instead of two correlated passes."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = t(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_LATE_DAYS} DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    multi_supp = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") > 1)
+        .select("l_orderkey")
+    )
+    sole_late = (
+        late.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_late"))
+        .filter(F.col("n_late") == 1)
+        .select("l_orderkey")
+    )
+    return (
+        late.join(multi_supp, "l_orderkey", "left_semi")
+        .join(sole_late, "l_orderkey", "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("l_orderkey").cast("bigint").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(25)
+    )
+
+
+ORACLE_Q21 = f"""
+WITH late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL {_LATE_DAYS} DAY
+)
+SELECT s_name, CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+      )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 25
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year market share of each supplier nation in the AMERICA
+    customers' PROMO-part market. Share = nation revenue / year total —
+    numerator and denominator are decimal-exact (window sum over the
+    aggregate), surfaced as doubles plus their single-division share."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    part = t(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+                li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("c_nkey"), "n_regionkey"
+                )
+            ),
+            F.col("c_nationkey") == F.col("c_nkey"),
+        )
+        .join(F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("s_nkey"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("s_nkey"),
+        )
+        .groupBy(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            "supp_nation",
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (1 - F.col("l_discount")).cast(DEC)
+            )
+            .cast("decimal(38,6)")
+            .alias("rev_dec")
+        )
+    )
+    w = W.partitionBy("o_year")
+    return rev.select(
+        "o_year",
+        "supp_nation",
+        F.col("rev_dec").cast("double").alias("nation_rev"),
+        F.sum("rev_dec").over(w).cast("decimal(38,6)").cast("double").alias("year_rev"),
+    ).withColumn(
+        "share", F.col("nation_rev") / F.col("year_rev")
+    )
+
+
+ORACLE_Q8 = f"""
+WITH rev AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         sn.n_name AS supp_nation,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                  * CAST(1 - l_discount AS DECIMAL(12,4)))
+              AS DECIMAL(38,6)) AS rev_dec
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region   ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+  GROUP BY 1, 2
+)
+SELECT o_year, supp_nation,
+       CAST(rev_dec AS DOUBLE) AS nation_rev,
+       CAST(CAST(SUM(rev_dec) OVER (PARTITION BY o_year) AS DECIMAL(38,6))
+            AS DOUBLE) AS year_rev,
+       CAST(rev_dec AS DOUBLE)
+         / CAST(CAST(SUM(rev_dec) OVER (PARTITION BY o_year)
+                     AS DECIMAL(38,6)) AS DOUBLE) AS share
+FROM rev
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "q13_order_count_distribution": (
+        q13_order_count_distribution,
+        ORACLE_Q13,
+    ),
+    "q18_large_volume_customers": (q18_large_volume_customers, ORACLE_Q18),
+    "q21_sole_late_supplier": (q21_sole_late_supplier, ORACLE_Q21),
+    "q8_market_share": (q8_market_share, ORACLE_Q8),
+}

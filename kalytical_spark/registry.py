@@ -45,6 +45,7 @@ def _load_optional():
         "timeseries",
         "incremental",
         "sampling",
+        "decision_support",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))

@@ -1,0 +1,51 @@
+"""Semantic tests for the deep decision-support shapes: the outer-join
+zero bucket is non-vacuous, the having-gate broadcasts, the q21 aggregate
+rewrite flags only sole-late suppliers, and market shares sum to one."""
+
+from __future__ import annotations
+
+from kalytical_spark.operators import decision_support as ds
+from tests.conftest import SF_ORACLE
+
+
+def test_q13_zero_bucket_exists(spark):
+    rows = ds.q13_order_count_distribution(spark, SF_ORACLE).collect()
+    assert rows
+    counts = {r.c_count: r.custdist for r in rows}
+    assert 0 in counts and counts[0] > 0, (
+        "customers whose only orders are urgent must land in the zero "
+        "bucket — the predicate belongs in the JOIN condition, not WHERE"
+    )
+    assert len(counts) > 3
+
+
+def test_q18_threshold_and_broadcast(spark):
+    df = ds.q18_large_volume_customers(spark, SF_ORACLE)
+    rows = df.collect()
+    assert rows
+    assert all(r.total_qty > ds._Q18_MIN_QTY for r in rows)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, (
+        "the having-gated aggregate is rare and must broadcast"
+    )
+
+
+def test_q21_sole_late_semantics(spark):
+    rows = ds.q21_sole_late_supplier(spark, SF_ORACLE).collect()
+    assert rows, "lateness threshold should flag suppliers on this corpus"
+    assert all(r.numwait >= 1 for r in rows)
+    # descending by numwait with name tie-break
+    pairs = [(r.numwait, r.s_name) for r in rows]
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+
+
+def test_q8_shares_partition_unity(spark):
+    rows = ds.q8_market_share(spark, SF_ORACLE).collect()
+    assert rows
+    per_year: dict[int, float] = {}
+    for r in rows:
+        assert 0.0 < r.share <= 1.0
+        assert r.nation_rev <= r.year_rev
+        per_year[r.o_year] = per_year.get(r.o_year, 0.0) + r.share
+    for y, s in per_year.items():
+        assert abs(s - 1.0) < 1e-9, f"{y}: shares sum to {s}"
