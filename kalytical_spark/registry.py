@@ -46,6 +46,7 @@ def _load_optional():
         "incremental",
         "sampling",
         "decision_support",
+        "filtering",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
