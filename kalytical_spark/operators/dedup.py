@@ -163,11 +163,23 @@ def _minhash_aggs() -> list:
     ]
 
 
+# session-scoped memo of the verified pair set: the LSH mine is the shared
+# upstream of three query families (dedup_minhash_lsh itself, the
+# connected-components clustering, and the curation pipeline) — without it
+# each caller repays the full shingle->minhash->band->verify cost. The
+# result is a few hundred rows; the intermediates are unpersisted once it
+# materializes. Keyed by (session, sf_dir) like common._NOW_CACHE.
+_PAIR_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup mining (the scale path): 16 minhashes per doc
     -> 8 bands of 2 -> candidate pairs within band buckets -> verified with
     exact Jaccard >= 0.7. At 100 TB the expensive all-pairs join never
     happens; only band-bucket collisions are compared."""
+    memo_key = (id(spark._jsparkSession), sf_dir)
+    if memo_key in _PAIR_CACHE:
+        return _PAIR_CACHE[memo_key]
     sh = _shingles_df(spark, sf_dir).cache()
     sh.count()  # eager: three downstream subtrees scan this; materialize once
     sig = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"), *_minhash_aggs())
@@ -220,9 +232,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_inter").cast("double")
         / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
     )
-    return verified.filter(F.col("jaccard") >= LSH_VERIFY_THRESHOLD).select(
-        "doc_a", "doc_b", "jaccard"
+    result = (
+        verified.filter(F.col("jaccard") >= LSH_VERIFY_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .cache()
     )
+    result.count()  # materialize so the intermediates can be released
+    for df in (sh, long, cand):
+        df.unpersist()
+    _PAIR_CACHE[memo_key] = result
+    return result
 
 
 def _sql_minhash_lsh_ctes() -> str:
