@@ -1,0 +1,156 @@
+"""Embedding aggregation statistics: per-label centroids via the
+posexplode + groupBy(label, pos) pattern, and per-label coherence via the
+gram identity — the O(N) rewrite of the O(N^2) mean-pairwise-similarity.
+
+Why these two shapes matter at 100 TB:
+* The centroid update is THE distributed pattern for embedding
+  aggregation (the same one the k-means trainer uses,
+  kmeans_ivf.py): explode components, hash-aggregate on (cell/label,
+  position), never collect a vector matrix anywhere. Output is
+  |labels| x dim rows — independent of corpus size.
+* Mean pairwise dot product NEVER needs the pair join:
+  sum_{i<j} q_i . q_j = (||sum_i q_i||^2 - sum_i ||q_i||^2) / 2 — two
+  linear passes and an identity, instead of an N^2 self-join. At 1000
+  executors this is the difference between a broadcast-scale rollup and
+  an impossible shuffle.
+
+Determinism: float components are quantized to exact integer micro-units
+(floor(val * 1e6) — float->double is exact, the product and floor are
+identical IEEE ops in both engines), so every aggregate here is exact
+integer arithmetic; the final means are single double divisions. No
+float summation order anywhere (common.py conventions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import t
+
+_U = 1_000_000  # micro-unit quantization scale
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, pos, q): integer micro-unit components."""
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.floor(F.col("val").cast("double") * _U).cast("bigint").alias("q"),
+    )
+
+
+# DuckDB twin of _quantized: parallel unnests in the SELECT list zip
+# together, giving (component, 0-based position) pairs.
+_SQL_QUANTIZED = f"""
+  SELECT vec_id, label,
+         unnest(generate_series(1, len(embedding))) - 1 AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_U}) AS BIGINT) AS q
+  FROM embeddings
+"""
+
+
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, component-wise: exact integer sums over the
+    exploded components, surfaced with the single-division mean. One hash
+    aggregate after a partition-local explode — no shuffle of vectors,
+    no driver materialization, |labels| x dim output rows."""
+    q = _quantized(spark, sf_dir)
+    return q.groupBy("label", "pos").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sum_q"),
+        (
+            F.sum("q").cast("double")
+            / (F.count("*") * F.lit(_U)).cast("double")
+        ).alias("centroid"),
+    )
+
+
+ORACLE_CENTROIDS = f"""
+SELECT label, pos,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(q) AS BIGINT) AS sum_q,
+       CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) * {_U} AS DOUBLE) AS centroid
+FROM ({_SQL_QUANTIZED})
+GROUP BY 1, 2
+"""
+
+
+def emb_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean pairwise dot product WITHOUT the pair join:
+    (||sum of vectors||^2 - sum of squared norms) / 2 over the quantized
+    integers — exact, linear, shuffle-light. Also surfaces the mean
+    squared norm so the coherence is interpretable as near-cosine (the
+    synthetic embeddings are near unit norm)."""
+    q = _quantized(spark, sf_dir)
+    # per (label, pos): component sum  ->  per label: ||S||^2
+    comp = q.groupBy("label", "pos").agg(F.sum("q").alias("s"))
+    s2 = comp.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).cast("bigint").alias("sum_s2")
+    )
+    # per vec: squared norm  ->  per label: count + sum of squared norms
+    norms = q.groupBy("label", "vec_id").agg(
+        F.sum(F.col("q") * F.col("q")).alias("norm2")
+    )
+    per_label = norms.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("norm2").cast("bigint").alias("sum_norm2"),
+    )
+    u2 = float(_U) * float(_U)
+    # (||S||^2 - sum ||v||^2) is even by the identity; integer `div` keeps
+    # the halving exact where a float `/ 2` would round past 2^53
+    pair = F.expr("(sum_s2 - sum_norm2) div 2")
+    return (
+        per_label.join(s2, "label")
+        .filter(F.col("n") > 1)
+        .select(
+            "label",
+            "n",
+            pair.cast("bigint").alias("pair_dot_sum"),
+            (
+                pair.cast("double")
+                / ((F.col("n") * (F.col("n") - 1) / 2).cast("double") * F.lit(u2))
+            ).alias("mean_pair_dot"),
+            (
+                F.col("sum_norm2").cast("double")
+                / (F.col("n").cast("double") * F.lit(u2))
+            ).alias("mean_norm2"),
+        )
+    )
+
+
+ORACLE_COHERENCE = f"""
+WITH q AS ({_SQL_QUANTIZED}),
+comp AS (
+  SELECT label, pos, SUM(q) AS s FROM q GROUP BY 1, 2
+), s2 AS (
+  SELECT label, CAST(SUM(s * s) AS BIGINT) AS sum_s2 FROM comp GROUP BY 1
+), norms AS (
+  SELECT label, vec_id, SUM(q * q) AS norm2 FROM q GROUP BY 1, 2
+), per_label AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(norm2) AS BIGINT) AS sum_norm2
+  FROM norms GROUP BY 1
+)
+SELECT p.label, p.n,
+       CAST((s2.sum_s2 - p.sum_norm2) // 2 AS BIGINT) AS pair_dot_sum,
+       CAST((s2.sum_s2 - p.sum_norm2) // 2 AS DOUBLE)
+         / (CAST(p.n * (p.n - 1) / 2 AS DOUBLE) * {_U}.0 * {_U}.0)
+         AS mean_pair_dot,
+       CAST(p.sum_norm2 AS DOUBLE)
+         / (CAST(p.n AS DOUBLE) * {_U}.0 * {_U}.0) AS mean_norm2
+FROM per_label p JOIN s2 USING (label)
+WHERE p.n > 1
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "emb_label_centroids": (emb_label_centroids, ORACLE_CENTROIDS),
+    "emb_label_coherence": (emb_label_coherence, ORACLE_COHERENCE),
+}

@@ -47,6 +47,7 @@ def _load_optional():
         "sampling",
         "decision_support",
         "filtering",
+        "embedding_stats",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
