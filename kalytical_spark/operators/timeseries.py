@@ -263,9 +263,56 @@ GROUP BY 1, 2
 """
 
 
+_WAU_DAYS = 7
+
+
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day, EXACT — the sliding-window
+    distinct that window functions cannot express (COUNT(DISTINCT) OVER
+    RANGE is unsupported) and a self-join would make quadratic. Shape:
+    dedup to (user, day), explode each into the _WAU_DAYS window days it
+    covers (a bounded 7x row multiply on the already-deduped frame), one
+    countDistinct per window day. At 100 TB the explode is partition-local
+    and the only shuffle is the final day-keyed aggregate."""
+    ev = t(spark, sf_dir, "events_ms")
+    user_days = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    span = F.sequence(
+        F.col("day"), F.date_add("day", _WAU_DAYS - 1), F.expr("INTERVAL 1 DAY")
+    )
+    covered = user_days.select(
+        "user_id", F.explode(span).alias("window_day")
+    ).withColumn("window_day", F.col("window_day").cast("date"))
+    max_day = user_days.agg(F.max("day")).first()[0]
+    return (
+        covered.filter(F.col("window_day") <= F.lit(max_day))
+        .groupBy("window_day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
+
+
+ORACLE_ROLLING_WAU = f"""
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events_ms
+), covered AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(day, day + INTERVAL {_WAU_DAYS - 1} DAY,
+                                     INTERVAL 1 DAY)) AS DATE) AS window_day
+  FROM user_days
+)
+SELECT window_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+FROM covered
+WHERE window_day <= (SELECT MAX(day) FROM user_days)
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "events_gap_fill_resample": (events_gap_fill_resample, ORACLE_GAP_FILL),
     "events_cohort_retention": (events_cohort_retention, ORACLE_COHORT),
     "events_rate_anomaly": (events_rate_anomaly, ORACLE_RATE_ANOMALY),
     "events_equidepth_histogram": (events_equidepth_histogram, ORACLE_EQUIDEPTH),
+    "events_rolling_wau": (events_rolling_wau, ORACLE_ROLLING_WAU),
 }

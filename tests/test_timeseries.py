@@ -59,6 +59,36 @@ def test_rate_anomaly_algebra_is_exact(spark):
         assert r.lhs > r.rhs
 
 
+def test_rolling_wau_dominates_dau_and_is_monotone_in_coverage(spark):
+    from pyspark.sql import functions as F
+    from kalytical_spark.operators.common import t
+
+    rows = timeseries.events_rolling_wau(spark, SF_ORACLE).collect()
+    assert rows
+    wau = {r.window_day: r.wau for r in rows}
+    # brute-force check on a few days: wau(d) == distinct users active in
+    # (d-6 .. d]
+    ud = (
+        t(spark, SF_ORACLE, "events_ms")
+        .select("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .distinct()
+        .collect()
+    )
+    days = sorted(wau)
+    for d in days[:: max(1, len(days) // 5)]:
+        expect = len(
+            {r.user_id for r in ud if 0 <= (d - r.day).days <= timeseries._WAU_DAYS - 1}
+        )
+        assert wau[d] == expect, d
+    # WAU dominates single-day active counts
+    dau: dict = {}
+    for r in ud:
+        dau[r.day] = dau.get(r.day, 0) + 1
+    for d, n in dau.items():
+        if d in wau:
+            assert wau[d] >= n
+
+
 def test_equidepth_buckets_are_balanced_and_ordered(spark):
     rows = timeseries.events_equidepth_histogram(spark, SF_ORACLE).collect()
     per_type: dict[str, list] = {}
