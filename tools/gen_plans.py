@@ -87,6 +87,35 @@ SHOWCASE = [
         "shuffled; the cached DP result feeds the max and argmax consumers\n"
         "once.",
     ),
+    (
+        "orders_incremental_agg",
+        lambda s: _incremental().orders_incremental_agg(s, SF),
+        "Incremental view maintenance: the snapshot diff is one keyed\n"
+        "full-outer sort-merge join; signed deltas aggregate only the\n"
+        "touched keys and merge into the old aggregate with one small\n"
+        "outer join — the unchanged bulk is never re-aggregated.",
+    ),
+    (
+        "emb_label_coherence",
+        lambda s: _embedding_stats().emb_label_coherence(s, SF),
+        "Gram-identity coherence: two linear hash aggregates over the\n"
+        "exploded components replace the O(N^2) vector self-join; the only\n"
+        "join in the plan is the |labels|-row rollup merge.",
+    ),
+    (
+        "docs_quality_classifier",
+        lambda s: _filtering().docs_quality_classifier(s, SF),
+        "Model-based filtering as a pure projection: the integer-logit\n"
+        "scorer runs in whole-stage codegen directly over the scan — no\n"
+        "Exchange, no Python nodes (enforced in tests/test_filtering.py).",
+    ),
+    (
+        "events_balanced_sample",
+        lambda s: _sampling().events_balanced_sample(s, SF),
+        "Deterministic stratified sampling: the per-stratum threshold dim\n"
+        "broadcasts onto the scan, so selection is partition-local; the\n"
+        "only exchanges belong to the tiny count and audit aggregates.",
+    ),
 ]
 
 
@@ -112,6 +141,30 @@ def _graph():
     from kalytical_spark.operators import graph
 
     return graph
+
+
+def _incremental():
+    from kalytical_spark.operators import incremental
+
+    return incremental
+
+
+def _embedding_stats():
+    from kalytical_spark.operators import embedding_stats
+
+    return embedding_stats
+
+
+def _filtering():
+    from kalytical_spark.operators import filtering
+
+    return filtering
+
+
+def _sampling():
+    from kalytical_spark.operators import sampling
+
+    return sampling
 
 
 def main() -> None:
