@@ -247,8 +247,65 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("hamming") <= PHASH_HAMMING_MAX)
 
 
+_CHUNK_BYTES = 256
+
+
+def mm_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-plan manifest for binary assets: one row per fixed-size byte
+    range (offset, length) a downstream decode fleet would fetch — the
+    distributed work-list builder for processing 100 TB of media without
+    any worker ever holding a whole asset. Pure metadata arithmetic: the
+    payload bytes are never shuffled, only lengths; the explode fans each
+    asset into ceil(n_bytes / chunk) bounded rows."""
+    payloads = _with_payload(spark, sf_dir)
+    sized = payloads.select(
+        "doc_id", "source", F.length("payload").cast("bigint").alias("n_bytes")
+    )
+    n_chunks = F.ceil(F.col("n_bytes") / _CHUNK_BYTES).cast("bigint")
+    return (
+        sized.select(
+            "doc_id",
+            "source",
+            "n_bytes",
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "chunk_idx",
+            (F.col("chunk_idx") * _CHUNK_BYTES).cast("bigint").alias("offset"),
+            F.least(
+                F.lit(_CHUNK_BYTES).cast("bigint"),
+                F.col("n_bytes") - F.col("chunk_idx") * _CHUNK_BYTES,
+            ).alias("length"),
+        )
+    )
+
+
+ORACLE_CHUNK_MANIFEST = f"""
+WITH sized AS (
+  SELECT doc_id, source,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+), fanned AS (
+  SELECT doc_id, source, n_bytes,
+         unnest(generate_series(0,
+             CAST(ceil(n_bytes / {_CHUNK_BYTES}.0) AS BIGINT) - 1)) AS chunk_idx
+  FROM sized
+)
+SELECT doc_id, source, chunk_idx,
+       CAST(chunk_idx * {_CHUNK_BYTES} AS BIGINT) AS offset,
+       CAST(least({_CHUNK_BYTES}, n_bytes - chunk_idx * {_CHUNK_BYTES})
+            AS BIGINT) AS length
+FROM fanned
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "mm_binary_stats": (mm_binary_stats, ORACLE_BINARY_STATS),
+    "mm_chunk_manifest": (mm_chunk_manifest, ORACLE_CHUNK_MANIFEST),
     "mm_decode_features": (mm_decode_features, None),
     "mm_feature_rollup": (mm_feature_rollup, None),
     "mm_frame_sample": (mm_frame_sample, None),

@@ -48,6 +48,7 @@ def _load_optional():
         "decision_support",
         "filtering",
         "embedding_stats",
+        "skew",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
