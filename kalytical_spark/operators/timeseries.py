@@ -309,10 +309,76 @@ GROUP BY 1
 """
 
 
+_MAD_K = 5  # outlier threshold in MADs
+
+
+def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier summary per event type: values more than
+    ``_MAD_K`` median-absolute-deviations from the median. Median and MAD
+    come from exact continuous quantiles (Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the interpolation formula — verified
+    bit-exact); deviations are single IEEE subtractions. Two aggregate
+    passes plus broadcast joins of the per-type stats — the robust-stats
+    shape that survives heavy-tailed 100 TB telemetry where mean/stddev
+    thresholds drown in the outliers they're hunting."""
+    ev = t(spark, sf_dir, "events_ms").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type", "med").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    flagged = (
+        dev.join(F.broadcast(mad.select("event_type", "mad")), "event_type")
+        .filter(F.col("adev") > _MAD_K * F.col("mad"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_outliers"),
+            F.max("adev").alias("max_adev"),
+        )
+    )
+    return mad.join(flagged, "event_type", "left").select(
+        "event_type",
+        "med",
+        "mad",
+        F.coalesce("n_outliers", F.lit(0)).cast("bigint").alias("n_outliers"),
+        "max_adev",
+    )
+
+
+ORACLE_ROBUST_OUTLIERS = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events_ms GROUP BY 1
+), dev AS (
+  SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+  FROM events_ms e JOIN med m ON e.event_type = m.event_type
+), mad AS (
+  SELECT event_type, med, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY 1, 2
+), flagged AS (
+  SELECT d.event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_outliers,
+         MAX(d.adev) AS max_adev
+  FROM dev d JOIN mad m ON d.event_type = m.event_type
+  WHERE d.adev > {_MAD_K} * m.mad
+  GROUP BY 1
+)
+SELECT m.event_type, m.med, m.mad,
+       CAST(COALESCE(f.n_outliers, 0) AS BIGINT) AS n_outliers,
+       f.max_adev
+FROM mad m LEFT JOIN flagged f ON m.event_type = f.event_type
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "events_gap_fill_resample": (events_gap_fill_resample, ORACLE_GAP_FILL),
     "events_cohort_retention": (events_cohort_retention, ORACLE_COHORT),
     "events_rate_anomaly": (events_rate_anomaly, ORACLE_RATE_ANOMALY),
     "events_equidepth_histogram": (events_equidepth_histogram, ORACLE_EQUIDEPTH),
     "events_rolling_wau": (events_rolling_wau, ORACLE_ROLLING_WAU),
+    "events_robust_outliers": (events_robust_outliers, ORACLE_ROBUST_OUTLIERS),
 }

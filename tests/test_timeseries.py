@@ -89,6 +89,36 @@ def test_rolling_wau_dominates_dau_and_is_monotone_in_coverage(spark):
             assert wau[d] >= n
 
 
+def test_robust_outliers_match_bruteforce(spark):
+    from kalytical_spark.operators.common import t
+
+    rows = timeseries.events_robust_outliers(spark, SF_ORACLE).collect()
+    assert rows
+    vals: dict[str, list] = {}
+    for r in (
+        t(spark, SF_ORACLE, "events_ms").select("event_type", "value").collect()
+    ):
+        vals.setdefault(r.event_type, []).append(r.value)
+
+    def q50(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        mid = (n - 1) / 2
+        lo, hi = xs[int(mid)], xs[int(mid + 0.5)]
+        return (lo + hi) / 2
+
+    for r in rows:
+        xs = vals[r.event_type]
+        med = q50(xs)
+        assert r.med == med
+        devs = [abs(x - med) for x in xs]
+        mad = q50(devs)
+        assert r.mad == mad
+        n_out = sum(1 for d in devs if d > timeseries._MAD_K * mad)
+        assert r.n_outliers == n_out
+        assert r.mad >= 0 and (r.n_outliers == 0 or r.max_adev > 0)
+
+
 def test_equidepth_buckets_are_balanced_and_ordered(spark):
     rows = timeseries.events_equidepth_histogram(spark, SF_ORACLE).collect()
     per_type: dict[str, list] = {}
