@@ -48,7 +48,16 @@ def main() -> None:
         names = [n for n in _ONLY.split(",") if n in queries]
 
     timings: dict[str, float] = {}
-    for name in names:
+    for i, name in enumerate(names):
+        if i % 15 == 0:
+            # nudge a major collection OUTSIDE the timed span: across 120+
+            # queries the heap accumulates cached blocks and a G1 full GC
+            # otherwise lands on one arbitrary query as a 20-40s outlier
+            # (session.py notes); steady-state per-query time is the metric
+            try:
+                spark._jvm.System.gc()
+            except Exception:
+                pass
         fn, _oracle = queries[name]
         t0 = time.time()
         try:

@@ -238,8 +238,101 @@ GROUP BY 1, 2
 """
 
 
+# Integer PageRank: all arithmetic in scaled integers (rank unit = _PR_U),
+# damping 85/100 applied as multiply-then-floor-divide, per-edge
+# contribution = rank div outdeg. Identical floor semantics in Spark
+# (`div`) and DuckDB (`//`) make every iteration bit-exact across engines
+# — no float accumulation to diverge. Dangling mass is dropped (documented
+# leak; ranking order is what the scheduler consumes). _PR_ITERS fixed
+# iterations, no convergence test — deterministic plan depth.
+_PR_U = 1_000_000
+_PR_ITERS = 8
+_PR_D_NUM, _PR_D_DEN = 85, 100
+
+
+def dag_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline criticality ranking: integer PageRank over the dependency
+    DAG. Spark runs _PR_ITERS broadcast-join iterations (the edge list is
+    O(pipelines) and broadcast; ranks reshuffle only on the dst-keyed
+    contribution aggregate); the oracle unrolls the same recurrence as a
+    CTE chain — two execution strategies, bit-identical integer fixpoint
+    prefix."""
+    edges = t(spark, sf_dir, "dag_edges").select(
+        F.col("upstream_uuid").alias("src"), F.col("pipeline_uuid").alias("dst")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))
+    e_deg = F.broadcast(
+        edges.join(outdeg, "src").select("src", "dst", "deg")
+    )
+    ranks = nodes.withColumn("rank_u", F.lit(_PR_U).cast("bigint"))
+    base = (_PR_D_DEN - _PR_D_NUM) * _PR_U
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ranks.join(e_deg, ranks["node"] == F.col("src"))
+            .select(F.col("dst").alias("node"), F.expr("rank_u div deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            F.expr(
+                f"CAST({base} div {_PR_D_DEN} + "
+                f"({_PR_D_NUM} * coalesce(s, 0L)) div {_PR_D_DEN} AS BIGINT)"
+            ).alias("rank_u"),
+        )
+    return ranks
+
+
+def _pr_oracle() -> str:
+    base = (_PR_D_DEN - _PR_D_NUM) * _PR_U
+    ctes = [
+        """nodes AS (
+  SELECT upstream_uuid AS node FROM dag_edges
+  UNION
+  SELECT pipeline_uuid FROM dag_edges
+), outdeg AS (
+  SELECT upstream_uuid AS node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM dag_edges GROUP BY 1
+), e_deg AS (
+  SELECT e.upstream_uuid AS src, e.pipeline_uuid AS dst, o.deg
+  FROM dag_edges e JOIN outdeg o ON e.upstream_uuid = o.node
+), pr0 AS (
+  SELECT node, CAST(%d AS BIGINT) AS rank_u FROM nodes
+)"""
+        % _PR_U
+    ]
+    for i in range(_PR_ITERS):
+        ctes.append(
+            f"""contrib{i} AS (
+  SELECT ed.dst AS node, SUM(p.rank_u // ed.deg) AS s
+  FROM e_deg ed JOIN pr{i} p ON ed.src = p.node
+  GROUP BY 1
+), pr{i + 1} AS (
+  SELECT n.node,
+         CAST({base} // {_PR_D_DEN}
+              + ({_PR_D_NUM} * COALESCE(c.s, 0)) // {_PR_D_DEN} AS BIGINT)
+           AS rank_u
+  FROM nodes n LEFT JOIN contrib{i} c ON n.node = c.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, rank_u FROM pr{_PR_ITERS}"
+    )
+
+
+ORACLE_PAGERANK = _pr_oracle()
+
+
 QUERIES: dict[str, tuple] = {
     "dag_transitive_downstream": (dag_transitive_downstream, ORACLE_TRANSITIVE),
     "dag_impact_analysis": (dag_impact_analysis, ORACLE_IMPACT),
     "dag_critical_path": (dag_critical_path, ORACLE_CRITICAL_PATH),
+    "dag_pagerank": (dag_pagerank, ORACLE_PAGERANK),
 }
