@@ -67,6 +67,43 @@ def read_version(
     return spark.read.parquet(_version_dir(table_dir, v))
 
 
+def compact_version(
+    spark: SparkSession, table_dir: str, target_files: int
+) -> int:
+    """Compact the current snapshot's small files into ``target_files``
+    parquet files and commit the result as a NEW version (the original
+    snapshot stays readable — compaction is just another snapshot write,
+    so time travel and concurrent readers are untouched). At scale this is
+    the bin-packing maintenance job that keeps scan task counts sane after
+    many incremental writes."""
+    cur = read_version(spark, table_dir)
+    return write_version(cur.coalesce(target_files), table_dir)
+
+
+def vacuum(table_dir: str, keep_last: int) -> list[int]:
+    """Delete snapshot directories older than the ``keep_last`` most
+    recent versions (never the pointer target). Returns the removed
+    version numbers. The window is the retention contract: time travel
+    keeps working for every retained version."""
+    import shutil
+
+    cur = current_version(table_dir)
+    if cur is None:
+        return []
+    versions = sorted(
+        int(d[1:])
+        for d in os.listdir(table_dir)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    keep = set(versions[-keep_last:]) | {cur}
+    removed = []
+    for v in versions:
+        if v not in keep:
+            shutil.rmtree(_version_dir(table_dir, v))
+            removed.append(v)
+    return removed
+
+
 def diff_versions(
     spark: SparkSession, table_dir: str, v_old: int, v_new: int, key: str
 ) -> DataFrame:

@@ -66,3 +66,37 @@ def test_failed_write_leaves_pointer_untouched(spark, tmp_path):
         versioned.write_version(df, tbl)
     assert versioned.current_version(tbl) == 1
     assert versioned.read_version(spark, tbl).count() == 5
+
+
+def test_compact_preserves_rows_and_shrinks_files(spark, tmp_path):
+    import glob
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(0, 1000).select("id", (F.col("id") % 7).alias("grp"))
+    versioned.write_version(df.repartition(16), tbl)
+    before = glob.glob(f"{tbl}/v1/part-*.parquet")
+    assert len(before) >= 16
+    v = versioned.compact_version(spark, tbl, target_files=2)
+    assert v == 2
+    after = glob.glob(f"{tbl}/v2/part-*.parquet")
+    assert len(after) <= 2
+    # contents identical, original snapshot untouched (time travel intact)
+    a = {(r.id, r.grp) for r in versioned.read_version(spark, tbl, 2).collect()}
+    b = {(r.id, r.grp) for r in versioned.read_version(spark, tbl, 1).collect()}
+    assert a == b and len(a) == 1000
+
+
+def test_vacuum_retention_window(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    for i in range(4):
+        versioned.write_version(
+            spark.range(0, 10 + i).select("id"), tbl
+        )
+    removed = versioned.vacuum(tbl, keep_last=2)
+    assert removed == [1, 2]
+    # retained versions still time-travel; current pointer unaffected
+    assert versioned.current_version(tbl) == 4
+    assert versioned.read_version(spark, tbl, 3).count() == 12
+    assert versioned.read_version(spark, tbl).count() == 13
+    # vacuuming again is a no-op
+    assert versioned.vacuum(tbl, keep_last=2) == []
