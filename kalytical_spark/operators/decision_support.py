@@ -277,6 +277,144 @@ FROM rev
 """
 
 
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: per line status, how many LATE-shipped lineitems belong
+    to urgent/high-priority orders vs others — conditional aggregation
+    after an equi-join, the classic two-bucket CASE rollup."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_LATE_DAYS} DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_Q12 = f"""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL {_LATE_DAYS} DAY
+GROUP BY 1
+"""
+
+
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: promo-part revenue share of total revenue — two
+    decimal-exact conditional sums and one IEEE division; the part dim
+    broadcasts onto the lineitem scan."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount")).cast(DEC)
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC)))
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("promo_revenue"),
+        F.sum(rev).cast("decimal(38,6)").cast("double").alias("total_revenue"),
+    ).select(
+        "promo_revenue",
+        "total_revenue",
+        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+            "promo_share_pct"
+        ),
+    )
+
+
+ORACLE_Q14 = """
+WITH sums AS (
+  SELECT CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice AS DECIMAL(12,4))
+                       * CAST(1 - l_discount AS DECIMAL(12,4))
+                  ELSE CAST(0 AS DECIMAL(12,4)) END) AS DECIMAL(38,6))
+              AS DOUBLE) AS promo_revenue,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                       * CAST(1 - l_discount AS DECIMAL(12,4)))
+                   AS DECIMAL(38,6)) AS DOUBLE) AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT promo_revenue, total_revenue,
+       100.0 * promo_revenue / total_revenue AS promo_share_pct
+FROM sums
+"""
+
+
+_DORMANT_CUTOFF = "2000-01-01 00:00:00"
+
+
+def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: per nation, customers with above-average positive
+    account balance and no orders since the dormancy cutoff — a broadcast
+    scalar subquery feeding a filter, then an anti join against the recent
+    order window, then the rollup. (Plain 'no orders ever' is vacuous on
+    this corpus — every customer has orders — so the dormancy window keeps
+    the anti join non-vacuous at every scale factor.) The decimal-exact
+    global average makes the threshold bit-identical across engines."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    nation = t(spark, sf_dir, "nation")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+                / F.count("*").cast("double")
+            ).alias("avg_bal")
+        )
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(_DORMANT_CUTOFF).cast("timestamp")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal").cast(DEC) > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+ORACLE_Q22 = f"""
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS totacctbal
+FROM customer, avg_bal
+JOIN nation ON c_nationkey = n_nationkey
+WHERE CAST(c_acctbal AS DECIMAL(12,4)) > avg_bal
+  AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '{_DORMANT_CUTOFF}'
+      )
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q13_order_count_distribution": (
         q13_order_count_distribution,
@@ -285,4 +423,7 @@ QUERIES: dict[str, tuple] = {
     "q18_large_volume_customers": (q18_large_volume_customers, ORACLE_Q18),
     "q21_sole_late_supplier": (q21_sole_late_supplier, ORACLE_Q21),
     "q8_market_share": (q8_market_share, ORACLE_Q8),
+    "q12_late_shipment_priority": (q12_late_shipment_priority, ORACLE_Q12),
+    "q14_promo_revenue_share": (q14_promo_revenue_share, ORACLE_Q14),
+    "q22_dormant_high_balance": (q22_dormant_high_balance, ORACLE_Q22),
 }

@@ -39,6 +39,26 @@ def test_q21_sole_late_semantics(spark):
     assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
 
 
+def test_q12_buckets_partition_all_late_lines(spark):
+    rows = ds.q12_late_shipment_priority(spark, SF_ORACLE).collect()
+    assert rows
+    assert any(r.high_line_count > 0 for r in rows)
+    assert any(r.low_line_count > 0 for r in rows)
+
+
+def test_q14_share_bounds(spark):
+    (r,) = ds.q14_promo_revenue_share(spark, SF_ORACLE).collect()
+    assert 0 < r.promo_revenue < r.total_revenue
+    assert 0 < r.promo_share_pct < 100
+    assert r.promo_share_pct == 100.0 * r.promo_revenue / r.total_revenue
+
+
+def test_q22_dormant_non_vacuous(spark):
+    rows = ds.q22_dormant_high_balance(spark, SF_ORACLE).collect()
+    assert rows, "dormancy window must keep the anti join non-vacuous"
+    assert all(r.numcust > 0 and r.totacctbal > 0 for r in rows)
+
+
 def test_q8_shares_partition_unity(spark):
     rows = ds.q8_market_share(spark, SF_ORACLE).collect()
     assert rows
