@@ -49,6 +49,7 @@ def _load_optional():
         "filtering",
         "embedding_stats",
         "skew",
+        "mix",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
