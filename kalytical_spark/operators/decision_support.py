@@ -415,7 +415,51 @@ GROUP BY 1
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: per part, the supplier with the cheapest lineitem (argmin
+    join). Expressed as a window rank over (price, suppkey) — the
+    decorrelated form of Q2's correlated MIN subquery; ties break on
+    suppkey so the argmin is total. Supplier and nation dims broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    w = W.partitionBy("l_partkey").orderBy(
+        F.asc("l_extendedprice"), F.asc("l_suppkey")
+    )
+    best = (
+        li.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    return (
+        best.join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_name",
+            F.col("n_name").alias("supp_nation"),
+            F.col("l_extendedprice").alias("best_price"),
+        )
+    )
+
+
+ORACLE_Q2 = """
+SELECT l_partkey AS p_partkey, s_name, n_name AS supp_nation,
+       l_extendedprice AS best_price
+FROM (
+  SELECT l_partkey, l_suppkey, l_extendedprice,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY l_extendedprice, l_suppkey) AS rk
+  FROM lineitem
+)
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE rk = 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q2_min_cost_supplier": (q2_min_cost_supplier, ORACLE_Q2),
     "q13_order_count_distribution": (
         q13_order_count_distribution,
         ORACLE_Q13,

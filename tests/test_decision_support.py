@@ -59,6 +59,27 @@ def test_q22_dormant_non_vacuous(spark):
     assert all(r.numcust > 0 and r.totacctbal > 0 for r in rows)
 
 
+def test_q2_argmin_total_and_minimal(spark):
+    from pyspark.sql import functions as F
+    from kalytical_spark.operators.common import t
+
+    rows = ds.q2_min_cost_supplier(spark, SF_ORACLE).collect()
+    assert rows
+    by_part = {}
+    for r in rows:
+        assert r.p_partkey not in by_part, "argmin must be total: one row per part"
+        by_part[r.p_partkey] = r.best_price
+    mins = {
+        r.l_partkey: r.m
+        for r in t(spark, SF_ORACLE, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.min("l_extendedprice").alias("m"))
+        .collect()
+    }
+    assert by_part == {k: mins[k] for k in by_part}
+    assert set(by_part) == set(mins)
+
+
 def test_q8_shares_partition_unity(spark):
     rows = ds.q8_market_share(spark, SF_ORACLE).collect()
     assert rows
