@@ -27,8 +27,9 @@ MAX_CC_ITERS = 50
 
 # session-scoped memo: dedup_cluster_components and dedup_cluster_summary
 # share one labels computation per sf_dir (replay._DECISIONS_CACHE
-# precedent); the labels DataFrame stays cached
-_CC_CACHE: dict[str, DataFrame] = {}
+# precedent); the labels DataFrame stays cached. Keyed by (session,
+# sf_dir) — a bare sf_dir key would hand a dead DataFrame to a new session.
+_CC_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,8 +43,9 @@ def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, component_id) for every document in at least one near-dup
     pair; component_id = min doc_id of the component."""
-    if sf_dir in _CC_CACHE:
-        return _CC_CACHE[sf_dir]
+    memo_key = (id(spark._jsparkSession), sf_dir)
+    if memo_key in _CC_CACHE:
+        return _CC_CACHE[memo_key]
     edges = _dup_edges(spark, sf_dir).cache()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
@@ -75,8 +77,10 @@ def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = new_sum
     edges.unpersist()
-    _CC_CACHE[sf_dir] = labels.select("doc_id", F.col("label").alias("component_id"))
-    return _CC_CACHE[sf_dir]
+    _CC_CACHE[memo_key] = labels.select(
+        "doc_id", F.col("label").alias("component_id")
+    )
+    return _CC_CACHE[memo_key]
 
 
 _SQL_CC = f"""WITH RECURSIVE {_sql_minhash_lsh_ctes()},

@@ -50,7 +50,8 @@ def _normalized(emb: DataFrame) -> DataFrame:
 # session-scoped memo: the coarse quantizer is shared by sim_topk_kmeans_ivf
 # and the IVF-PQ index (pq.py); training it once per sf_dir mirrors the
 # replay._DECISIONS_CACHE precedent. Assignments stay a cached DataFrame.
-_FIT_CACHE: dict[str, tuple] = {}
+# Keyed by (session, sf_dir) so a new session never sees a dead DataFrame.
+_FIT_CACHE: dict[tuple[int, str], tuple] = {}
 
 
 def fit_kmeans_cells(spark: SparkSession, sf_dir: str):
@@ -63,8 +64,9 @@ def fit_kmeans_cells(spark: SparkSession, sf_dir: str):
     Returns (assignments DataFrame [vec_id, cell], centroids ndarray)."""
     import numpy as np
 
-    if sf_dir in _FIT_CACHE:
-        return _FIT_CACHE[sf_dir]
+    memo_key = (id(spark._jsparkSession), sf_dir)
+    if memo_key in _FIT_CACHE:
+        return _FIT_CACHE[memo_key]
 
     emb = t(spark, sf_dir, "embeddings")
     n_part = spark.sparkContext.defaultParallelism
@@ -145,8 +147,8 @@ def fit_kmeans_cells(spark: SparkSession, sf_dir: str):
     # assignments is materialized in its own cache; the normalized-corpus
     # cache is no longer needed
     nemb.unpersist()
-    _FIT_CACHE[sf_dir] = (assignments, np.round(C, 6))
-    return _FIT_CACHE[sf_dir]
+    _FIT_CACHE[memo_key] = (assignments, np.round(C, 6))
+    return _FIT_CACHE[memo_key]
 
 
 def sim_topk_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
