@@ -374,3 +374,80 @@ QUERIES.update(
         "text_unigram_surprisal": (text_unigram_surprisal, ORACLE_UNIGRAM),
     }
 )
+
+
+_LIFT_MIN_DF = 5
+_LIFT_TOPK = 30
+
+
+def text_token_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the top token pairs by lift — the PMI ordering
+    without the logarithm: lift(a,b) = n_ab * N / (n_a * n_b), and log is
+    monotone, so ranking by the rational lift IS ranking by PMI while
+    staying in exact-integer numerators/denominators (one IEEE division
+    at the end; ties broken lexically).
+
+    Scale: pairs are generated per document from its DISTINCT tokens after
+    a doc-frequency floor prunes the long tail (the join fans out
+    O(tokens_per_doc^2) within a doc, never across docs); counts are one
+    hash aggregate. The df dim is vocabulary-sized and broadcast."""
+    docs = t(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens())).alias("tok")
+    )
+    n_docs = docs.count()  # scalar: corpus size (benign driver scalar)
+    df_tbl = (
+        dt.groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("df"))
+        .filter(F.col("df") >= _LIFT_MIN_DF)
+    )
+    kept = dt.join(F.broadcast(df_tbl), "tok")
+    a = kept.select("doc_id", F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    b = kept.select("doc_id", F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b", "df_a", "df_b")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+    )
+    lift = (F.col("n_ab") * F.lit(n_docs)).cast("double") / (
+        F.col("df_a") * F.col("df_b")
+    ).cast("double")
+    return (
+        pairs.select("tok_a", "tok_b", "n_ab", "df_a", "df_b", lift.alias("lift"))
+        .orderBy(F.desc("lift"), F.asc("tok_a"), F.asc("tok_b"))
+        .limit(_LIFT_TOPK)
+    )
+
+
+ORACLE_TOKEN_LIFT = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+), df_tbl AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+  FROM dt GROUP BY 1
+  HAVING COUNT(*) >= {_LIFT_MIN_DF}
+), kept AS (
+  SELECT d.doc_id, d.tok, f.df FROM dt d JOIN df_tbl f USING (tok)
+), pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, a.df AS df_a, b.df AS df_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2, 3, 4
+)
+SELECT tok_a, tok_b, n_ab, df_a, df_b,
+       CAST(n_ab * n.n_docs AS DOUBLE) / CAST(df_a * df_b AS DOUBLE) AS lift
+FROM pairs, n
+ORDER BY lift DESC, tok_a, tok_b
+LIMIT {_LIFT_TOPK}
+"""
+
+
+QUERIES.update(
+    {
+        "text_token_lift_topk": (text_token_lift_topk, ORACLE_TOKEN_LIFT),
+    }
+)
