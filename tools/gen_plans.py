@@ -116,6 +116,14 @@ SHOWCASE = [
         "broadcasts onto the scan, so selection is partition-local; the\n"
         "only exchanges belong to the tiny count and audit aggregates.",
     ),
+    (
+        "pipeline_training_mix",
+        lambda s: _mix().pipeline_training_mix(s, SF),
+        "The composed training-mix build: curation's LSH near-dup stage,\n"
+        "the codegen classifier projection, and broadcast quota/split\n"
+        "thresholds appear as the union of the stage plans — composition\n"
+        "adds no new shuffle shape.",
+    ),
 ]
 
 
@@ -165,6 +173,12 @@ def _sampling():
     from kalytical_spark.operators import sampling
 
     return sampling
+
+
+def _mix():
+    from kalytical_spark.operators import mix
+
+    return mix
 
 
 def main() -> None:
