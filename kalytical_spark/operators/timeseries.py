@@ -374,6 +374,52 @@ FROM mad m LEFT JOIN flagged f ON m.event_type = f.event_type
 """
 
 
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per active day — the expanding-window
+    COUNT(DISTINCT) that window frames cannot express. Rewrite: distinct
+    counting collapses to each user's FIRST day (one hash aggregate), new
+    users per day is a count, and the cumulative total is a running sum
+    over the tiny per-day frame. The log is touched once; the window runs
+    over |days| rows."""
+    ev = t(spark, sf_dir, "events_ms")
+    first_day = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("first_day")
+    )
+    new_per_day = first_day.groupBy("first_day").agg(
+        F.count("*").cast("bigint").alias("new_users")
+    )
+    active_days = (
+        ev.select(F.date_trunc("day", "ts").cast("date").alias("day")).distinct()
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        active_days.join(
+            new_per_day, active_days.day == new_per_day.first_day, "left"
+        )
+        .select("day", F.coalesce("new_users", F.lit(0)).cast("bigint").alias("new_users"))
+        .withColumn("cumulative_users", F.sum("new_users").over(w).cast("bigint"))
+    )
+
+
+ORACLE_CUMULATIVE_USERS = """
+WITH first_day AS (
+  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS first_day
+  FROM events_ms GROUP BY 1
+), new_per_day AS (
+  SELECT first_day, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM first_day GROUP BY 1
+), active_days AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events_ms
+)
+SELECT a.day,
+       CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+       CAST(SUM(COALESCE(n.new_users, 0))
+              OVER (ORDER BY a.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cumulative_users
+FROM active_days a LEFT JOIN new_per_day n ON a.day = n.first_day
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "events_gap_fill_resample": (events_gap_fill_resample, ORACLE_GAP_FILL),
     "events_cohort_retention": (events_cohort_retention, ORACLE_COHORT),
@@ -381,4 +427,5 @@ QUERIES: dict[str, tuple] = {
     "events_equidepth_histogram": (events_equidepth_histogram, ORACLE_EQUIDEPTH),
     "events_rolling_wau": (events_rolling_wau, ORACLE_ROLLING_WAU),
     "events_robust_outliers": (events_robust_outliers, ORACLE_ROBUST_OUTLIERS),
+    "events_cumulative_users": (events_cumulative_users, ORACLE_CUMULATIVE_USERS),
 }

@@ -119,6 +119,25 @@ def test_robust_outliers_match_bruteforce(spark):
         assert r.mad >= 0 and (r.n_outliers == 0 or r.max_adev > 0)
 
 
+def test_cumulative_users_monotone_and_consistent(spark):
+    from kalytical_spark.operators.common import t
+
+    rows = sorted(
+        timeseries.events_cumulative_users(spark, SF_ORACLE).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    running = 0
+    for r in rows:
+        running += r.new_users
+        assert r.cumulative_users == running
+    total_users = (
+        t(spark, SF_ORACLE, "events_ms").select("user_id").distinct().count()
+    )
+    assert rows[-1].cumulative_users == total_users
+    assert rows[0].new_users > 0, "first active day must introduce users"
+
+
 def test_equidepth_buckets_are_balanced_and_ordered(spark):
     rows = timeseries.events_equidepth_histogram(spark, SF_ORACLE).collect()
     per_type: dict[str, list] = {}
