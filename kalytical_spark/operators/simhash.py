@@ -5,9 +5,11 @@ mining by banding the fingerprint into four 16-bit chunks (documents within
 Hamming distance 3 share at least one exact chunk, pigeonhole) and exact
 Hamming verification of candidates only.
 
-Not SQL-expressible in DuckDB without the same bit machinery, so the driver
-records rows-only checks; tests verify against a pure-Python reference
-implementation and pin the banding recall guarantee.
+Oracle-backed: the DuckDB twin re-derives every md5 bit-vote from hex
+nibbles (see _sql_simhash) — 64 SUM terms, the same two's-complement
+fingerprint, the same 16-bit banding, xor+bit_count verification — so the
+driver's value-hash gate covers the full pipeline; tests additionally pin
+the pure-Python reference and the banding recall guarantee.
 
 Scale shape: fingerprinting is embarrassingly parallel (one pass, Arrow
 batches); candidate generation joins on 4 x 16-bit band keys — the same
@@ -141,6 +143,79 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_simhash() -> str:
+    """DuckDB twin of the whole SimHash pipeline, generated bit by bit.
+
+    bit b of int.from_bytes(md5(tok)[:8], 'big') lives in hex digit
+    p = 16 - b//4 of the md5 hex string (1-based, most significant first)
+    at in-nibble position b%4 — so every one of the 64 bit-votes is a
+    substring + strpos + division away, and the fingerprint / band keys /
+    Hamming verification all reduce to integer arithmetic DuckDB shares
+    with Spark. The banding mirrors the Spark side exactly (same
+    pigeonhole candidate universe); Hamming uses xor + bit_count on the
+    two's-complement BIGINT fingerprint, just like the JVM path."""
+
+    def bit(b: int) -> str:
+        p = 16 - b // 4
+        shift = 2 ** (b % 4)
+        return f"((v{p} // {shift}) % 2)"
+
+    nibbles = ",\n         ".join(
+        f"strpos('0123456789abcdef', substring(hx, {p}, 1)) - 1 AS v{p}"
+        for p in range(1, 17)
+    )
+    votes = ",\n         ".join(
+        f"SUM(2 * {bit(b)} - 1) AS w{b}" for b in range(64)
+    )
+    # two's-complement int64: bit 63 contributes -2^63
+    fp_terms = " + ".join(
+        f"CASE WHEN w{b} > 0 THEN {'-' if b == 63 else ''}{2**b if b < 63 else 2**63} ELSE 0 END"
+        for b in range(64)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, simhash, {i} AS band_idx, ".format(i=i)
+        + " + ".join(
+            f"CASE WHEN w{16 * i + j} > 0 THEN {2**j} ELSE 0 END"
+            for j in range(16)
+        )
+        + " AS band_key FROM fp"
+        for i in range(N_BANDS)
+    )
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), hx AS (
+  SELECT doc_id, substring(md5(tok), 1, 16) AS hx FROM toks
+), nib AS (
+  SELECT doc_id,
+         {nibbles}
+  FROM hx
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM nib GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, CAST({fp_terms} AS BIGINT) AS simhash,
+         {", ".join(f"w{b}" for b in range(64))}
+  FROM votes
+), bands AS (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                  l.simhash AS sh_a, r.simhash AS sh_b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+   AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_THRESHOLD}
+"""
+
+
+ORACLE_SIMHASH = _sql_simhash()
+
+
 QUERIES: dict[str, tuple] = {
-    "dedup_simhash": (dedup_simhash, None),
+    "dedup_simhash": (dedup_simhash, ORACLE_SIMHASH),
 }
