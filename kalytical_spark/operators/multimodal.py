@@ -94,16 +94,51 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out["width"] = hashes.map(lambda h: 64 + int(h[:4], 16) % 1984).astype("int32")
         out["height"] = hashes.map(lambda h: 64 + int(h[4:8], 16) % 1984).astype("int32")
         out["n_frames"] = hashes.map(lambda h: 1 + int(h[8:10], 16) % 64).astype("int32")
-        out["feature_norm"] = hashes.map(lambda h: round(int(h[10:18], 16) / 0xFFFFFFFF, 6))
+        # floor-quantized to 1e-6: exact integer floor then one IEEE
+        # division — identical in any engine (python round() would use
+        # banker's rounding, which SQL ROUND does not)
+        out["feature_norm"] = hashes.map(
+            lambda h: (int(h[10:18], 16) * 10**6 // 0xFFFFFFFF) / 1e6
+        )
         yield pd.DataFrame(out)
 
 
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract over binary payloads via Arrow-batched
-    mapInPandas (rows-only check: the stub decoder is not SQL-expressible,
-    and a real decoder wouldn't be either)."""
+    mapInPandas. Oracle-backed DESPITE the Python path: the stub decoder
+    is pure hash arithmetic, so the DuckDB twin re-derives every field
+    from sha256 hex nibbles — the value-hash gate then proves the Arrow
+    batch plumbing byte-identical to the declarative reference. (A real
+    media decoder would drop back to rows-only.)"""
     payloads = _with_payload(spark, sf_dir)
     return payloads.mapInPandas(_decode_batch, schema=_FEATURE_SCHEMA)
+
+
+def _hexval(col: str, off: int, n: int) -> str:
+    """SQL for int(h[off:off+n], 16) over the sha256 hex string (0-based
+    off, like the python slice in _decode_batch)."""
+    terms = []
+    for k in range(n):
+        terms.append(
+            f"(strpos('0123456789abcdef', substring({col}, {off + k + 1}, 1)) - 1)"
+            + (f" * {16 ** (n - 1 - k)}" if k < n - 1 else "")
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_SQL_DECODE = f"""
+  SELECT doc_id, source,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         sha256(text) AS content_hash,
+         CAST(64 + {_hexval('sha256(text)', 0, 4)} % 1984 AS INTEGER) AS width,
+         CAST(64 + {_hexval('sha256(text)', 4, 4)} % 1984 AS INTEGER) AS height,
+         CAST(1 + {_hexval('sha256(text)', 8, 2)} % 64 AS INTEGER) AS n_frames,
+         CAST(CAST({_hexval('sha256(text)', 10, 8)} * 1000000 // 4294967295
+                   AS BIGINT) AS DOUBLE) / 1000000.0 AS feature_norm
+  FROM documents
+"""
+
+ORACLE_DECODE = _SQL_DECODE
 
 
 def mm_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,6 +154,19 @@ def mm_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("feature_norm").alias("min_feature_norm"),
         F.max("feature_norm").alias("max_feature_norm"),
     )
+
+
+ORACLE_FEATURE_ROLLUP = f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_assets,
+       CAST(SUM(CAST(width AS BIGINT) * CAST(height AS BIGINT)) AS BIGINT)
+         AS total_pixels,
+       CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+       MIN(feature_norm) AS min_feature_norm,
+       MAX(feature_norm) AS max_feature_norm
+FROM ({_SQL_DECODE})
+GROUP BY 1
+"""
 
 
 _FRAME_SCHEMA = T.StructType(
@@ -306,8 +354,8 @@ FROM fanned
 QUERIES: dict[str, tuple] = {
     "mm_binary_stats": (mm_binary_stats, ORACLE_BINARY_STATS),
     "mm_chunk_manifest": (mm_chunk_manifest, ORACLE_CHUNK_MANIFEST),
-    "mm_decode_features": (mm_decode_features, None),
-    "mm_feature_rollup": (mm_feature_rollup, None),
+    "mm_decode_features": (mm_decode_features, ORACLE_DECODE),
+    "mm_feature_rollup": (mm_feature_rollup, ORACLE_FEATURE_ROLLUP),
     "mm_frame_sample": (mm_frame_sample, None),
     "mm_phash_neardup": (mm_phash_neardup, None),
 }
