@@ -210,9 +210,32 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over video-shaped binary payloads: one asset row fans
-    out to every-Nth-frame rows via mapInPandas (rows-only check)."""
+    out to every-Nth-frame rows via mapInPandas. Oracle-backed like the
+    decode stub: the fake 'frames' are byte slices, so the SQL twin emits
+    the identical BLOB slices via substring arithmetic — proving the
+    one-to-many Arrow fan-out byte-identical (a real ffmpeg sampler would
+    be rows-only)."""
     payloads = _with_payload(spark, sf_dir)
     return payloads.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)
+
+
+# NOTE: DuckDB substring() has no BLOB overload; char slicing stands in for
+# byte slicing, which is exact here because the synthetic corpus is pure
+# ASCII (verified: octet_length == length for every doc at every sf).
+ORACLE_FRAME_SAMPLE = f"""
+SELECT doc_id,
+       CAST(idx AS INTEGER) AS frame_idx,
+       encode(substring(text, idx * 64 + 1, 64)) AS frame_bytes,
+       CAST({RESIZE_TO[0]} AS INTEGER) AS target_w,
+       CAST({RESIZE_TO[1]} AS INTEGER) AS target_h
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(
+           0, GREATEST(octet_length(encode(text)) // 64, 1) - 1,
+           {SAMPLE_EVERY_N})) AS idx
+  FROM documents
+)
+"""
 
 
 PHASH_BANDS = 4
@@ -356,6 +379,6 @@ QUERIES: dict[str, tuple] = {
     "mm_chunk_manifest": (mm_chunk_manifest, ORACLE_CHUNK_MANIFEST),
     "mm_decode_features": (mm_decode_features, ORACLE_DECODE),
     "mm_feature_rollup": (mm_feature_rollup, ORACLE_FEATURE_ROLLUP),
-    "mm_frame_sample": (mm_frame_sample, None),
+    "mm_frame_sample": (mm_frame_sample, ORACLE_FRAME_SAMPLE),
     "mm_phash_neardup": (mm_phash_neardup, None),
 }
