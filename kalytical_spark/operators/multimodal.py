@@ -264,10 +264,13 @@ def _ahash_codes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for i, b in enumerate(pdf["payload"]):
             arr = np.frombuffer(bytes(b), dtype=np.uint8)
             L = max(1, -(-len(arr) // 64))  # ceil
-            padded = np.zeros(L * 64, dtype=np.float64)
+            padded = np.zeros(L * 64, dtype=np.int64)
             padded[: len(arr)] = arr
-            means = padded.reshape(64, L).mean(axis=1)
-            codes[i] = means > means.mean()
+            # slice_mean(b) > grand_mean, cross-multiplied into exact
+            # integers (64 * S_b > sum S) — no float means, so near-tie
+            # bits are stable and the SQL twin can reproduce them exactly
+            sums = padded.reshape(64, L).sum(axis=1)
+            codes[i] = 64 * sums > sums.sum()
         w = 1 << np.arange(PHASH_BITS_PER_BAND, dtype=np.int64)
         for band in range(PHASH_BANDS):
             seg = codes[:, band * PHASH_BITS_PER_BAND : (band + 1) * PHASH_BITS_PER_BAND]
@@ -282,8 +285,9 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification with JVM bit_count on the band XORs. No all-pairs stage;
     the planted corrupted re-ingests must always surface (pinned in tests).
 
-    Rows-only for the driver: the hash depends on byte-level slicing no SQL
-    dialect shares; the numpy differential test is the oracle."""
+    Oracle-backed: the integer aHash vote (64*S_b > sum S) and ASCII byte
+    values make the whole miner SQL-expressible (_sql_phash), so the
+    driver value-hash gate covers it alongside the numpy differential."""
     payloads = _with_payload(spark, sf_dir)
     plant = (
         payloads.filter(F.col("doc_id") % PHASH_PLANT_STRIDE == 0)
@@ -316,6 +320,72 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("doc_b"),
         hamming.cast("int").alias("hamming"),
     ).filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+
+
+def _sql_phash() -> str:
+    """DuckDB twin of the aHash miner: byte values via ascii() over the
+    ASCII corpus, slice sums grouped by (i-1)//L, the cross-multiplied
+    integer vote 64*S_b > sum(S), band keys as shifted bit sums, the same
+    band-bucket candidate join, and xor+bit_count Hamming verification."""
+    band_defs = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN b // 16 = {k} THEN bit * (1 << (b % 16)) "
+        f"ELSE 0 END) AS INTEGER) AS band{k}"
+        for k in range(PHASH_BANDS)
+    )
+    band_union = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {k} AS band_idx, band{k} AS band_key FROM bands"
+        for k in range(PHASH_BANDS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(a.band{k}, b.band{k}))" for k in range(PHASH_BANDS)
+    )
+    return f"""WITH corpus AS (
+  SELECT doc_id, text AS payload FROM documents
+  UNION ALL
+  SELECT doc_id + {PHASH_PLANT_OFFSET}, 'X' || substring(text, 2)
+  FROM documents WHERE doc_id % {PHASH_PLANT_STRIDE} = 0
+), vals AS (
+  SELECT doc_id,
+         unnest(generate_series(1, length(payload))) AS i,
+         GREATEST((length(payload) + 63) // 64, 1) AS L,
+         payload
+  FROM corpus
+), slice_sums AS (
+  SELECT doc_id, (i - 1) // L AS b,
+         SUM(ascii(substring(payload, i, 1))) AS s
+  FROM vals GROUP BY 1, 2
+), totals AS (
+  SELECT doc_id, SUM(s) AS tot FROM slice_sums GROUP BY 1
+), grid AS (
+  SELECT c.doc_id, unnest(generate_series(0, 63)) AS b FROM corpus c
+), bits AS (
+  SELECT g.doc_id, g.b,
+         CASE WHEN 64 * COALESCE(ss.s, 0) > COALESCE(t.tot, 0)
+              THEN 1 ELSE 0 END AS bit
+  FROM grid g
+  LEFT JOIN slice_sums ss ON g.doc_id = ss.doc_id AND g.b = ss.b
+  LEFT JOIN totals t ON g.doc_id = t.doc_id
+), bands AS (
+  SELECT doc_id,
+         {band_defs}
+  FROM bits GROUP BY doc_id
+), long AS (
+{band_union}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM long l JOIN long r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+   AND l.doc_id < r.doc_id
+)
+SELECT c.doc_a, c.doc_b, CAST({ham} AS INTEGER) AS hamming
+FROM cand c
+JOIN bands a ON c.doc_a = a.doc_id
+JOIN bands b ON c.doc_b = b.doc_id
+WHERE {ham} <= {PHASH_HAMMING_MAX}
+"""
+
+
+ORACLE_PHASH = _sql_phash()
 
 
 _CHUNK_BYTES = 256
@@ -380,5 +450,5 @@ QUERIES: dict[str, tuple] = {
     "mm_decode_features": (mm_decode_features, ORACLE_DECODE),
     "mm_feature_rollup": (mm_feature_rollup, ORACLE_FEATURE_ROLLUP),
     "mm_frame_sample": (mm_frame_sample, ORACLE_FRAME_SAMPLE),
-    "mm_phash_neardup": (mm_phash_neardup, None),
+    "mm_phash_neardup": (mm_phash_neardup, ORACLE_PHASH),
 }

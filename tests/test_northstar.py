@@ -313,10 +313,10 @@ def test_phash_neardup_differential(spark):
     def ahash(b: bytes) -> np.ndarray:
         arr = np.frombuffer(b, dtype=np.uint8)
         L = max(1, -(-len(arr) // 64))
-        padded = np.zeros(L * 64)
+        padded = np.zeros(L * 64, dtype=np.int64)
         padded[: len(arr)] = arr
-        means = padded.reshape(64, L).mean(axis=1)
-        return means > means.mean()
+        sums = padded.reshape(64, L).sum(axis=1)
+        return 64 * sums > sums.sum()
 
     codes = {i: ahash(b) for i, b in payloads.items()}
     w = 1 << np.arange(16, dtype=np.int64)
