@@ -203,17 +203,22 @@ PLANT_EPS = 1e-3
 
 
 def _hyperplanes(dim: int):
-    """Deterministic pseudo-random hyperplanes: coordinates derive from md5
-    of (plane, dim) so every run/engine/partition sees identical planes."""
+    """Deterministic pseudo-random hyperplanes in EXACT INTEGERS: each
+    coordinate is the first 20 bits of md5('hp{p}:{d}') recentered to
+    [-2^19, 2^19) — so every run/engine/partition sees identical planes,
+    the sign dot products are integer sums with no float summation order,
+    and the DuckDB oracle re-derives the same planes from hex nibbles
+    (uniform signed coordinates are a valid sign-LSH family; only the
+    direction distribution matters, not the coordinate scale)."""
     import hashlib
 
     import numpy as np
 
-    H = np.empty((N_HYPERPLANES, dim), dtype=np.float64)
+    H = np.empty((N_HYPERPLANES, dim), dtype=np.int64)
     for p in range(N_HYPERPLANES):
         for d in range(dim):
-            h = hashlib.md5(f"hp{p}:{d}".encode()).digest()
-            H[p, d] = int.from_bytes(h[:8], "big") / float(1 << 64) - 0.5
+            h = hashlib.md5(f"hp{p}:{d}".encode()).hexdigest()
+            H[p, d] = int(h[:5], 16) - (1 << 19)
     return H
 
 
@@ -263,7 +268,10 @@ def sim_lsh_hyperplane_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             V = np.stack(pdf["embedding"].map(lambda a: np.asarray(a, dtype=np.float64)))
             if H is None:
                 H = _hyperplanes(V.shape[1])
-            bits = (V @ H.T) > 0  # (n, 64)
+            # micro-unit quantization (embedding_stats convention): the
+            # sign dot is an exact integer — reproducible in SQL
+            Vq = np.floor(V * 1_000_000).astype(np.int64)
+            bits = (Vq @ H.T) > 0  # (n, 64)
             out = {"vec_id": pdf["vec_id"]}
             w = 1 << np.arange(BITS_PER_BAND, dtype=np.int64)
             for b in range(N_SIGN_BANDS):
@@ -294,9 +302,15 @@ def sim_lsh_hyperplane_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             A = np.stack(pdf["emb_a"].map(lambda a: np.asarray(a, dtype=np.float64)))
             B = np.stack(pdf["emb_b"].map(lambda a: np.asarray(a, dtype=np.float64)))
-            A /= np.linalg.norm(A, axis=1, keepdims=True)
-            B /= np.linalg.norm(B, axis=1, keepdims=True)
-            sims = np.round(np.einsum("ij,ij->i", A, B), 4)
+            # quantized cosine: integer dot and norms (exact), then the
+            # fixed float chain dot / sqrt(na) / sqrt(nb) — three IEEE ops
+            # the SQL oracle evaluates in the identical order
+            Aq = np.floor(A * 1_000_000).astype(np.int64)
+            Bq = np.floor(B * 1_000_000).astype(np.int64)
+            dot = np.einsum("ij,ij->i", Aq, Bq).astype(np.float64)
+            na = np.einsum("ij,ij->i", Aq, Aq).astype(np.float64)
+            nb = np.einsum("ij,ij->i", Bq, Bq).astype(np.float64)
+            sims = dot / np.sqrt(na) / np.sqrt(nb)
             keep = sims >= LSH_PAIR_THRESHOLD
             out = pdf.loc[keep, ["vec_a", "vec_b"]].copy()
             out["cos_sim"] = sims[keep]
@@ -307,10 +321,86 @@ def sim_lsh_hyperplane_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_sign_lsh() -> str:
+    """DuckDB twin of the sign-LSH miner: integer planes from md5 hex
+    nibbles, micro-unit vector quantization, integer sign dots, the same
+    16-bit banding, and the identical dot/sqrt/sqrt cosine verification."""
+    hexval5 = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5('hp' || p || ':' || d), {k + 1}, 1)) - 1) * {16 ** (4 - k)}"
+        if k < 4
+        else f"(strpos('0123456789abcdef', substring(md5('hp' || p || ':' || d), {k + 1}, 1)) - 1)"
+        for k in range(5)
+    )
+    band_defs = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN p // 16 = {k} THEN bit * (1 << (p % 16)) "
+        f"ELSE 0 END) AS INTEGER) AS band{k}"
+        for k in range(N_SIGN_BANDS)
+    )
+    band_union = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {k} AS band_idx, band{k} AS band_key FROM bands"
+        for k in range(N_SIGN_BANDS)
+    )
+    return f"""WITH base AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) - 1 AS pos,
+         unnest(embedding) AS val
+  FROM embeddings
+), qv AS (
+  SELECT vec_id, pos,
+         CAST(floor(CAST(val AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM base
+  UNION ALL
+  SELECT vec_id + {PLANT_ID_OFFSET}, pos,
+         CAST(floor(CAST(CAST(CAST(val AS DOUBLE) * (1.0 + {PLANT_EPS} *
+               CASE WHEN pos % 2 = 0 THEN 1.0 ELSE -1.0 END) AS REAL)
+             AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM base WHERE vec_id % {PLANT_STRIDE} = 0
+), planes AS (
+  SELECT p, d, CAST(({hexval5}) - {1 << 19} AS BIGINT) AS h
+  FROM generate_series(0, {N_HYPERPLANES - 1}) gp(p),
+       generate_series(0, 63) gd(d)
+), dots AS (
+  SELECT v.vec_id, pl.p,
+         CASE WHEN SUM(v.q * pl.h) > 0 THEN 1 ELSE 0 END AS bit
+  FROM qv v JOIN planes pl ON v.pos = pl.d
+  GROUP BY 1, 2
+), bands AS (
+  SELECT vec_id,
+         {band_defs}
+  FROM dots GROUP BY vec_id
+), long AS (
+{band_union}
+), cand AS (
+  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+  FROM long l JOIN long r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+   AND l.vec_id < r.vec_id
+), norms AS (
+  SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS n2 FROM qv GROUP BY 1
+), scored AS (
+  SELECT c.vec_a, c.vec_b,
+         CAST(SUM(a.q * b.q) AS DOUBLE)
+           / sqrt(CAST(na.n2 AS DOUBLE)) / sqrt(CAST(nb.n2 AS DOUBLE))
+           AS cos_sim
+  FROM cand c
+  JOIN qv a ON c.vec_a = a.vec_id
+  JOIN qv b ON c.vec_b = b.vec_id AND a.pos = b.pos
+  JOIN norms na ON c.vec_a = na.vec_id
+  JOIN norms nb ON c.vec_b = nb.vec_id
+  GROUP BY c.vec_a, c.vec_b, na.n2, nb.n2
+)
+SELECT vec_a, vec_b, cos_sim FROM scored
+WHERE cos_sim >= {LSH_PAIR_THRESHOLD}
+"""
+
+
+ORACLE_SIGN_LSH = _sql_sign_lsh()
+
+
 QUERIES: dict[str, tuple] = {
     "sim_topk_bruteforce": (sim_topk_bruteforce, ORACLE_TOPK_BRUTEFORCE),
     "sim_topk_ivf": (sim_topk_ivf, ORACLE_TOPK_IVF),
-    "sim_lsh_hyperplane_pairs": (sim_lsh_hyperplane_pairs, None),
+    "sim_lsh_hyperplane_pairs": (sim_lsh_hyperplane_pairs, ORACLE_SIGN_LSH),
 }
 
 

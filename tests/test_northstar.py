@@ -127,7 +127,8 @@ def test_hyperplane_lsh_finds_planted_near_dups(spark):
     allV = np.vstack([V, Vp])
     all_ids = np.concatenate([ids, ids[pm] + off])
     H = similarity._hyperplanes(V.shape[1])
-    bits = allV @ H.T > 0
+    allVq = np.floor(allV * 1_000_000).astype(np.int64)
+    bits = allVq @ H.T > 0
     # planted pairs are within hamming 3 -> guaranteed candidates
     n0 = len(ids)
     planted_rows = np.flatnonzero(pm)
@@ -149,14 +150,16 @@ def test_hyperplane_lsh_finds_planted_near_dups(spark):
                     a, c = sorted((int(all_ids[members[x]]), int(all_ids[members[y]])))
                     cand.add((a, c))
     assert len(cand) <= 5 * len(all_ids), "candidate volume not linear in N"
-    # exact-verified truth over the candidate set
+    # exact-verified truth over the candidate set (quantized cosine, the
+    # same dot / sqrt / sqrt chain as the operator and its SQL oracle)
     pos = {int(v): i for i, v in enumerate(all_ids)}
-    An = allV / np.linalg.norm(allV, axis=1, keepdims=True)
-    truth = {
-        (a, c)
-        for a, c in cand
-        if np.round(float(An[pos[a]] @ An[pos[c]]), 4) >= similarity.LSH_PAIR_THRESHOLD
-    }
+    norms2 = (allVq * allVq).sum(axis=1).astype(np.float64)
+    truth = set()
+    for a, c in cand:
+        i, j = pos[a], pos[c]
+        cos = float(allVq[i] @ allVq[j]) / np.sqrt(norms2[i]) / np.sqrt(norms2[j])
+        if cos >= similarity.LSH_PAIR_THRESHOLD:
+            truth.add((a, c))
     got = {
         (r.vec_a, r.vec_b)
         for r in similarity.sim_lsh_hyperplane_pairs(spark, SF_ORACLE).collect()
