@@ -420,6 +420,41 @@ FROM active_days a LEFT JOIN new_per_day n ON a.day = n.first_day
 """
 
 
+def events_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full analytic window-function surface in one query — lag, lead,
+    rank, percent_rank, cume_dist, ntile — over a deterministic slice with
+    a total order (value, event_id). percent_rank and cume_dist are single
+    divisions of exact rank/count integers, so they are bit-identical
+    across engines; the slice keeps the result driver-sized at any sf."""
+    ev = t(spark, sf_dir, "events_ms").filter(F.col("event_id") % 199 == 0)
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.rank().over(w).cast("bigint").alias("rk"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+ORACLE_WINDOW_SUITE = """
+SELECT event_type, event_id, value,
+       lag(value) OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       CAST(rank() OVER w AS BIGINT) AS rk,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+FROM events_ms
+WHERE event_id % 199 = 0
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "events_gap_fill_resample": (events_gap_fill_resample, ORACLE_GAP_FILL),
     "events_cohort_retention": (events_cohort_retention, ORACLE_COHORT),
@@ -428,4 +463,5 @@ QUERIES: dict[str, tuple] = {
     "events_rolling_wau": (events_rolling_wau, ORACLE_ROLLING_WAU),
     "events_robust_outliers": (events_robust_outliers, ORACLE_ROBUST_OUTLIERS),
     "events_cumulative_users": (events_cumulative_users, ORACLE_CUMULATIVE_USERS),
+    "events_window_suite": (events_window_suite, ORACLE_WINDOW_SUITE),
 }

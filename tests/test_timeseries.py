@@ -138,6 +138,25 @@ def test_cumulative_users_monotone_and_consistent(spark):
     assert rows[0].new_users > 0, "first active day must introduce users"
 
 
+def test_window_suite_algebra(spark):
+    rows = timeseries.events_window_suite(spark, SF_ORACLE).collect()
+    assert rows
+    per_type: dict[str, list] = {}
+    for r in rows:
+        per_type.setdefault(r.event_type, []).append(r)
+    for et, rs in per_type.items():
+        rs.sort(key=lambda r: (r.value, r.event_id))
+        n = len(rs)
+        for i, r in enumerate(rs):
+            assert r.rk == i + 1  # total order -> rank == row position
+            if n > 1:
+                assert r.pr == i / (n - 1)
+            assert r.cd == (i + 1) / n
+            assert 1 <= r.quartile <= 4
+            assert r.prev_value == (rs[i - 1].value if i > 0 else None)
+            assert r.next_value == (rs[i + 1].value if i < n - 1 else None)
+
+
 def test_equidepth_buckets_are_balanced_and_ordered(spark):
     rows = timeseries.events_equidepth_histogram(spark, SF_ORACLE).collect()
     per_type: dict[str, list] = {}
