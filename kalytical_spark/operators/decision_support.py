@@ -458,8 +458,112 @@ WHERE rk = 1
 """
 
 
+def q4_priority_order_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: per order priority, how many orders have AT LEAST ONE
+    late lineitem — EXISTS as a left-semi join, then the rollup. The semi
+    join stops probing an order on its first late line (no fan-out)."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_LATE_DAYS} DAYS")
+        )
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_Q4 = f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL {_LATE_DAYS} DAY
+)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: trade volume between two nations by year, in both
+    directions — supplier nation and customer nation must differ and form
+    the chosen unordered pair. Both nation dims broadcast; revenue stays
+    decimal-exact until the final double cast."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    n1 = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("s_nkey"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    n2 = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("c_nkey"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nkey"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (1 - F.col("l_discount")).cast(DEC)
+            )
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+ORACLE_Q7 = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(o_orderdate) AS BIGINT) AS l_year,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                     * CAST(1 - l_discount AS DECIMAL(12,4)))
+                 AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+   OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3')
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q2_min_cost_supplier": (q2_min_cost_supplier, ORACLE_Q2),
+    "q4_priority_order_check": (q4_priority_order_check, ORACLE_Q4),
+    "q7_nation_volume_shipping": (q7_nation_volume_shipping, ORACLE_Q7),
     "q13_order_count_distribution": (
         q13_order_count_distribution,
         ORACLE_Q13,

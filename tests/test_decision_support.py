@@ -80,6 +80,26 @@ def test_q2_argmin_total_and_minimal(spark):
     assert set(by_part) == set(mins)
 
 
+def test_q4_exists_counts_orders_once(spark):
+    from pyspark.sql import functions as F
+    from kalytical_spark.operators.common import t
+
+    rows = ds.q4_priority_order_check(spark, SF_ORACLE).collect()
+    assert rows
+    total_orders = t(spark, SF_ORACLE, "orders").count()
+    # semi-join semantics: each qualifying order counted exactly once, so
+    # the rollup can never exceed the order population
+    assert 0 < sum(r.order_count for r in rows) <= total_orders
+
+
+def test_q7_both_directions_present(spark):
+    rows = ds.q7_nation_volume_shipping(spark, SF_ORACLE).collect()
+    assert rows
+    dirs = {(r.supp_nation, r.cust_nation) for r in rows}
+    assert len(dirs) == 2, "both trade directions must appear"
+    assert all(r.revenue > 0 for r in rows)
+
+
 def test_q8_shares_partition_unity(spark):
     rows = ds.q8_market_share(spark, SF_ORACLE).collect()
     assert rows
