@@ -124,16 +124,28 @@ def test_streaming_culler_resident_mode_starts(spark):
         ckpt = os.path.join(tmp, "ckpt")
         cfg = KalyticalSparkConfig(incubating_job_culling_interval_s=2)
         q = culler.start_culler_query(spark, SF_SMALL, ledger, ckpt, cfg=cfg)
+
+        def ledger_committed() -> bool:
+            # the ledger DIR appears while the first batch is still being
+            # written; stopping then kills the write mid-flight and leaves
+            # an unreadable directory — so wait for a READABLE batch, not
+            # for the path (regression: flaked under co-tenant load)
+            try:
+                return culler.read_culler_ledger(spark, ledger).count() > 0
+            except Exception:
+                return False
+
         try:
             # batch 0 fires immediately with no ticks (skipped by the sink);
-            # wait for a later batch to carry a tick and run a real sweep
-            deadline = time.time() + 60
-            while time.time() < deadline and not os.path.exists(ledger):
+            # wait for a later batch to carry a tick and run a real sweep.
+            # Deadline generous for co-tenant load.
+            deadline = time.time() + 180
+            while time.time() < deadline and not ledger_committed():
                 if q.exception() is not None:
                     raise AssertionError(q.exception())
                 time.sleep(1)
             assert q.exception() is None
-            assert os.path.exists(ledger), "no sweep landed within 60s"
+            assert ledger_committed(), "no committed sweep within 180s"
         finally:
             q.stop()
         assert culler.read_culler_ledger(spark, ledger).count() > 0
