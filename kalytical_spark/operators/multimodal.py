@@ -212,11 +212,20 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over video-shaped binary payloads: one asset row fans
     out to every-Nth-frame rows via mapInPandas. Oracle-backed like the
     decode stub: the fake 'frames' are byte slices, so the SQL twin emits
-    the identical BLOB slices via substring arithmetic — proving the
-    one-to-many Arrow fan-out byte-identical (a real ffmpeg sampler would
-    be rows-only)."""
+    the identical slices via substring arithmetic — proving the one-to-many
+    Arrow fan-out byte-identical (a real ffmpeg sampler would be rows-only).
+    The Arrow plumbing carries the raw BINARY frame; the query output
+    projects it to hex so the comparison frame is string-typed (raw BLOBs
+    are unhashable in the driver's pandas canonicalization)."""
     payloads = _with_payload(spark, sf_dir)
-    return payloads.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)
+    frames = payloads.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.hex(F.col("frame_bytes")).alias("frame_hex"),
+        "target_w",
+        "target_h",
+    )
 
 
 # NOTE: DuckDB substring() has no BLOB overload; char slicing stands in for
@@ -225,7 +234,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_FRAME_SAMPLE = f"""
 SELECT doc_id,
        CAST(idx AS INTEGER) AS frame_idx,
-       encode(substring(text, idx * 64 + 1, 64)) AS frame_bytes,
+       hex(encode(substring(text, idx * 64 + 1, 64))) AS frame_hex,
        CAST({RESIZE_TO[0]} AS INTEGER) AS target_w,
        CAST({RESIZE_TO[1]} AS INTEGER) AS target_h
 FROM (

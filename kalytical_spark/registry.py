@@ -73,19 +73,31 @@ def _load_optional():
 
 
 def _previously_gated() -> set[str]:
+    """Names whose LATEST driver snapshot proved them fully green. A name
+    whose last record was an err or a weaker rows-only check has never been
+    value-hash-proven, so it must re-queue at the front (e.g. a query whose
+    oracle was added after its err row, or whose output shape was fixed)."""
     import glob
     import json
     import os
 
     snaps = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json")))
-    seen: set[str] = set()
+    latest: dict[str, dict] = {}
     for snap in snaps:
         try:
             with open(snap) as fh:
-                seen.update(json.load(fh))
+                latest.update(json.load(fh))
         except (OSError, ValueError):
             continue
-    return seen
+    return {
+        name
+        for name, row in latest.items()
+        if isinstance(row, dict)
+        and row.get("err") is None
+        and row.get("rows_match")
+        and row.get("schema_match") is not False
+        and row.get("hash_match") is not False
+    }
 
 
 def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

@@ -98,7 +98,8 @@ def test_frame_sampling_fanout(spark):
         assert all((f.target_w, f.target_h) == multimodal.RESIZE_TO for f in fs)
         payload = text_by_id[doc_id].encode()
         for f in fs:
-            assert bytes(f.frame_bytes) == payload[f.frame_idx * 64 : (f.frame_idx + 1) * 64]
+            want = payload[f.frame_idx * 64 : (f.frame_idx + 1) * 64]
+            assert f.frame_hex == want.hex().upper()
 
 
 def test_hyperplane_lsh_finds_planted_near_dups(spark):
