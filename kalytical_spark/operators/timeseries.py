@@ -193,7 +193,11 @@ def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(w).cast("bigint").alias("s"),
         F.sum(F.col("c") * F.col("c")).over(w).cast("bigint").alias("ss"),
     ).filter(F.col("n") == _BASELINE_HOURS)
-    lhs = _Z4_LHS * (F.col("c") * F.col("n") - F.col("s")) ** 2
+    # integer self-multiplication, NOT ** 2: Column ** 2 is float pow()
+    # (DOUBLE), which rounds beyond 2^53 and would diverge from the
+    # oracle's exact bigint (c*n-s)*(c*n-s)
+    d = F.col("c") * F.col("n") - F.col("s")
+    lhs = _Z4_LHS * d * d
     rhs = _Z25_RHS * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
     return stats.filter(lhs.cast("bigint") > rhs.cast("bigint")).select(
         "event_type",

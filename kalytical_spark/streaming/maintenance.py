@@ -39,6 +39,13 @@ _LEDGER = "_applied_batches.json"
 
 
 def _applied_batches(table_dir: str) -> set[int]:
+    """Applied-batch ids from the CURRENT snapshot's ledger. A committed
+    version without a readable ledger is corruption, not an empty set —
+    silently returning empty would re-fold every replayed batch and break
+    the exactly-once contract, so it raises instead. The only empty-set
+    case is a table with no committed version at all. A version seeded by
+    a plain ``write_version`` (no ledger yet) is declared by the sink via
+    ``seed_ledger`` before streaming starts."""
     v = versioned.current_version(table_dir)
     if v is None:
         return set()
@@ -46,8 +53,27 @@ def _applied_batches(table_dir: str) -> set[int]:
     try:
         with open(path) as fh:
             return set(json.load(fh))
-    except (OSError, ValueError):
-        return set()
+    except (OSError, ValueError) as exc:
+        raise RuntimeError(
+            f"maintenance table {table_dir} v{v} has no readable batch "
+            f"ledger ({exc}); refusing to fold (replays would double-apply)."
+            " If this version was seeded outside the sink, call"
+            " seed_ledger(table_dir) first."
+        ) from exc
+
+
+def seed_ledger(table_dir: str) -> None:
+    """Attach an empty applied-batch ledger to the current snapshot of a
+    table seeded by a plain ``write_version`` (e.g. an initial aggregate
+    computed in batch), marking it as a maintenance table from this
+    version onward. Idempotent."""
+    v = versioned.current_version(table_dir)
+    if v is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    path = os.path.join(table_dir, f"v{v}", _LEDGER)
+    if not os.path.exists(path):
+        with open(path, "w") as fh:
+            json.dump([], fh)
 
 
 def maintenance_sink(table_dir: str, group_cols: list[str], value_col: str):
@@ -98,11 +124,16 @@ def maintenance_sink(table_dir: str, group_cols: list[str], value_col: str):
                 .alias("sum_dec"),
             )
         merged = merged.filter(F.col("n") > 0)
-        new_v = versioned.write_version(merged, table_dir)
-        # record the applied set inside the committed snapshot dir so the
-        # ledger travels with the atomic pointer swap
-        with open(os.path.join(table_dir, f"v{new_v}", _LEDGER), "w") as fh:
-            json.dump(sorted(applied | {batch_id}), fh)
+
+        def commit_ledger(vdir: str) -> None:
+            with open(os.path.join(vdir, _LEDGER), "w") as fh:
+                json.dump(sorted(applied | {batch_id}), fh)
+
+        # ledger lands inside v{N} BEFORE the pointer swap: the data and
+        # the applied-batch set commit atomically together, so a crash at
+        # any point either exposes the old (version, ledger) pair or the
+        # new one — never data without its ledger
+        versioned.write_version(merged, table_dir, pre_commit=commit_ledger)
 
     return sink
 

@@ -43,13 +43,45 @@ def current_version(table_dir: str) -> int | None:
         return None
 
 
-def write_version(df: DataFrame, table_dir: str) -> int:
+def _uncommitted_versions(table_dir: str, cur: int | None) -> list[int]:
+    floor = cur if cur is not None else 0
+    try:
+        listing = os.listdir(table_dir)
+    except OSError:
+        return []
+    return [
+        int(d[1:])
+        for d in listing
+        if d.startswith("v") and d[1:].isdigit() and int(d[1:]) > floor
+    ]
+
+
+def write_version(df: DataFrame, table_dir: str, pre_commit=None) -> int:
     """Write ``df`` as the next snapshot and atomically swap the pointer.
-    Returns the new version number."""
+    Returns the new version number.
+
+    ``pre_commit(version_dir)``, when given, runs after the parquet write
+    but BEFORE the pointer swap, so sidecar files (e.g. an idempotence
+    ledger) are part of the same atomic commit: a reader that sees the new
+    pointer always sees the sidecars, and a crash before the swap leaves
+    the old version current with its own sidecars intact.
+
+    Version directories newer than the pointer are uncommitted leftovers
+    from a crashed write; they are removed before writing so a replayed
+    commit (same next version number) applies cleanly instead of hitting
+    ``errorifexists``.
+    """
+    import shutil
+
     os.makedirs(table_dir, exist_ok=True)
     cur = current_version(table_dir)
+    for orphan in _uncommitted_versions(table_dir, cur):
+        shutil.rmtree(_version_dir(table_dir, orphan), ignore_errors=True)
     nxt = 1 if cur is None else cur + 1
-    df.write.mode("errorifexists").parquet(_version_dir(table_dir, nxt))
+    vdir = _version_dir(table_dir, nxt)
+    df.write.mode("errorifexists").parquet(vdir)
+    if pre_commit is not None:
+        pre_commit(vdir)
     tmp = os.path.join(table_dir, f"{_POINTER}.tmp.{nxt}")
     with open(tmp, "w") as fh:
         fh.write(str(nxt))
@@ -73,11 +105,27 @@ def compact_version(
     """Compact the current snapshot's small files into ``target_files``
     parquet files and commit the result as a NEW version (the original
     snapshot stays readable — compaction is just another snapshot write,
-    so time travel and concurrent readers are untouched). At scale this is
-    the bin-packing maintenance job that keeps scan task counts sane after
-    many incremental writes."""
-    cur = read_version(spark, table_dir)
-    return write_version(cur.coalesce(target_files), table_dir)
+    so time travel and concurrent readers are untouched). Sidecar files
+    committed alongside the current snapshot (``_*.json``, e.g. the
+    maintenance ledger) are carried forward so compaction never drops
+    table-level state. At scale this is the bin-packing maintenance job
+    that keeps scan task counts sane after many incremental writes."""
+    import shutil
+
+    cur_v = current_version(table_dir)
+    cur = read_version(spark, table_dir, cur_v)
+    cur_dir = _version_dir(table_dir, cur_v)
+
+    def carry_sidecars(vdir: str) -> None:
+        for fname in os.listdir(cur_dir):
+            if fname.startswith("_") and fname.endswith(".json"):
+                shutil.copyfile(
+                    os.path.join(cur_dir, fname), os.path.join(vdir, fname)
+                )
+
+    return write_version(
+        cur.coalesce(target_files), table_dir, pre_commit=carry_sidecars
+    )
 
 
 def vacuum(table_dir: str, keep_last: int) -> list[int]:
@@ -87,6 +135,10 @@ def vacuum(table_dir: str, keep_last: int) -> list[int]:
     keeps working for every retained version."""
     import shutil
 
+    if keep_last < 1:
+        # versions[-0:] would slice the WHOLE list and silently keep
+        # everything; a retention window below 1 is a caller bug
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     cur = current_version(table_dir)
     if cur is None:
         return []

@@ -67,6 +67,7 @@ def test_stream_maintenance_equals_recompute(spark):
             )
         )
         versioned.write_version(old_agg, tbl)
+        maintenance.seed_ledger(tbl)  # declare v1 a maintenance snapshot
         # change feed split across files -> multiple micro-batches
         feed = _change_feed(spark)
         src = os.path.join(tmp, "changes")
@@ -111,3 +112,50 @@ def test_stream_maintenance_equals_recompute(spark):
         sink = maintenance.maintenance_sink(tbl, _GRP, "o_totalprice")
         sink(feed, max(applied))
         assert versioned.current_version(tbl) == v_before
+
+        # compaction is a commit too: it must carry the ledger forward so
+        # the exactly-once contract survives maintenance jobs
+        versioned.compact_version(spark, tbl, target_files=1)
+        assert maintenance._applied_batches(tbl) == applied
+        sink(feed, max(applied))  # still a no-op after compaction
+        assert versioned.current_version(tbl) == v_before + 1
+
+
+def test_ledger_is_atomic_with_commit(spark):
+    """Crash-safety of the exactly-once contract: a committed snapshot
+    without a readable ledger must refuse to fold (never silently treat
+    the applied set as empty), and an uncommitted crash leftover must not
+    block the replayed commit."""
+    import pytest
+
+    with tempfile.TemporaryDirectory() as tmp:
+        tbl = os.path.join(tmp, "agg")
+        df = spark.range(3).select(
+            F.lit("O").alias("o_orderstatus"),
+            F.lit(None).cast("date").alias("order_month"),
+            F.col("id").cast("bigint").alias("n"),
+            F.lit(1).cast("decimal(22,4)").alias("sum_dec"),
+        )
+        versioned.write_version(df, tbl)
+        # seeded version has no ledger: folding must hard-fail, not re-fold
+        with pytest.raises(RuntimeError, match="ledger"):
+            maintenance._applied_batches(tbl)
+        maintenance.seed_ledger(tbl)
+        assert maintenance._applied_batches(tbl) == set()
+        maintenance.seed_ledger(tbl)  # idempotent
+
+        # simulate a crash between parquet write and pointer swap: an
+        # orphan v2 exists but the pointer still names v1. The replayed
+        # commit must clean it up and land as v2 with its ledger.
+        os.makedirs(os.path.join(tbl, "v2"))
+        with open(os.path.join(tbl, "v2", "_partial"), "w") as fh:
+            fh.write("x")
+        assert versioned.current_version(tbl) == 1
+
+        def ledger(vdir):
+            with open(os.path.join(vdir, maintenance._LEDGER), "w") as fh:
+                fh.write("[7]")
+
+        assert versioned.write_version(df, tbl, pre_commit=ledger) == 2
+        assert maintenance._applied_batches(tbl) == {7}
+        assert not os.path.exists(os.path.join(tbl, "v2", "_partial"))

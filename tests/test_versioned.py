@@ -51,8 +51,10 @@ def test_diff_versions_cdc(spark, tmp_path):
 
 
 def test_failed_write_leaves_pointer_untouched(spark, tmp_path):
-    """A snapshot directory collision (simulated failed writer) must not
-    advance the pointer — readers keep seeing the last committed version."""
+    """A commit that fails before the pointer swap (here: pre_commit
+    raises after the parquet write) must not advance the pointer —
+    readers keep seeing the last committed version — and the crashed
+    attempt's leftover directory must not block the retry."""
     import os
 
     import pytest
@@ -60,12 +62,19 @@ def test_failed_write_leaves_pointer_untouched(spark, tmp_path):
     tbl = str(tmp_path / "tbl")
     df = spark.range(0, 5).select("id")
     versioned.write_version(df, tbl)
-    # simulate a concurrent/failed writer that already created v2's dir
-    os.makedirs(os.path.join(tbl, "v2"))
-    with pytest.raises(Exception):
-        versioned.write_version(df, tbl)
+
+    def boom(vdir):
+        raise OSError("disk gone")
+
+    with pytest.raises(OSError):
+        versioned.write_version(df, tbl, pre_commit=boom)
     assert versioned.current_version(tbl) == 1
     assert versioned.read_version(spark, tbl).count() == 5
+    # the crashed v2 leftover exists but is uncommitted; the retry reclaims
+    # the version number and commits cleanly
+    assert os.path.isdir(os.path.join(tbl, "v2"))
+    assert versioned.write_version(spark.range(0, 7).select("id"), tbl) == 2
+    assert versioned.read_version(spark, tbl).count() == 7
 
 
 def test_compact_preserves_rows_and_shrinks_files(spark, tmp_path):
@@ -100,3 +109,9 @@ def test_vacuum_retention_window(spark, tmp_path):
     assert versioned.read_version(spark, tbl).count() == 13
     # vacuuming again is a no-op
     assert versioned.vacuum(tbl, keep_last=2) == []
+    # keep_last=0 would slice versions[-0:] == everything and silently
+    # keep all history; it must be rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        versioned.vacuum(tbl, keep_last=0)
