@@ -50,7 +50,13 @@ _CTES: list[tuple[str, str]] = [
           (s_suppkey % 5 = 0)                                      AS concurrency,
           CASE WHEN s_suppkey % 2 = 0 THEN 'K8sJobEngine'
                ELSE 'LocalEngine' END                              AS engine,
-          CASE WHEN s_suppkey % 10 = 0 THEN '0 * * * *' END        AS schedule,
+          CASE WHEN s_suppkey % 10 = 0 THEN
+            CASE WHEN s_suppkey % 50 = 0  THEN '*/15 * * * *'
+                 WHEN s_suppkey % 50 = 10 THEN '30 2 * * *'
+                 WHEN s_suppkey % 50 = 20 THEN '0 9-17/2 * * 1-5'
+                 WHEN s_suppkey % 50 = 30 THEN '0 0 1 * 1'
+                 ELSE '0 * * * *' END
+          END                                                      AS schedule,
           CASE WHEN s_suppkey % 7 = 0 THEN NULL
                WHEN s_suppkey % 3 = 0 THEN 'all'
                ELSE 'any' END                                      AS trigger_operator,

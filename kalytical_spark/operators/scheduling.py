@@ -20,40 +20,151 @@ from pyspark.sql import functions as F
 from .common import SQL_NOW, now_expr, t
 
 
-def cron_due_originations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST12: the scheduled-origination tick. The reference runs a K8s
-    CronJob per scheduled pipeline that curls run_by_pipeline_uuid; here one
-    batch tick evaluates every schedule against the (deterministic) clock
-    and emits the origination events for the next hourly boundary. Only the
-    '0 * * * *' shape exists in the fixtures: due time = next top-of-hour."""
-    defs = t(spark, sf_dir, "pipeline_defs")
-    now = now_expr(spark, sf_dir)
-    next_hour = F.date_trunc("hour", now) + F.expr("INTERVAL 1 HOUR")
-    return (
-        defs.filter(F.col("schedule").isNotNull())
-        .select(
-            "pipeline_uuid",
-            "schedule",
-            F.lit("origination").alias("event_subtype"),
-            next_hour.alias("due_time"),
-            F.substring(
-                F.md5(F.concat(F.col("pipeline_uuid"), F.lit("@"), next_hour.cast("string"))),
-                1,
-                8,
-            ).alias("exec_uuid"),
+# --- general 5-field cron evaluation (ST12) -------------------------------
+#
+# The reference hands ANY K8s cron `schedule` string to a CronJob
+# (ext_sched.py:21-54 create_cronjob(schedule=...), wired from the pipeline
+# header by data_provider.py:69-88), so the engine must evaluate the
+# standard 5-field grammar, not just the hourly shape. Supported subset
+# (the K8s/vixie core): `*`, `*/step`, `a`, `a-b`, `a-b/step`, and
+# comma-lists of those, per field (minute hour dom month dow; dow 0=Sunday);
+# the vixie day quirk applies (dom and dow both restricted => OR).
+#
+# Evaluation strategy — declarative, identical in both engines: the next
+# due time of a schedule is MIN(candidate minute matching all five fields)
+# over the minutes in (now, now + horizon]. Distinct schedules are a tiny
+# dimension (bounded by the catalog, not the data), so the candidate space
+# is |schedules| x horizon regardless of pipeline count; the result
+# broadcast-joins back onto the catalog. No UDF, no driver loop.
+
+CRON_HORIZON_MINUTES = 35 * 24 * 60  # covers any dom<=28 / weekly / daily gap
+
+
+def _cron_field_match_sql(tok: str, val: str, duck: bool) -> str:
+    """SQL text (Spark or DuckDB dialect) testing whether cron field token
+    ``tok`` (a SQL string expression) admits integer value ``val``. The two
+    dialects differ only in split/size/lambda spellings; the arithmetic is
+    shared, so parity is by construction."""
+    sp = "string_split" if duck else "split"
+    size = "len" if duck else "size"
+    one, two = ("[1]", "[2]") if duck else ("[0]", "[1]")
+    base = f"{sp}(e, '/'){one}"
+    step = (
+        f"(CASE WHEN {size}({sp}(e, '/')) > 1"
+        f" THEN CAST({sp}(e, '/'){two} AS INT) ELSE 1 END)"
+    )
+    lo = f"CAST({sp}({base}, '-'){one} AS INT)"
+    hi = f"CAST({sp}({base}, '-'){two} AS INT)"
+    elem = (
+        f"CASE WHEN {base} = '*' THEN ({val}) % {step} = 0 "
+        f"WHEN {base} LIKE '%-%' THEN ({val}) BETWEEN {lo} AND {hi}"
+        f" AND (({val}) - {lo}) % {step} = 0 "
+        f"ELSE ({val}) = CAST({base} AS INT) END"
+    )
+    if duck:
+        return f"({tok} = '*' OR len(list_filter({sp}({tok}, ','), e -> {elem})) > 0)"
+    return f"({tok} = '*' OR exists({sp}({tok}, ','), e -> {elem}))"
+
+
+def _cron_due_sql(tok, fields: dict[str, str], duck: bool) -> str:
+    """The all-fields predicate, including the vixie dom/dow OR quirk:
+    when BOTH day fields are restricted, a minute matching either fires."""
+    m = {f: _cron_field_match_sql(tok(i), v, duck) for i, (f, v) in enumerate(fields.items())}
+    dom_tok, dow_tok = tok(2), tok(4)
+    day_ok = (
+        f"(CASE WHEN {dom_tok} <> '*' AND {dow_tok} <> '*' "
+        f"THEN ({m['dom']} OR {m['dow']}) ELSE ({m['dom']} AND {m['dow']}) END)"
+    )
+    return f"{m['minute']} AND {m['hour']} AND {m['month']} AND {day_ok}"
+
+
+def cron_next_due(spark: SparkSession, schedules: DataFrame, now) -> DataFrame:
+    """(schedule) -> (schedule, due_time): the first minute strictly after
+    ``now`` (a timestamp literal/Column) matching each distinct 5-field
+    cron schedule, evaluated wholly JVM-side over the candidate-minute
+    grid. Input is the DISTINCT schedule dimension — candidate volume is
+    |schedules| x horizon, independent of catalog size."""
+    cand = (
+        schedules.distinct()
+        .crossJoin(spark.range(CRON_HORIZON_MINUTES))
+        .withColumn("base_ts", F.date_trunc("minute", now))
+        .withColumn(
+            "cand_ts", F.expr("base_ts + make_dt_interval(0, 0, CAST(id AS INT) + 1, 0)")
         )
+    )
+    fields = {
+        "minute": "minute(cand_ts)",
+        "hour": "hour(cand_ts)",
+        "dom": "day(cand_ts)",
+        "month": "month(cand_ts)",
+        "dow": "dayofweek(cand_ts) - 1",  # Spark: 1=Sunday; cron: 0=Sunday
+    }
+    match = _cron_due_sql(lambda i: f"split(schedule, ' ')[{i}]", fields, duck=False)
+    return (
+        cand.filter(F.expr(match))
+        .groupBy("schedule")
+        .agg(F.min("cand_ts").alias("due_time"))
     )
 
 
+def cron_due_originations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST12: the scheduled-origination tick. The reference runs a K8s
+    CronJob per scheduled pipeline that curls run_by_pipeline_uuid
+    (ext_sched.py:21-54); here one batch tick evaluates every 5-field cron
+    schedule against the deterministic clock and emits each pipeline's next
+    origination. due_time = first minute strictly after `now` matching the
+    schedule; exec ids are content-addressed from (pipeline, due_time) so
+    a replayed tick cannot double-originate."""
+    defs = t(spark, sf_dir, "pipeline_defs").filter(F.col("schedule").isNotNull())
+    now = now_expr(spark, sf_dir)
+    due = cron_next_due(spark, defs.select("schedule"), now)
+    return defs.join(F.broadcast(due), "schedule", "inner").select(
+        "pipeline_uuid",
+        "schedule",
+        F.lit("origination").alias("event_subtype"),
+        F.col("due_time"),
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("pipeline_uuid"), F.lit("@"), F.col("due_time").cast("string")
+                )
+            ),
+            1,
+            8,
+        ).alias("exec_uuid"),
+    )
+
+
+_DUCK_FIELDS = {
+    "minute": "minute(cand_ts)",
+    "hour": "hour(cand_ts)",
+    "dom": "day(cand_ts)",
+    "month": "month(cand_ts)",
+    "dow": "dayofweek(cand_ts)",  # DuckDB: 0=Sunday, already cron-aligned
+}
+_DUCK_MATCH = _cron_due_sql(
+    lambda i: f"string_split(schedule, ' ')[{i + 1}]", _DUCK_FIELDS, duck=True
+)
+
 ORACLE_CRON_DUE = f"""
-SELECT pipeline_uuid, schedule,
+SELECT d.pipeline_uuid, d.schedule,
        'origination' AS event_subtype,
-       date_trunc('hour', {SQL_NOW}) + INTERVAL 1 HOUR AS due_time,
-       substr(md5(pipeline_uuid || '@' ||
-                  CAST(date_trunc('hour', {SQL_NOW}) + INTERVAL 1 HOUR AS STRING)), 1, 8)
+       due.due_time,
+       substr(md5(d.pipeline_uuid || '@' || CAST(due.due_time AS STRING)), 1, 8)
          AS exec_uuid
-FROM pipeline_defs
-WHERE schedule IS NOT NULL
+FROM pipeline_defs d
+JOIN (
+  SELECT schedule, MIN(cand_ts) AS due_time
+  FROM (
+    SELECT s.schedule,
+           date_trunc('minute', {SQL_NOW}) + INTERVAL 1 MINUTE * (g.m + 1) AS cand_ts
+    FROM (SELECT DISTINCT schedule FROM pipeline_defs WHERE schedule IS NOT NULL) s
+    CROSS JOIN (SELECT unnest(generate_series(0, {CRON_HORIZON_MINUTES - 1})) AS m) g
+  )
+  WHERE {_DUCK_MATCH}
+  GROUP BY 1
+) due ON d.schedule = due.schedule
+WHERE d.schedule IS NOT NULL
 """
 
 

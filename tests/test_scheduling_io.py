@@ -13,9 +13,81 @@ from tests.conftest import SF_SMALL
 def test_cron_due_originations(spark):
     rows = scheduling.cron_due_originations(spark, SF_SMALL).collect()
     assert rows
-    assert all(r.schedule == "0 * * * *" for r in rows)
-    assert all(r.due_time.minute == 0 and r.due_time.second == 0 for r in rows)
+    assert all(r.due_time.second == 0 for r in rows)
     assert len({r.exec_uuid for r in rows}) == len(rows)
+
+
+def _py_cron_next(schedule: str, now):
+    """Independent brute-force cron-next (vixie semantics incl. the dom/dow
+    OR quirk), used only as a differential twin for the Spark evaluator."""
+    import datetime
+
+    def field_ok(tok: str, v: int) -> bool:
+        if tok == "*":
+            return True
+        for e in tok.split(","):
+            base, _, step_s = e.partition("/")
+            step = int(step_s) if step_s else 1
+            if base == "*":
+                if v % step == 0:
+                    return True
+            elif "-" in base:
+                lo, hi = map(int, base.split("-"))
+                if lo <= v <= hi and (v - lo) % step == 0:
+                    return True
+            elif v == int(base):
+                return True
+        return False
+
+    toks = schedule.split()
+    ts = now.replace(second=0, microsecond=0)
+    for _ in range(scheduling.CRON_HORIZON_MINUTES):
+        ts += datetime.timedelta(minutes=1)
+        cron_dow = (ts.weekday() + 1) % 7  # cron: 0=Sunday
+        dom_ok, dow_ok = field_ok(toks[2], ts.day), field_ok(toks[4], cron_dow)
+        day_ok = (
+            (dom_ok or dow_ok)
+            if (toks[2] != "*" and toks[4] != "*")
+            else (dom_ok and dow_ok)
+        )
+        if (
+            field_ok(toks[0], ts.minute)
+            and field_ok(toks[1], ts.hour)
+            and field_ok(toks[3], ts.month)
+            and day_ok
+        ):
+            return ts
+    raise AssertionError(f"no fire within horizon for {schedule}")
+
+
+def test_cron_next_due_matches_brute_force(spark):
+    """Differential check of the general 5-field evaluator over every
+    grammar shape (steps, ranges, lists, range-steps, the vixie dom/dow OR
+    quirk) at an awkward 'now' (mid-minute, Saturday, end of month)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    shapes = [
+        "* * * * *",
+        "0 * * * *",
+        "*/15 * * * *",
+        "30 2 * * *",
+        "5,35 */3 * * *",
+        "0 9-17/2 * * 1-5",
+        "0 0 1 * 1",  # vixie OR: 1st of month OR every Monday
+        "45 23 28-31 * *",
+        "0 12 13 * 5",  # vixie OR: 13th OR Fridays, at noon
+    ]
+    now = datetime.datetime(2026, 3, 28, 22, 47, 23)  # Saturday, late, mid-minute
+    sdf = spark.createDataFrame([(s,) for s in shapes], "schedule string")
+    got = {
+        r.schedule: r.due_time
+        for r in scheduling.cron_next_due(spark, sdf, F.lit(now)).collect()
+    }
+    assert set(got) == set(shapes)
+    for s in shapes:
+        assert got[s] == _py_cron_next(s, now), s
 
 
 def test_read_job_logs_caps(spark):
