@@ -4,12 +4,16 @@ collapse to ONE canonical keeper instead of the pairwise view leaving
 a/c both alive. This is the step a production dedup pipeline runs between
 pair mining and document selection.
 
-Spark-first shape: iterative min-label propagation expressed as DataFrame
-joins — label(v) <- min(label(v), min over neighbours) — with a driver-side
-scalar convergence check per iteration (labels only ever decrease, so the
-label SUM is a monotone convergence witness; the driver never sees a row).
-Convergence takes O(component diameter) iterations; near-dup clusters are
-shallow (dup chains, not long paths), and MAX_CC_ITERS bounds pathology.
+Spark-first shape: iterative min-label propagation PLUS pointer-doubling
+(Shiloach-Vishkin shortcutting: label(v) <- label(label(v))) expressed as
+DataFrame joins, with a driver-side scalar convergence check per iteration.
+label(x) <= x is an invariant (labels start at self and only decrease), so
+the shortcut join can only lower labels and the label SUM stays a monotone
+convergence witness the driver reads as ONE scalar per round. Propagation
+alone needs O(component diameter) rounds; the doubling step halves the
+remaining pointer depth each round, giving O(log diameter) rounds — the
+same asymptotics as alternating large-star/small-star without rewriting
+the edge multiset each round. MAX_CC_ITERS bounds pathology.
 
 The DuckDB twin is a recursive CTE (root reachability + MIN(root) per
 vertex) — a genuinely different algorithm computing the same fixpoint,
@@ -47,11 +51,18 @@ def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
     if memo_key in _CC_CACHE:
         return _CC_CACHE[memo_key]
     edges = _dup_edges(spark, sf_dir).cache()
+    # localCheckpoint (eager) after every round: the doubling step references
+    # the round's result TWICE, so without lineage truncation the logical
+    # plan doubles per iteration and Catalyst analysis alone goes
+    # exponential. Checkpointing keeps the driver-side plan O(1) per round
+    # and bounds executor recompute. (On a multi-executor cluster an
+    # iterative job that must survive executor loss would use reliable
+    # `checkpoint()` against the checkpoint dir instead — same shape.)
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .cache()
+        .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).first()[0] or 0
     for _ in range(MAX_CC_ITERS):
@@ -60,18 +71,27 @@ def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        propagated = labels.join(nbr, labels["doc_id"] == nbr["src"], "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        # pointer doubling: label(v) <- label(label(v)). Valid because
+        # label(x) <= x always holds, so the hop only decreases labels and
+        # halves the remaining pointer-chain depth (O(log diameter) rounds).
+        parent = propagated.select(
+            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+        )
         new_labels = (
-            labels.join(nbr, labels["doc_id"] == nbr["src"], "left")
+            propagated.join(parent, propagated["label"] == parent["p_id"], "left")
             .select(
                 "doc_id",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                F.coalesce("p_label", "label").alias("label"),
             )
-            .cache()
+            .localCheckpoint()
         )
         # labels only decrease: an unchanged sum IS the fixpoint (scalar
         # collect — the driver never holds per-row state)
         new_sum = new_labels.agg(F.sum("label")).first()[0] or 0
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             break
