@@ -167,19 +167,11 @@ _Z25_RHS = 25
 _BASELINE_HOURS = 24
 
 
-def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly event-rate anomalies per type: an hour is anomalous when its
-    count deviates from the trailing-24h baseline by more than 2.5 sample
-    standard deviations. The test is the cross-multiplied integer form
-    ``4*(x*n - s)^2 > 25*(n*ss - s^2)`` over window sums (n, s, ss), so
-    no float mean/variance exists in either engine — exact parity. Runs on
-    the hourly rollup (4 orders smaller than the log), one window pass."""
-    ev = t(spark, sf_dir, "events_ms").withColumn(
-        "hour", F.date_trunc("hour", F.col("ts"))
-    )
-    hourly = ev.groupBy("event_type", "hour").agg(
-        F.count("*").cast("bigint").alias("c")
-    )
+def score_rate_anomalies(hourly: DataFrame) -> DataFrame:
+    """Anomaly scorer over an (event_type, hour, c) hourly rollup — shared
+    by the batch query and the streaming twin (which materializes the same
+    rollup incrementally and scores the closed hours with THIS function, so
+    the two execution modes cannot drift)."""
     w = (
         W.partitionBy("event_type")
         .orderBy("hour")
@@ -208,6 +200,27 @@ def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         lhs.cast("bigint").alias("lhs"),
         rhs.cast("bigint").alias("rhs"),
     )
+
+
+def hourly_type_counts(ev: DataFrame) -> DataFrame:
+    """(event_type, hour, c) rollup — the batch definition the streaming
+    twin reproduces incrementally (streaming/aggregates.hourly_type_counts
+    uses a tumbling window over the same truncation)."""
+    return (
+        ev.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("event_type", "hour")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-rate anomalies per type: an hour is anomalous when its
+    count deviates from the trailing-24h baseline by more than 2.5 sample
+    standard deviations. The test is the cross-multiplied integer form
+    ``4*(x*n - s)^2 > 25*(n*ss - s^2)`` over window sums (n, s, ss), so
+    no float mean/variance exists in either engine — exact parity. Runs on
+    the hourly rollup (4 orders smaller than the log), one window pass."""
+    return score_rate_anomalies(hourly_type_counts(t(spark, sf_dir, "events_ms")))
 
 
 ORACLE_RATE_ANOMALY = f"""

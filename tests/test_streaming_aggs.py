@@ -202,3 +202,82 @@ def test_watermark_drops_late_data(spark):
     assert len(first_window) == 1
     # the late 99.0 must NOT have been folded into the closed first window
     assert first_window[0].n == 1 and first_window[0].sum_value == 1.0
+
+
+def test_rolling_wau_stream_matches_batch(spark):
+    """Streaming rolling 7-day WAU (chained stateful ops: sliding-window
+    membership dedup, then per-window count) must equal the batch
+    events_rolling_wau on every watermark-closed window."""
+    from kalytical_spark.operators import timeseries
+
+    catalog.register(spark, SF_SMALL)
+    ev = spark.table("events_ms").select("ts", "user_id")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events")
+        ev.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = aggregates.start_rolling_wau_query(spark, stream, "wau_e2e")
+        try:
+            assert q.awaitTermination(120)
+        finally:
+            q.stop()
+        got = {
+            r.window_day: r.wau
+            for r in spark.sql("SELECT * FROM wau_e2e").collect()
+        }
+    want = {
+        r.window_day: r.wau
+        for r in timeseries.events_rolling_wau(spark, SF_SMALL).collect()
+    }
+    assert got, "no closed WAU windows emitted"
+    overlap = set(got) & set(want)
+    # append mode: only watermark-closed windows emit; everything emitted
+    # inside the batch label range must match exactly, and most of the
+    # batch range must have closed
+    assert len(overlap) >= 0.7 * len(want)
+    for day in overlap:
+        assert got[day] == want[day], day
+
+
+def test_rate_anomaly_stream_rollup_matches_batch(spark):
+    """Stream the unbounded part (raw log -> hourly rollup), batch-score
+    the small part (trailing-24h anomaly test over hours) with the SAME
+    scorer as the batch query: anomalies over the streamed rollup must
+    equal events_rate_anomaly over the closed-hour prefix."""
+    from kalytical_spark.operators import timeseries
+
+    catalog.register(spark, SF_SMALL)
+    ev = spark.table("events_ms").select("ts", "event_type")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events")
+        ev.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = aggregates.start_hourly_rollup_query(spark, stream, "hourly_e2e")
+        try:
+            assert q.awaitTermination(120)
+        finally:
+            q.stop()
+        rollup = spark.sql("SELECT event_type, hour, c FROM hourly_e2e")
+        # the streamed rollup itself must be exact on closed hours
+        max_hour = rollup.agg(F.max("hour")).first()[0]
+        assert max_hour is not None, "no closed hours emitted"
+        batch_rollup = {
+            (r.event_type, r.hour): r.c
+            for r in timeseries.hourly_type_counts(spark.table("events_ms"))
+            .filter(F.col("hour") <= F.lit(max_hour))
+            .collect()
+        }
+        got_rollup = {(r.event_type, r.hour): r.c for r in rollup.collect()}
+        assert got_rollup == batch_rollup
+        # scoring the streamed rollup reproduces the batch anomaly ledger
+        # on the closed prefix (trailing-window scores only look backward)
+        got = sorted(
+            (r.event_type, r.hour, r.c, r.lhs, r.rhs)
+            for r in timeseries.score_rate_anomalies(rollup).collect()
+        )
+    want = sorted(
+        (r.event_type, r.hour, r.c, r.lhs, r.rhs)
+        for r in timeseries.events_rate_anomaly(spark, SF_SMALL).collect()
+        if r.hour <= max_hour
+    )
+    assert got == want
