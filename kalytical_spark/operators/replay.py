@@ -82,6 +82,26 @@ def _fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
 _DECISIONS_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
+def _fires_simple(deliveries: DataFrame) -> DataFrame:
+    """Fire ledger for 'any' and single-dep pipelines: every delivery fires
+    (dispatcher.py:41-42), so seq/sources come from a pure-JVM window — no
+    Python anywhere in this path."""
+    from pyspark.sql import Window as W
+
+    simple = deliveries.filter(
+        (F.col("trigger_operator") == "any") | (F.col("n_deps") == 1)
+    )
+    w = W.partitionBy("pipeline_uuid").orderBy(F.asc("event_time"), F.asc("exec_uuid"))
+    return simple.select(
+        "pipeline_uuid",
+        F.row_number().over(w).alias("seq"),
+        F.col("event_time").alias("fired_at"),
+        "trigger_operator",
+        "n_deps",
+        F.concat(F.col("upstream_uuid"), F.lit("="), F.col("exec_uuid")).alias("sources"),
+    )
+
+
 def dag_replay_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full fire-decision ledger: every dispatch the reference control
     loop would have made over this event history, in order per pipeline.
@@ -96,21 +116,7 @@ def dag_replay_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key in _DECISIONS_CACHE:
         return _DECISIONS_CACHE[key]
     deliveries = _deliveries(spark, sf_dir)
-
-    from pyspark.sql import Window as W
-
-    simple = deliveries.filter(
-        (F.col("trigger_operator") == "any") | (F.col("n_deps") == 1)
-    )
-    w = W.partitionBy("pipeline_uuid").orderBy(F.asc("event_time"), F.asc("exec_uuid"))
-    fires_simple = simple.select(
-        "pipeline_uuid",
-        F.row_number().over(w).alias("seq"),
-        F.col("event_time").alias("fired_at"),
-        "trigger_operator",
-        "n_deps",
-        F.concat(F.col("upstream_uuid"), F.lit("="), F.col("exec_uuid")).alias("sources"),
-    )
+    fires_simple = _fires_simple(deliveries)
     multi = deliveries.filter(
         (F.col("trigger_operator") == "all") & (F.col("n_deps") > 1)
     )
@@ -131,17 +137,25 @@ def dag_replay_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold (min over per-upstream delivery counts is an upper bound, not the
     exact reset semantics) — so the oracle covers the closed-form subset and
     the golden tests pin the rest.
+
+    Since the output keeps ONLY the simple subset, it aggregates the
+    pure-JVM simple-fire ledger directly: the applyInPandas fold for
+    multi-dep pipelines never runs on this path (it would be computed and
+    then filtered away). A warm decisions cache is still preferred — its
+    simple rows are identical by construction.
     """
-    dec = dag_replay_decisions(spark, sf_dir)  # cached ledger, no recompute
-    return (
-        dec.groupBy("pipeline_uuid", "trigger_operator", "n_deps")
-        .agg(
-            F.count("*").alias("n_fires"),
-            F.max("seq").alias("max_seq"),
-            F.min("fired_at").alias("first_fire"),
-            F.max("fired_at").alias("last_fire"),
+    key = (id(spark._jsparkSession), sf_dir)
+    if key in _DECISIONS_CACHE:
+        dec = _DECISIONS_CACHE[key].filter(
+            (F.col("trigger_operator") == "any") | (F.col("n_deps") == 1)
         )
-        .filter((F.col("trigger_operator") == "any") | (F.col("n_deps") == 1))
+    else:
+        dec = _fires_simple(_deliveries(spark, sf_dir))
+    return dec.groupBy("pipeline_uuid", "trigger_operator", "n_deps").agg(
+        F.count("*").alias("n_fires"),
+        F.max("seq").alias("max_seq"),
+        F.min("fired_at").alias("first_fire"),
+        F.max("fired_at").alias("last_fire"),
     )
 
 

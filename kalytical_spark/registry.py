@@ -46,6 +46,7 @@ def _load_optional():
         "incremental",
         "sampling",
         "decision_support",
+        "warehouse",
         "filtering",
         "embedding_stats",
         "skew",

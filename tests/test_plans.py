@@ -142,3 +142,31 @@ def test_mix_sampling_broadcasts_rates_no_python(spark):
         assert r.n_kept <= r.n_docs
         if r.rate == 1.0:
             assert r.n_kept == r.n_docs
+
+
+def test_q9_star_join_single_shuffle(spark):
+    """Q9: every dim broadcasts; the lineitem fact shuffles exactly once
+    (two-phase agg on (nation, year) = one hash exchange)."""
+    from kalytical_spark.operators import warehouse
+
+    plan = _formatted(warehouse.q9_product_type_profit(spark, SF_ORACLE))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    # exactly one real shuffle: the two-phase (nation, year) aggregate
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_q19_disjunction_single_join_no_union(spark):
+    """Q19: the OR-of-ANDs profile must stay ONE broadcast join + filter,
+    not a union of three scans."""
+    from kalytical_spark.operators import warehouse
+
+    plan = _formatted(warehouse.q19_disjunctive_revenue(spark, SF_ORACLE))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "Union" not in plan
+    # one scan per table only (no per-branch scan duplication)...
+    assert tree.count("Scan parquet") == 2  # lineitem + part
+    # ...and the per-side OR-decompositions reach both parquet scans
+    assert plan.count("PushedFilters: [IsNotNull") == 2 or "Or(" in plan
