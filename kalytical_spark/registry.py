@@ -47,6 +47,7 @@ def _load_optional():
         "sampling",
         "decision_support",
         "warehouse",
+        "rangejoin",
         "filtering",
         "embedding_stats",
         "skew",

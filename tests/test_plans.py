@@ -170,3 +170,16 @@ def test_q19_disjunction_single_join_no_union(spark):
     assert tree.count("Scan parquet") == 2  # lineitem + part
     # ...and the per-side OR-decompositions reach both parquet scans
     assert plan.count("PushedFilters: [IsNotNull") == 2 or "Or(" in plan
+
+
+def test_range_join_is_equi_join_no_nested_loop(spark):
+    """The bucketized range join must plan as a hash equi-join on the time
+    bucket — never BroadcastNestedLoopJoin / CartesianProduct (the naive
+    no-equi-key plan that dies at scale)."""
+    from kalytical_spark.operators import rangejoin
+
+    plan = _formatted(rangejoin.events_during_jobs(spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0]
+    assert "Join" in tree  # an actual equi join on bucket is present
