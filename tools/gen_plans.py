@@ -124,6 +124,29 @@ SHOWCASE = [
         "thresholds appear as the union of the stage plans — composition\n"
         "adds no new shuffle shape.",
     ),
+    (
+        "q9_product_type_profit",
+        lambda s: _warehouse().q9_product_type_profit(s, SF),
+        "Star join with every dim broadcast: the lineitem fact is read\n"
+        "once and shuffles exactly once, for the (nation, year) two-phase\n"
+        "aggregate (plan-asserted in tests/test_plans.py).",
+    ),
+    (
+        "q19_disjunctive_revenue",
+        lambda s: _warehouse().q19_disjunctive_revenue(s, SF),
+        "The OR-of-ANDs profile stays ONE broadcast join: Catalyst derives\n"
+        "per-side OR-decompositions and pushes them into BOTH parquet\n"
+        "scans (PushedFilters show the Or(...) trees) — no union of\n"
+        "per-branch scans.",
+    ),
+    (
+        "range_join_events_during_jobs",
+        lambda s: _rangejoin().events_during_jobs(s, SF),
+        "Interval containment with no equi-key, made an equi-join: job\n"
+        "windows explode into the 1-2 hour-buckets they span, events map\n"
+        "to one bucket, and the join hashes on the bucket — no\n"
+        "BroadcastNestedLoopJoin anywhere (plan-asserted).",
+    ),
 ]
 
 
@@ -179,6 +202,18 @@ def _mix():
     from kalytical_spark.operators import mix
 
     return mix
+
+
+def _warehouse():
+    from kalytical_spark.operators import warehouse
+
+    return warehouse
+
+
+def _rangejoin():
+    from kalytical_spark.operators import rangejoin
+
+    return rangejoin
 
 
 def main() -> None:
