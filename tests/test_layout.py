@@ -135,3 +135,32 @@ def test_zorder_clusters_two_dimensions(spark, tmp_path):
     # slack because repartitionByRange's boundary SAMPLING can shift file
     # edges between runs (observed flaking at 0.15 under concurrent load)
     assert fz <= 0.20, (fz, fs)
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Join-driven pruning: when the partitioned fact joins a dim filtered
+    on a NON-partition attribute, the fact scan must carry a dynamicpruning
+    subquery in PartitionFilters — at 100 TB this skips whole days' files
+    based on the broadcast dim result at runtime, which no static filter
+    could express."""
+    from kalytical_spark import catalog
+    import contextlib, io
+
+    catalog.register(spark, SF_SMALL)
+    ev = spark.table("lifecycle_events")
+    out = str(tmp_path / "events_by_day_dpp")
+    ev.withColumn("dt", F.to_date("event_time")).write.mode("overwrite").partitionBy(
+        "dt"
+    ).parquet(out)
+    fact = spark.read.parquet(out)
+    # calendar dim: the is_audit_day flag is NOT derivable from dt statically
+    days = fact.select("dt").distinct()
+    dim = days.withColumn("is_audit_day", F.dayofmonth("dt") == 15)
+    q = fact.join(dim.filter("is_audit_day"), "dt").groupBy("dt").count()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan, plan
+    got = {r.dt.day for r in q.collect()}
+    assert got == {15}
