@@ -148,7 +148,56 @@ FROM cc GROUP BY 1
 """
 
 
+def dedup_keeper_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-driven canonicalization: production dedup keeps the BEST
+    document of each near-dup cluster, not an arbitrary one. Keeper = max
+    token count, tie-broken by min doc_id (a total order, so both engines
+    rank identically); everyone else in the cluster is marked
+    drop_duplicate. One broadcast-scale join of the cluster labels onto
+    the corpus plus one per-component window."""
+    from pyspark.sql import Window as W
+
+    from .common import t
+
+    cc = _components(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = W.partitionBy("component_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    ranked = cc.join(docs, "doc_id").withColumn("rk", F.row_number().over(w))
+    return ranked.select(
+        "doc_id",
+        "component_id",
+        "n_tokens",
+        (F.col("rk") == 1).alias("is_keeper"),
+        F.when(F.col("rk") == 1, F.lit("keep"))
+        .otherwise(F.lit("drop_duplicate"))
+        .alias("action"),
+    )
+
+
+ORACLE_KEEPER = _SQL_CC + """
+, ranked AS (
+  SELECT c.doc_id, c.component_id,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         row_number() OVER (
+           PARTITION BY c.component_id
+           ORDER BY len(string_split(d.text, ' ')) DESC, c.doc_id
+         ) AS rk
+  FROM cc c JOIN documents d ON c.doc_id = d.doc_id
+)
+SELECT doc_id, component_id, n_tokens,
+       rk = 1 AS is_keeper,
+       CASE WHEN rk = 1 THEN 'keep' ELSE 'drop_duplicate' END AS action
+FROM ranked
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_cluster_components": (dedup_cluster_components, ORACLE_CC),
     "dedup_cluster_summary": (dedup_cluster_summary, ORACLE_CC_SUMMARY),
+    "dedup_keeper_selection": (dedup_keeper_selection, ORACLE_KEEPER),
 }

@@ -48,6 +48,7 @@ def _load_optional():
         "decision_support",
         "warehouse",
         "rangejoin",
+        "features",
         "filtering",
         "embedding_stats",
         "skew",
