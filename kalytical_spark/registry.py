@@ -53,6 +53,10 @@ def _load_optional():
         "embedding_stats",
         "skew",
         "mix",
+        # sketches registers LAST by design: its queries are never-gated
+        # (prio 0) and stable sort keeps them BEHIND the 50 queued entries
+        # that exactly fill the round-3 driver window
+        "sketches",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
