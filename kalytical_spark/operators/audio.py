@@ -1,0 +1,215 @@
+"""Audio-shaped multimodal operators: fixed-width window energy and
+silence-run (VAD-style) segmentation over opaque binary payloads.
+
+Extends the multimodal family (multimodal.py) to the audio modality the
+build brief calls for: payloads are treated as unsigned 8-bit PCM-like
+sample streams, windowed client-side of the JVM with Arrow-batched
+``mapInPandas`` + numpy (the shape a real torchaudio/librosa feature
+extractor would take — per-asset decode, vectorized window math, one
+input row fanning out to many window rows).
+
+As with the image/video stubs (multimodal.py:28-37), the container has no
+audio codec libraries, so "decode" is the identity: the payload bytes ARE
+the samples. That makes every windowed statistic exact integer arithmetic
+over byte values — and therefore SQL-expressible: the DuckDB twins
+recompute energies from ``ascii(substring(text, i, 1))`` (the corpus is
+pure ASCII, so char codes == payload bytes; verified in multimodal.py's
+frame-sample twin). The oracle match proves the Arrow fan-out and the
+numpy window math byte-exact, which a real codec path could never get —
+it would be rows-only.
+
+Scale notes:
+* ``mapInPandas`` streams Arrow batches; per-asset state is one numpy
+  array, never the whole partition. Window fan-out is len/WINDOW rows —
+  linear in payload bytes, embarrassingly parallel, no shuffle at all
+  until the (tiny) per-source rollup.
+* The silence-run scan is a single vectorized diff over the sample array
+  (no Python per-sample loop); the SQL twin's gaps-and-islands form is
+  the correctness anchor, not the scale path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .common import t
+
+_WINDOW = 32  # samples (bytes) per analysis window
+
+_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("win_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+
+
+def _window_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: list[dict] = []
+        for row in pdf.itertuples(index=False):
+            arr = np.frombuffer(bytes(row.payload), dtype=np.uint8).astype(np.int64)
+            n = len(arr)
+            if n == 0:
+                continue
+            nw = (n + _WINDOW - 1) // _WINDOW
+            padded = np.zeros(nw * _WINDOW, dtype=np.int64)
+            padded[:n] = arr
+            wins = padded.reshape(nw, _WINDOW)
+            energies = (wins * wins).sum(axis=1)
+            peaks = wins.max(axis=1)
+            for w in range(nw):
+                out.append(
+                    {
+                        "doc_id": row.doc_id,
+                        "win_idx": w,
+                        "n_samples": min(_WINDOW, n - w * _WINDOW),
+                        "energy": int(energies[w]),
+                        "peak": int(peaks[w]),
+                    }
+                )
+        yield pd.DataFrame(out, columns=[f.name for f in _ENERGY_SCHEMA.fields])
+
+
+def mm_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window energy / peak over audio-shaped payloads: each asset
+    fans out to ceil(len/32) windows with sum-of-squares energy and max
+    sample, all int64. Zero-padding the final window is harmless for both
+    stats (byte values are >= 32 in the ASCII corpus, 0 never wins a max,
+    0^2 adds nothing) — the SQL twin simply sums the true tail."""
+    frames = _payloads(spark, sf_dir).mapInPandas(_window_energy, schema=_ENERGY_SCHEMA)
+    return frames
+
+
+ORACLE_WINDOW_ENERGY = f"""
+WITH wins AS (
+  SELECT doc_id, text,
+         unnest(generate_series(
+           0, (octet_length(encode(text)) + {_WINDOW} - 1) // {_WINDOW} - 1)) AS w,
+         octet_length(encode(text)) AS n
+  FROM documents
+  WHERE octet_length(encode(text)) > 0
+), samples AS (
+  SELECT doc_id, w, n,
+         unnest(generate_series(1, LEAST({_WINDOW}, n - w * {_WINDOW}))) AS j
+  FROM wins
+)
+SELECT s.doc_id,
+       CAST(s.w AS INTEGER) AS win_idx,
+       CAST(LEAST({_WINDOW}, s.n - s.w * {_WINDOW}) AS INTEGER) AS n_samples,
+       CAST(SUM(CAST(ascii(substring(d.text, s.w * {_WINDOW} + s.j, 1)) AS BIGINT)
+                * ascii(substring(d.text, s.w * {_WINDOW} + s.j, 1))) AS BIGINT)
+         AS energy,
+       CAST(MAX(ascii(substring(d.text, s.w * {_WINDOW} + s.j, 1))) AS INTEGER)
+         AS peak
+FROM samples s JOIN documents d ON s.doc_id = d.doc_id
+GROUP BY 1, 2, 3
+"""
+
+
+_SILENCE_THRESHOLD = 33  # samples < 33 are 'silence' (ASCII space = 32)
+_MIN_RUN = 1
+
+_VAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("n_silence_runs", T.IntegerType()),
+        T.StructField("longest_run", T.IntegerType()),
+        T.StructField("silence_samples", T.IntegerType()),
+    ]
+)
+
+
+def _silence_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: list[dict] = []
+        for row in pdf.itertuples(index=False):
+            arr = np.frombuffer(bytes(row.payload), dtype=np.uint8)
+            n = len(arr)
+            sil = arr < _SILENCE_THRESHOLD
+            # vectorized run-length extraction: run starts where sil flips on
+            if n == 0:
+                runs = np.empty(0, dtype=np.int64)
+            else:
+                edges = np.diff(sil.astype(np.int8))
+                starts = np.flatnonzero(edges == 1) + 1
+                ends = np.flatnonzero(edges == -1) + 1
+                if sil[0]:
+                    starts = np.concatenate(([0], starts))
+                if sil[-1]:
+                    ends = np.concatenate((ends, [n]))
+                runs = ends - starts
+            out.append(
+                {
+                    "doc_id": row.doc_id,
+                    "n_samples": n,
+                    "n_silence_runs": int(len(runs)),
+                    "longest_run": int(runs.max()) if len(runs) else 0,
+                    "silence_samples": int(runs.sum()),
+                }
+            )
+        yield pd.DataFrame(out, columns=[f.name for f in _VAD_SCHEMA.fields])
+
+
+def mm_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-style silence segmentation: per asset, the number of silence
+    runs (maximal stretches of sub-threshold samples), the longest run,
+    and total silence samples — the stats an audio curation pipeline cuts
+    on (dead-air ratio, max gap). Run extraction is one vectorized numpy
+    diff; the DuckDB twin derives identical runs with a gaps-and-islands
+    window rewrite over exploded sample positions."""
+    return _payloads(spark, sf_dir).mapInPandas(_silence_runs, schema=_VAD_SCHEMA)
+
+
+ORACLE_SILENCE = f"""
+WITH samples AS (
+  SELECT doc_id,
+         unnest(generate_series(1, octet_length(encode(text)))) AS i,
+         octet_length(encode(text)) AS n
+  FROM documents
+), flagged AS (
+  SELECT s.doc_id, s.i, s.n,
+         (ascii(substring(d.text, s.i, 1)) < {_SILENCE_THRESHOLD}) AS sil,
+         s.i - row_number() OVER (
+           PARTITION BY s.doc_id,
+             (ascii(substring(d.text, s.i, 1)) < {_SILENCE_THRESHOLD})
+           ORDER BY s.i
+         ) AS grp
+  FROM samples s JOIN documents d ON s.doc_id = d.doc_id
+), runs AS (
+  SELECT doc_id, n, COUNT(*) AS run_len
+  FROM flagged WHERE sil GROUP BY doc_id, n, grp
+)
+SELECT d.doc_id,
+       CAST(octet_length(encode(d.text)) AS INTEGER) AS n_samples,
+       CAST(COALESCE(r.n_runs, 0) AS INTEGER) AS n_silence_runs,
+       CAST(COALESCE(r.longest, 0) AS INTEGER) AS longest_run,
+       CAST(COALESCE(r.total, 0) AS INTEGER) AS silence_samples
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n_runs, MAX(run_len) AS longest,
+         SUM(run_len) AS total
+  FROM runs GROUP BY 1
+) r ON d.doc_id = r.doc_id
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "mm_audio_window_energy": (mm_audio_window_energy, ORACLE_WINDOW_ENERGY),
+    "mm_audio_silence_segments": (mm_audio_silence_segments, ORACLE_SILENCE),
+}

@@ -153,14 +153,30 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
 """
 
 
-def _minhash_aggs() -> list:
-    """K min-aggregates over md5(seed || shingle): lexicographic min of the
-    hex string equals numeric min of the 128-bit hash, identically in both
+_SLICES_PER_MD5 = 4  # 32 hex chars -> 4 independent 32-bit (8-hex) slices
+
+
+def _minhash_slice_cols() -> list:
+    """16 32-bit hash slices per shingle from only 4 md5 evaluations:
+    slice i = hex chars [8*(i%4)+1 .. +8] of md5('s{i//4}:' || shingle).
+    One wide md5 per seed is 4x less hashing than md5-per-minhash and
+    collapses the aggregate codegen; projecting the slices BEFORE the
+    groupBy lets whole-stage codegen's subexpression elimination evaluate
+    each seed's md5 once. Lexicographic min of a fixed-width lowercase hex
+    slice equals numeric min of the 32-bit value, identically in both
     engines."""
     return [
-        F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        F.substring(
+            F.md5(F.concat(F.lit(f"s{i // _SLICES_PER_MD5}:"), F.col("shingle"))),
+            8 * (i % _SLICES_PER_MD5) + 1,
+            8,
+        ).alias(f"sl{i}")
         for i in range(N_MINHASH)
     ]
+
+
+def _minhash_aggs() -> list:
+    return [F.min(f"sl{i}").alias(f"mh{i}") for i in range(N_MINHASH)]
 
 
 # session-scoped memo of the verified pair set: the LSH mine is the shared
@@ -182,7 +198,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _PAIR_CACHE[memo_key]
     sh = _shingles_df(spark, sf_dir).cache()
     sh.count()  # eager: three downstream subtrees scan this; materialize once
-    sig = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"), *_minhash_aggs())
+    sig = (
+        sh.select("doc_id", *_minhash_slice_cols())
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"), *_minhash_aggs())
+    )
     band_cols = [
         F.md5(F.concat_ws("|", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))).alias(f"band{b}")
         for b in range(N_BANDS)
@@ -218,8 +238,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify ONLY candidate pairs: intersect shingle sets via two joins keyed
     # on the candidate ids — never the all-pairs intersection (that would
     # defeat LSH at scale; the oracle may do it the slow way, we must not).
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # Prune the shingle table to candidate docs FIRST (broadcast semi-join):
+    # candidates are a vanishing fraction of the corpus, so the (doc, shingle)
+    # intersection shuffle moves only their shingles, not the whole table.
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(F.broadcast(cand_ids), "doc_id", "leftsemi")
+    sh_a = sh_c.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh_c.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         cand.select("doc_a", "doc_b")
         .join(sh_a, "doc_a")
@@ -252,7 +281,9 @@ def _sql_minhash_lsh_ctes() -> str:
     NEAR_DUP_JACCARD). The banding must mirror the Spark side exactly or a
     high-Jaccard pair missed by the bands would diverge between engines."""
     mh = ",\n         ".join(
-        f"MIN(md5('s{i}:' || shingle)) AS mh{i}" for i in range(N_MINHASH)
+        f"MIN(substring(md5('s{i // _SLICES_PER_MD5}:' || shingle), "
+        f"{8 * (i % _SLICES_PER_MD5) + 1}, 8)) AS mh{i}"
+        for i in range(N_MINHASH)
     )
     bands = ",\n         ".join(
         f"md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS band{b}" for b in range(N_BANDS)

@@ -310,25 +310,22 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def graph_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle census of the support-thresholded part co-purchase graph
-    (parts sharing >= 2 orders), the pattern-mining primitive behind
-    clustering-coefficient / community features. Edges are oriented
-    low-(degree, id) -> high-(degree, id) (Suri-Vassilvitskii), so wedge
-    fan-out per pivot is O(sqrt(m)) even on hub parts; the closing-edge
-    probe is an equi-join on the oriented edge list. Output: per-brand
-    triangle-corner counts (each triangle credits its 3 corner parts)."""
-    # the support-thresholded edge list is ~0.1% of the pair volume and is
-    # read 5x below (degree rollup + 2 orientation joins + 3 wedge-join
-    # legs); truncate its lineage so the co-purchase mine runs once —
-    # executor-resident, nothing materializes on the driver
-    und = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
-    deg = (
+def _degrees(und: DataFrame) -> DataFrame:
+    return (
         und.select(F.col("u").alias("p"))
         .unionAll(und.select(F.col("v").alias("p")))
         .groupBy("p")
         .agg(F.count("*").alias("d"))
     )
+
+
+def _oriented_triangles(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Triangle enumeration with the Suri-Vassilvitskii orientation: every
+    edge points low-(degree, id) -> high-(degree, id), so wedge fan-out
+    per pivot is O(sqrt(m)) even on hub nodes; the closing-edge probe is
+    an equi-join on the oriented list. Returns one (pa, pb, pc) row per
+    triangle (corner order follows the orientation, which is fine — every
+    consumer treats corners as a set)."""
     e = (
         und.join(deg.withColumnRenamed("p", "u").withColumnRenamed("d", "du"), "u")
         .join(deg.withColumnRenamed("p", "v").withColumnRenamed("d", "dv"), "v")
@@ -344,7 +341,7 @@ def graph_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
     )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    tri = (
+    return (
         e1.join(e2, F.col("e1.t") == F.col("e2.s"))
         .join(
             e3,
@@ -356,18 +353,37 @@ def graph_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.t").alias("pc"),
         )
     )
-    corners = (
+
+
+def _corner_counts(tri: DataFrame) -> DataFrame:
+    return (
         tri.select(F.col("pa").alias("p"))
         .unionAll(tri.select(F.col("pb").alias("p")))
         .unionAll(tri.select(F.col("pc").alias("p")))
+        .groupBy("p")
+        .agg(F.count("*").cast("bigint").alias("tri_n"))
     )
+
+
+def graph_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the support-thresholded part co-purchase graph
+    (parts sharing >= 2 orders), the pattern-mining primitive behind
+    clustering-coefficient / community features. Output: per-brand
+    triangle-corner counts (each triangle credits its 3 corner parts)."""
+    # the support-thresholded edge list is ~0.1% of the pair volume and is
+    # read 5x below (degree rollup + 2 orientation joins + 3 wedge-join
+    # legs); truncate its lineage so the co-purchase mine runs once —
+    # executor-resident, nothing materializes on the driver
+    und = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    tri = _oriented_triangles(und, _degrees(und))
+    corners = _corner_counts(tri)
     part = t(spark, sf_dir, "part").select(F.col("p_partkey").alias("p"), "p_brand")
     return (
         corners.join(part, "p")
         .groupBy("p_brand")
         .agg(
-            F.count("*").cast("bigint").alias("n_corners"),
-            F.countDistinct("p").cast("bigint").alias("n_parts"),
+            F.sum("tri_n").cast("bigint").alias("n_corners"),
+            F.count("*").cast("bigint").alias("n_parts"),
         )
     )
 
@@ -399,9 +415,87 @@ GROUP BY 1
 """
 
 
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand local clustering coefficient rollup over the co-purchase
+    graph: for each part with degree >= 2, cc_milli = 1000 * 2*tri(p) //
+    (d*(d-1)) (integer milli-units — both engines floor identically, so
+    the aggregate stays hash-exact). Per brand: parts considered, total
+    triangles-at-corner, total wedges, and the summed cc_milli (callers
+    divide by n_parts for the mean — kept as a sum to stay integral).
+    Reuses the degree-ordered triangle census (_oriented_triangles);
+    tri(p) is the corner count per part from the same wedge join."""
+    und = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = _degrees(und)
+    corners = _corner_counts(_oriented_triangles(und, deg))
+    part = t(spark, sf_dir, "part").select(F.col("p_partkey").alias("p"), "p_brand")
+    nodes = (
+        deg.filter(F.col("d") >= 2)
+        .join(corners, "p", "left")
+        .na.fill({"tri_n": 0})
+        .withColumn(
+            "cc_milli",
+            F.expr("CAST(1000 AS BIGINT) * 2 * tri_n div (d * (d - 1))"),
+        )
+    )
+    return (
+        nodes.join(part, "p")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("tri_n").cast("bigint").alias("total_corner_tris"),
+            F.expr("CAST(SUM(d * (d - 1)) AS BIGINT)").alias("total_wedges_x2"),
+            F.sum("cc_milli").cast("bigint").alias("sum_cc_milli"),
+        )
+    )
+
+
+ORACLE_CLUSTERING = f"""
+WITH und AS (
+  SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
+         GREATEST(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_TRI_SUPPORT}
+), deg AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS p FROM und UNION ALL SELECT v FROM und)
+  GROUP BY 1
+), tri AS (
+  SELECT e1.u AS pa, e1.v AS pb, e2.v AS pc
+  FROM und e1
+  JOIN und e2 ON e1.v = e2.u
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+), corners AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS tri_n
+  FROM (SELECT pa AS p FROM tri UNION ALL SELECT pb FROM tri
+        UNION ALL SELECT pc FROM tri)
+  GROUP BY 1
+), nodes AS (
+  SELECT deg.p, deg.d, COALESCE(c.tri_n, 0) AS tri_n,
+         CAST(1000 AS BIGINT) * 2 * COALESCE(c.tri_n, 0)
+           // (deg.d * (deg.d - 1)) AS cc_milli
+  FROM deg LEFT JOIN corners c ON deg.p = c.p
+  WHERE deg.d >= 2
+)
+SELECT pt.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(n.tri_n) AS BIGINT) AS total_corner_tris,
+       CAST(SUM(n.d * (n.d - 1)) AS BIGINT) AS total_wedges_x2,
+       CAST(SUM(n.cc_milli) AS BIGINT) AS sum_cc_milli
+FROM nodes n JOIN part pt ON n.p = pt.p_partkey
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "sketch_hll_registers": (sketch_hll_registers, ORACLE_HLL_REGISTERS),
     "sketch_hll_estimate": (sketch_hll_estimate, ORACLE_HLL_ESTIMATE),
     "sketch_kmv_distinct": (sketch_kmv_distinct, ORACLE_KMV),
     "graph_copurchase_triangles": (graph_copurchase_triangles, ORACLE_TRIANGLES),
+    "graph_clustering_coefficient": (
+        graph_clustering_coefficient,
+        ORACLE_CLUSTERING,
+    ),
 }

@@ -57,6 +57,7 @@ def _load_optional():
         # (prio 0) and stable sort keeps them BEHIND the 50 queued entries
         # that exactly fill the round-3 driver window
         "sketches",
+        "audio",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
