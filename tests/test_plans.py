@@ -172,6 +172,39 @@ def test_q19_disjunction_single_join_no_union(spark):
     assert plan.count("PushedFilters: [IsNotNull") == 2 or "Or(" in plan
 
 
+def test_hll_registers_partial_agg_no_raw_key_shuffle(spark):
+    """Sketch family: register construction must be a two-phase hash
+    aggregate (map-side partial MAX combine), all nibble arithmetic in
+    whole-stage codegen, exactly one shuffle — and that shuffle carries
+    (group, bucket) register rows, never raw user keys."""
+    from kalytical_spark.operators import sketches
+
+    plan = _final_plan(sketches.sketch_hll_registers(spark, SF_ORACLE))
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert _n_shuffles(plan) == 1, plan
+
+
+def test_audio_window_energy_zero_shuffle_arrow_map(spark):
+    """Audio family: window fan-out must be ONE mapInPandas over the scan —
+    zero Exchange (the 100 TB shape: feature extraction is a pure map)."""
+    from kalytical_spark.operators import audio
+
+    plan = _final_plan(audio.mm_audio_window_energy(spark, SF_ORACLE))
+    assert "MapInPandas" in plan
+    assert _n_shuffles(plan) == 0, plan
+
+
+def test_triangle_census_no_cartesian_hub_bound(spark):
+    """Graph family: the wedge join must stay an equi-join on the oriented
+    edge list — no CartesianProduct / BroadcastNestedLoopJoin anywhere."""
+    from kalytical_spark.operators import sketches
+
+    plan = _final_plan(sketches.graph_copurchase_triangles(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_range_join_is_equi_join_no_nested_loop(spark):
     """The bucketized range join must plan as a hash equi-join on the time
     bucket — never BroadcastNestedLoopJoin / CartesianProduct (the naive

@@ -47,9 +47,11 @@ SHOWCASE = [
     (
         "dedup_minhash_lsh",
         lambda s: dedup.dedup_minhash_lsh(s, SF),
-        "Signatures are one groupBy with 16 min-aggregates over the exploded\n"
-        "shingles (materialized once; the band self-join reuses the cache);\n"
-        "verification touches only band-bucket candidate pairs.",
+        "Signatures are one groupBy with 16 min-aggregates over hash slices\n"
+        "projected from just 4 md5 calls per shingle (materialized once; the\n"
+        "band self-join reuses the cache); verification touches only\n"
+        "band-bucket candidate pairs, with the shingle table semi-join\n"
+        "pruned to candidate docs before the intersection shuffle.",
     ),
     (
         "pipeline_curate_corpus",
@@ -147,6 +149,32 @@ SHOWCASE = [
         "to one bucket, and the join hashes on the bucket — no\n"
         "BroadcastNestedLoopJoin anywhere (plan-asserted).",
     ),
+    (
+        "sketch_hll_registers",
+        lambda s: _sketches().sketch_hll_registers(s, SF),
+        "HLL sketching as one two-phase hash aggregate: the md5 nibble\n"
+        "arithmetic runs in whole-stage codegen over the scan, partial MAX\n"
+        "registers combine map-side, and the only exchange carries 64\n"
+        "small ints per group — raw user keys never shuffle.",
+    ),
+    (
+        "graph_copurchase_triangles",
+        lambda s: _sketches().graph_copurchase_triangles(s, SF),
+        "Triangle census: per-order pair expansion is a JVM higher-order\n"
+        "array transform (one shuffle to group the order, one for edge\n"
+        "support), and the wedge join runs on the degree-ordered edge\n"
+        "list — hub-node fan-out is bounded by the orientation, and the\n"
+        "checkpointed edge list is read by all three join legs without\n"
+        "re-mining.",
+    ),
+    (
+        "mm_audio_window_energy",
+        lambda s: _audio().mm_audio_window_energy(s, SF),
+        "Audio windowing is a pure Arrow map: one mapInPandas node over\n"
+        "the scan fans each asset into its windows with vectorized numpy\n"
+        "— no Exchange in the plan at all; the per-window rows go straight\n"
+        "to the sink (the 100 TB shape for feature extraction).",
+    ),
 ]
 
 
@@ -214,6 +242,18 @@ def _rangejoin():
     from kalytical_spark.operators import rangejoin
 
     return rangejoin
+
+
+def _sketches():
+    from kalytical_spark.operators import sketches
+
+    return sketches
+
+
+def _audio():
+    from kalytical_spark.operators import audio
+
+    return audio
 
 
 def main() -> None:
