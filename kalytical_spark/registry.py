@@ -58,6 +58,7 @@ def _load_optional():
         # that exactly fill the round-3 driver window
         "sketches",
         "audio",
+        "olap",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))

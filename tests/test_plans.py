@@ -205,6 +205,18 @@ def test_triangle_census_no_cartesian_hub_bound(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_rollup_is_single_pass_expand(spark):
+    """OLAP family: ROLLUP must plan as ONE scan + Expand + two-phase
+    aggregate — never a union of per-level scans (the naive rewrite that
+    re-reads the fact table once per subtotal level)."""
+    from kalytical_spark.operators import olap
+
+    plan = _final_plan(olap.events_rollup_report(spark, SF_ORACLE))
+    assert "Expand" in plan, plan
+    assert "Union" not in plan
+    assert plan.split("== Initial Plan ==")[0].count("Scan parquet") == 1
+
+
 def test_range_join_is_equi_join_no_nested_loop(spark):
     """The bucketized range join must plan as a hash equi-join on the time
     bucket — never BroadcastNestedLoopJoin / CartesianProduct (the naive
