@@ -1,0 +1,98 @@
+"""Streaming HLL sketch maintenance: fold event micro-batches into a
+versioned register table with a MAX-merge ``foreachBatch`` sink — the
+streaming completion of operators/sketches.py.
+
+This is why sketches exist at 100 TB: the streaming side never keeps raw
+keys as state. Each micro-batch reduces to at most (groups x 64) register
+rows (a two-phase MAX aggregate inside the batch), and the fold is one
+keyed full-outer MAX against the current register snapshot. Unlike the
+signed-sum maintenance fold (maintenance.py), MAX-merge is IDEMPOTENT and
+commutative — a replayed batch folds to the same fixpoint, so
+at-least-once delivery needs no applied-batch ledger for correctness
+(the versioned pointer swap alone makes torn writes invisible). The
+stream==batch equivalence is pinned in tests/test_streaming_sketches.py:
+after draining the feed, the register table is row-identical to the batch
+sketch_hll_registers over the same events — the mergeability property
+that lets 1000 executors (or 1000 micro-batches) sketch independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import versioned
+from ..operators.sketches import _H_USER, _hll_bucket_sql, _hll_rho_sql
+
+
+def batch_registers(events: DataFrame) -> DataFrame:
+    """(event_type, bucket, r) HLL registers of one event set — the same
+    md5 nibble arithmetic as the batch operator (imported, not copied, so
+    the two can never drift)."""
+    return (
+        events.selectExpr(
+            "event_type",
+            f"{_hll_bucket_sql(_H_USER)} AS bucket",
+            f"{_hll_rho_sql(_H_USER)} AS rho",
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").cast("int").alias("r"))
+    )
+
+
+def hll_register_sink(table_dir: str):
+    """foreachBatch fold: MAX-merge the micro-batch's registers into the
+    versioned register table. Idempotent by construction (MAX), so replays
+    need no ledger — write_version's atomic pointer swap is the only
+    commit machinery required."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = batch_registers(batch_df)
+        cur = versioned.current_version(table_dir)
+        if cur is None:
+            merged = delta
+        else:
+            old = versioned.read_version(spark, table_dir, cur).withColumnRenamed(
+                "r", "r_old"
+            )
+            merged = (
+                old.join(delta.withColumnRenamed("r", "r_new"),
+                         ["event_type", "bucket"], "full_outer")
+                .select(
+                    "event_type",
+                    "bucket",
+                    F.greatest(
+                        F.coalesce("r_old", F.lit(0)),
+                        F.coalesce("r_new", F.lit(0)),
+                    )
+                    .cast("int")
+                    .alias("r"),
+                )
+            )
+        versioned.write_version(merged, table_dir)
+
+    return sink
+
+
+def start_hll_query(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    table_dir: str,
+    checkpoint_dir: str,
+):
+    """Wire a file-source event feed into the HLL register sink (bounded
+    by availableNow; one file per micro-batch so the merge is exercised
+    incrementally)."""
+    feed = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    return (
+        feed.writeStream.foreachBatch(hll_register_sink(table_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

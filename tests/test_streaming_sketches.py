@@ -1,0 +1,67 @@
+"""Streaming HLL maintenance: micro-batch MAX-merge must converge to the
+batch registers exactly (stream == batch), and a replayed fold must be a
+no-op (MAX idempotence) — the properties that make the sketch safe under
+at-least-once delivery."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from kalytical_spark import versioned
+from kalytical_spark.operators import sketches
+from kalytical_spark.streaming import sketches as ssk
+from tests.conftest import SF_ORACLE
+
+
+def _events(spark):
+    return sketches.t(spark, SF_ORACLE, "events_ms").select(
+        "event_type", "user_id"
+    )
+
+
+def _register_set(df):
+    return {(r.event_type, r.bucket, r.r) for r in df.collect()}
+
+
+def test_streamed_registers_equal_batch(spark):
+    ev = _events(spark)
+    batch = _register_set(sketches.sketch_hll_registers(spark, SF_ORACLE))
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "feed")
+        tbl = os.path.join(tmp, "hll_table")
+        ev.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+        q = ssk.start_hll_query(
+            spark, src, ev.schema, tbl, os.path.join(tmp, "ckpt")
+        )
+        q.awaitTermination(120)
+        v = versioned.current_version(tbl)
+        assert v is not None and v >= 4, "one committed version per batch"
+        streamed = _register_set(versioned.read_version(spark, tbl, v))
+        assert streamed == batch
+
+        # replay idempotence: re-folding the whole feed changes nothing
+        sink = ssk.hll_register_sink(tbl)
+        sink(spark.read.parquet(src), batch_id=999)
+        replayed = _register_set(
+            versioned.read_version(spark, tbl, versioned.current_version(tbl))
+        )
+        assert replayed == batch
+
+
+def test_partial_feed_registers_are_submerge(spark):
+    """Registers from any prefix of the feed are dominated by the full
+    batch registers (monotone MAX state — no overshoot possible)."""
+    ev = _events(spark)
+    half = ev.limit(ev.count() // 2)
+    full = {
+        (r.event_type, r.bucket): r.r
+        for r in ssk.batch_registers(ev).collect()
+    }
+    part = {
+        (r.event_type, r.bucket): r.r
+        for r in ssk.batch_registers(half).collect()
+    }
+    assert part, "non-vacuous prefix"
+    for k, r in part.items():
+        assert r <= full[k]
