@@ -59,6 +59,8 @@ def _load_optional():
         "sketches",
         "audio",
         "olap",
+        "bitmaps",
+        "bloomjoin",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
