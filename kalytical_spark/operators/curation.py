@@ -46,9 +46,20 @@ assert NEAR_DUP_JACCARD >= LSH_VERIFY_THRESHOLD, (
 )
 
 
+# session-scoped memo of the fate ledger: four query families consume it
+# (the ledger itself, the curation summary, and the two training-mix
+# builds) — without it each re-runs the quality window + dup resolution.
+# Cached lazily (one per-doc row; tiny); keyed by (session, sf_dir) like
+# dedup._PAIR_CACHE / components._CC_CACHE.
+_FATE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document fate ledger: kept | dropped_quality | dropped_exact_dup |
     dropped_near_dup, with the token count that drove the quality decision."""
+    memo_key = (id(spark._jsparkSession), sf_dir)
+    if memo_key in _FATE_CACHE:
+        return _FATE_CACHE[memo_key]
     docs = t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n_tokens = F.size(toks).cast("bigint")
@@ -104,7 +115,8 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("fate"),
         )
     )
-    return fate
+    _FATE_CACHE[memo_key] = fate.cache()
+    return _FATE_CACHE[memo_key]
 
 
 ORACLE_CURATE = f"""
