@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis) for the sketch/bitmap bit arithmetic.
+
+The oracle gate already pins Spark == DuckDB on the fixture corpus; these
+close the remaining edge — SQL fragment == independent pure-Python model —
+on ARBITRARY inputs, by evaluating the dialect-shared fragments in DuckDB
+(no Spark session per example; the fragments are the same strings the
+Spark side executes via selectExpr)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kalytical_spark.operators import bitmaps, sketches
+
+ids = st.lists(
+    st.integers(min_value=0, max_value=10_000), min_size=1, max_size=80
+)
+
+
+def _py_hll(key: str) -> tuple[int, int]:
+    """Independent reference for (bucket, rho): hashlib md5 bits, not
+    string slicing — a different decomposition than the SQL fragment."""
+    h = int(hashlib.md5(f"u:{key}".encode()).hexdigest(), 16)  # 128 bits
+    bucket = h >> 122  # top 6 bits
+    tail = h & ((1 << 120) - 1)  # low 120 bits (nibbles 3..32)
+    rho = 1
+    for i in range(119, -1, -1):
+        if tail >> i & 1:
+            break
+        rho += 1
+    else:
+        rho = 121
+    return bucket, rho
+
+
+@given(keys=ids)
+@settings(max_examples=60, deadline=None)
+def test_hll_fragment_matches_bit_model(keys):
+    con = duckdb.connect()
+    values = ", ".join(f"({k})" for k in set(keys))
+    h = "md5('u:' || CAST(user_id AS VARCHAR))"
+    rows = con.execute(
+        f"""
+        SELECT user_id,
+               {sketches._hll_bucket_sql(h)} AS bucket,
+               {sketches._hll_rho_sql(h)} AS rho
+        FROM (VALUES {values}) t(user_id)
+        """
+    ).fetchall()
+    for user_id, bucket, rho in rows:
+        eb, er = _py_hll(str(user_id))
+        assert (bucket, rho) == (eb, er), user_id
+        assert 0 <= bucket < sketches._HLL_M and 1 <= rho <= 121
+
+
+@given(keys=ids)
+@settings(max_examples=60, deadline=None)
+def test_kmv_nibble_polynomial_is_hex_value(keys):
+    con = duckdb.connect()
+    values = ", ".join(f"({k})" for k in set(keys))
+    rows = con.execute(
+        f"""
+        SELECT h, {sketches._kv_int_sql('h')} AS poly
+        FROM (SELECT substring(md5('e:' || CAST(k AS VARCHAR)), 1,
+                               {sketches._KMV_HEX}) AS h
+              FROM (VALUES {values}) t(k))
+        """
+    ).fetchall()
+    assert rows
+    for h, poly in rows:
+        assert poly == int(h, 16)
+
+
+@given(keys=ids)
+@settings(max_examples=60, deadline=None)
+def test_bitmap_words_reconstruct_exact_set(keys):
+    """bit_or word masks must reconstruct the exact id set: popcounts sum
+    to |set| and the set decoded from (w, mask) equals the input."""
+    con = duckdb.connect()
+    values = ", ".join(f"({k})" for k in set(keys))
+    w = bitmaps._WORD
+    rows = con.execute(
+        f"""
+        SELECT CAST(id // {w} AS INTEGER) AS w,
+               bit_or(CAST(1 AS BIGINT) << CAST(id % {w} AS INTEGER)) AS mask,
+               bit_count(bit_or(CAST(1 AS BIGINT) << CAST(id % {w} AS INTEGER))) AS n
+        FROM (VALUES {values}) t(id)
+        GROUP BY 1
+        """
+    ).fetchall()
+    decoded = set()
+    for word, mask, n in rows:
+        assert mask > 0  # 63-bit words: the sign bit is never used
+        assert n == bin(mask).count("1")
+        for b in range(w):
+            if mask >> b & 1:
+                decoded.add(word * w + b)
+    assert decoded == set(keys)
