@@ -188,16 +188,11 @@ def _minhash_aggs() -> list:
 _PAIR_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup mining (the scale path): 16 minhashes per doc
-    -> 8 bands of 2 -> candidate pairs within band buckets -> verified with
-    exact Jaccard >= 0.7. At 100 TB the expensive all-pairs join never
-    happens; only band-bucket collisions are compared."""
-    memo_key = (id(spark._jsparkSession), sf_dir)
-    if memo_key in _PAIR_CACHE:
-        return _PAIR_CACHE[memo_key]
-    sh = _shingles_df(spark, sf_dir).cache()
-    sh.count()  # eager: three downstream subtrees scan this; materialize once
+def banded_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, n_sh, band_idx, band_key) long-form LSH band keys from a
+    (doc_id, shingle) frame — the signature pipeline shared by the full
+    mine and the incremental delta mine (dedup_incremental.py), so the two
+    can never band differently."""
     sig = (
         sh.select("doc_id", *_minhash_slice_cols())
         .groupBy("doc_id")
@@ -210,9 +205,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sig.select("doc_id", "n_sh", *band_cols)
     # unpivot bands -> (doc_id, band_idx, band_key)
     stack_expr = ", ".join(f"'{b}', band{b}" for b in range(N_BANDS))
-    long = banded.selectExpr(
+    return banded.selectExpr(
         "doc_id", "n_sh", f"stack({N_BANDS}, {stack_expr}) AS (band_idx, band_key)"
-    ).cache()
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup mining (the scale path): 16 minhashes per doc
+    -> 8 bands of 2 -> candidate pairs within band buckets -> verified with
+    exact Jaccard >= 0.7. At 100 TB the expensive all-pairs join never
+    happens; only band-bucket collisions are compared."""
+    memo_key = (id(spark._jsparkSession), sf_dir)
+    if memo_key in _PAIR_CACHE:
+        return _PAIR_CACHE[memo_key]
+    sh = _shingles_df(spark, sf_dir).cache()
+    sh.count()  # eager: three downstream subtrees scan this; materialize once
+    long = banded_signatures(sh).cache()
     # eager: the self-join scans `long` twice; without materialization each
     # side recomputes the 16 minhash aggregates over every shingle (a count()
     # alone would NOT materialize them — Catalyst prunes unused agg columns)

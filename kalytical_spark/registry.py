@@ -61,6 +61,7 @@ def _load_optional():
         "olap",
         "bitmaps",
         "bloomjoin",
+        "dedup_incremental",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
