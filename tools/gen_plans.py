@@ -175,6 +175,31 @@ SHOWCASE = [
         "— no Exchange in the plan at all; the per-window rows go straight\n"
         "to the sink (the 100 TB shape for feature extraction).",
     ),
+    (
+        "events_bitmap_retention",
+        lambda s: _bitmaps().events_bitmap_retention(s, SF),
+        "Retention without a log self-join: the event scan reduces once to\n"
+        "per-day bit_or presence words (map-side combinable), and the\n"
+        "day-over-day intersection joins only the word registers — the\n"
+        "popcount AND runs over rows 63x smaller than the user set.",
+    ),
+    (
+        "events_bloom_pruned_join",
+        lambda s: _bloomjoin().events_bloom_pruned_join(s, SF),
+        "Runtime-filter pruning made explicit: the dim side folds to\n"
+        "<= 16 Bloom words that broadcast onto the fact scan; three\n"
+        "bit-test filters drop non-joining rows inside the scan stage\n"
+        "before the exact join sees them — result proven identical to\n"
+        "the plain join by the oracle.",
+    ),
+    (
+        "dedup_incremental_delta",
+        lambda s: _dedup_incremental().dedup_incremental_delta(s, SF),
+        "Per-ingest dedup shape: the band join probes the delta shard\n"
+        "(pruned scan side) against the full band table — delta x all,\n"
+        "never all x all — and verification semi-prunes the shingle table\n"
+        "to candidate docs before the intersection shuffle.",
+    ),
 ]
 
 
@@ -254,6 +279,24 @@ def _audio():
     from kalytical_spark.operators import audio
 
     return audio
+
+
+def _bitmaps():
+    from kalytical_spark.operators import bitmaps
+
+    return bitmaps
+
+
+def _bloomjoin():
+    from kalytical_spark.operators import bloomjoin
+
+    return bloomjoin
+
+
+def _dedup_incremental():
+    from kalytical_spark.operators import dedup_incremental
+
+    return dedup_incremental
 
 
 def main() -> None:
