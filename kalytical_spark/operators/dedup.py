@@ -183,9 +183,31 @@ def _minhash_aggs() -> list:
 # upstream of three query families (dedup_minhash_lsh itself, the
 # connected-components clustering, and the curation pipeline) — without it
 # each caller repays the full shingle->minhash->band->verify cost. The
-# result is a few hundred rows; the intermediates are unpersisted once it
-# materializes. Keyed by (session, sf_dir) like common._NOW_CACHE.
+# result is a few hundred rows; the candidate intermediates are unpersisted
+# once it materializes. Keyed by (session, sf_dir) like common._NOW_CACHE.
 _PAIR_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+# ...and of the signature tables themselves: (shingles, banded long) are
+# the STORED INDEX artifact of the LSH family — production persists them
+# per ingest and appends deltas. The full mine and the incremental delta
+# mine (dedup_incremental.py) share one cached build per session instead
+# of each re-shingling the corpus.
+_SIG_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def signature_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Cached (sh, long): the (doc_id, shingle) set and the long-form
+    (doc_id, n_sh, band_idx, band_key) band table, both materialized —
+    `long` because the band self-join scans it twice and a bare count()
+    would not materialize the pruned-away minhash aggregates."""
+    key = (id(spark._jsparkSession), sf_dir)
+    if key not in _SIG_CACHE:
+        sh = _shingles_df(spark, sf_dir).cache()
+        sh.count()
+        long = banded_signatures(sh).cache()
+        long.count()
+        _SIG_CACHE[key] = (sh, long)
+    return _SIG_CACHE[key]
 
 
 def banded_signatures(sh: DataFrame) -> DataFrame:
@@ -218,13 +240,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     memo_key = (id(spark._jsparkSession), sf_dir)
     if memo_key in _PAIR_CACHE:
         return _PAIR_CACHE[memo_key]
-    sh = _shingles_df(spark, sf_dir).cache()
-    sh.count()  # eager: three downstream subtrees scan this; materialize once
-    long = banded_signatures(sh).cache()
-    # eager: the self-join scans `long` twice; without materialization each
-    # side recomputes the 16 minhash aggregates over every shingle (a count()
-    # alone would NOT materialize them — Catalyst prunes unused agg columns)
-    long.count()
+    sh, long = signature_tables(spark, sf_dir)
     l, r = long.alias("l"), long.alias("r")
     cand = (
         l.join(
@@ -274,9 +290,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "jaccard")
         .cache()
     )
-    result.count()  # materialize so the intermediates can be released
-    for df in (sh, long, cand):
-        df.unpersist()
+    result.count()  # materialize so the candidate table can be released
+    # sh/long stay cached in _SIG_CACHE (the shared index artifact); only
+    # the mine-private candidate table is dropped
+    cand.unpersist()
     _PAIR_CACHE[memo_key] = result
     return result
 

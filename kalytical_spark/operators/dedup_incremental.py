@@ -28,9 +28,8 @@ from pyspark.sql import functions as F
 
 from .dedup import (
     LSH_VERIFY_THRESHOLD,
-    _shingles_df,
     _sql_minhash_lsh_ctes,
-    banded_signatures,
+    signature_tables,
 )
 
 DELTA_MOD = 10  # doc_id % 10 == 0 is "today's shard" (~10% of the corpus)
@@ -41,9 +40,10 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the delta's band keys probed against the full band table (doc_id
     ordering dedupes the delta-delta pairs that appear on both sides);
     exact-Jaccard verification touches only candidate docs' shingles."""
-    sh = _shingles_df(spark, sf_dir).cache()
-    long = banded_signatures(sh).cache()
-    long.count()  # materialize: probed by both sides of the band join
+    # the shared session signature memo: in production these are the stored
+    # per-ingest index tables; here the full mine and this delta mine build
+    # them once between themselves
+    sh, long = signature_tables(spark, sf_dir)
     delta = long.filter(F.col("doc_id") % DELTA_MOD == 0)
     d, o = delta.alias("d"), long.alias("o")
     # delta x all, both orientations, normalized to doc_a < doc_b
@@ -96,8 +96,9 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     out.count()  # materialize the (small) pair set, then free intermediates
-    for df in (sh, long, cand):
-        df.unpersist()
+    # sh/long belong to the shared _SIG_CACHE — only the private candidate
+    # table is released
+    cand.unpersist()
     return out
 
 

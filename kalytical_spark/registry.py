@@ -62,6 +62,7 @@ def _load_optional():
         "bitmaps",
         "bloomjoin",
         "dedup_incremental",
+        "adherence",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
