@@ -74,3 +74,16 @@ def attribution_join(events: DataFrame) -> DataFrame:
         "purchase_ts",
         "purchase_value",
     )
+
+
+def stream_static_enrichment(events_stream: DataFrame, defs: DataFrame) -> DataFrame:
+    """Stream-static equi-join (the third join mode, completing
+    stream-stream above and the foreachBatch folds in maintenance.py):
+    each lifecycle micro-batch is enriched with the pipeline catalog. The
+    static side is broadcast and RE-RESOLVED per micro-batch — a catalog
+    update is visible to the next batch without restarting the query — and
+    the join is stateless, so no watermark is involved. Left join: an
+    event for an unknown pipeline passes through with null dims (dropping
+    it would silently lose data on a catalog lag)."""
+    dims = defs.select("pipeline_uuid", "engine", "retry_max")
+    return events_stream.join(F.broadcast(dims), "pipeline_uuid", "left")

@@ -75,3 +75,39 @@ def test_stream_stream_join_state_is_watermark_bounded(spark):
     op = last["stateOperators"][0]
     assert op["operatorName"] == "symmetricHashJoin", op
     assert "watermark" in str(last["eventTime"]) or last["eventTime"], last
+
+
+def test_stream_static_join_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    catalog.register(spark, SF_SMALL)
+    ev = spark.table("lifecycle_events").select(
+        "pipeline_uuid", "exec_uuid", "event_subtype"
+    )
+    defs = spark.table("pipeline_defs")
+    batch = {
+        tuple(r)
+        for r in joins.stream_static_enrichment(ev, defs).collect()
+    }
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "lifecycle")
+        ev.repartition(3).write.parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            joins.stream_static_enrichment(stream, defs)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("enrich_e2e")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(120)
+        finally:
+            q.stop()
+        got = {
+            tuple(r) for r in spark.sql("SELECT * FROM enrich_e2e").collect()
+        }
+    assert got == batch and batch
+    # left-join semantics: every stream row survives
+    assert len(spark.sql("SELECT * FROM enrich_e2e").collect()) == ev.count()
