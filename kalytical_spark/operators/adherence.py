@@ -60,6 +60,9 @@ def _expected_fires(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         defs.select("schedule")
         .distinct()
+        # split once (scheduling.cron_next_due note: the codegen compile of
+        # the cron predicate dominates cold cost; tks[i] refs keep it small)
+        .withColumn("tks", F.split("schedule", " "))
         .crossJoin(spark.range(AUDIT_WINDOW_MIN))
         .withColumn("now_min", F.date_trunc("minute", now))
         .withColumn(
@@ -74,7 +77,7 @@ def _expected_fires(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month": "month(cand_ts)",
         "dow": "dayofweek(cand_ts) - 1",  # Spark: 1=Sunday; cron: 0=Sunday
     }
-    match = _cron_due_sql(lambda i: f"split(schedule, ' ')[{i}]", fields, duck=False)
+    match = _cron_due_sql(lambda i: f"tks[{i}]", fields, duck=False)
     due = cand.filter(F.expr(match)).select(
         "schedule", F.unix_timestamp("cand_ts").alias("exp_s")
     )

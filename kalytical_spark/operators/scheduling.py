@@ -86,6 +86,11 @@ def cron_next_due(spark: SparkSession, schedules: DataFrame, now) -> DataFrame:
     |schedules| x horizon, independent of catalog size."""
     cand = (
         schedules.distinct()
+        # split the 5 fields ONCE into a column: the match predicate
+        # references tks[i] instead of re-splitting per element test, which
+        # shrinks the generated code severalfold (the whole-stage compile of
+        # the full cron predicate is the dominant cold cost of this family)
+        .withColumn("tks", F.split("schedule", " "))
         .crossJoin(spark.range(CRON_HORIZON_MINUTES))
         .withColumn("base_ts", F.date_trunc("minute", now))
         .withColumn(
@@ -99,7 +104,7 @@ def cron_next_due(spark: SparkSession, schedules: DataFrame, now) -> DataFrame:
         "month": "month(cand_ts)",
         "dow": "dayofweek(cand_ts) - 1",  # Spark: 1=Sunday; cron: 0=Sunday
     }
-    match = _cron_due_sql(lambda i: f"split(schedule, ' ')[{i}]", fields, duck=False)
+    match = _cron_due_sql(lambda i: f"tks[{i}]", fields, duck=False)
     return (
         cand.filter(F.expr(match))
         .groupBy("schedule")
