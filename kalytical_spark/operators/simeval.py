@@ -1,0 +1,72 @@
+"""ANN quality evaluation built into the engine: recall@k of the IVF
+probe path against the exact brute-force top-k, as a first-class query.
+
+A similarity engine that cannot measure its own index quality invites
+silent regressions — probe counts, quantizer changes, and data drift all
+move recall, and at 100 TB nobody re-runs a notebook to notice. This
+report composes the two existing methods (similarity.py) and emits
+per-query hit counts plus integer-milli recall, so the eval is exactly as
+reproducible as the methods themselves (both are oracle-proven; ties at
+the k-th rank break on vec_id in both engines, so the hit sets are
+deterministic).
+
+Scale: the report joins two k-row-per-query frames — cost is the two
+methods themselves; the comparison adds one co-partitioned join on
+(query_id, vec_id) and a per-query rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .similarity import (
+    ORACLE_TOPK_BRUTEFORCE,
+    ORACLE_TOPK_IVF,
+    sim_topk_bruteforce,
+    sim_topk_ivf,
+)
+
+
+def sim_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per query: exact top-k size, how many of those the IVF probe path
+    recovered, and recall in exact milli-units (1000 * hits // k)."""
+    exact = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    approx = (
+        sim_topk_ivf(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("int").alias("k_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("int").alias("n_hit"),
+        )
+        .withColumn(
+            "recall_milli",
+            F.expr("CAST(1000 * n_hit div k_exact AS INT)"),
+        )
+    )
+
+
+ORACLE_RECALL = f"""
+WITH exact_tk AS (
+  SELECT query_id, vec_id FROM ({ORACLE_TOPK_BRUTEFORCE})
+), approx_tk AS (
+  SELECT query_id, vec_id FROM ({ORACLE_TOPK_IVF})
+)
+SELECT e.query_id,
+       CAST(COUNT(*) AS INTEGER) AS k_exact,
+       CAST(COUNT(a.vec_id) AS INTEGER) AS n_hit,
+       CAST(1000 * COUNT(a.vec_id) // COUNT(*) AS INTEGER) AS recall_milli
+FROM exact_tk e
+LEFT JOIN approx_tk a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+GROUP BY 1
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "sim_ivf_recall_report": (sim_ivf_recall_report, ORACLE_RECALL),
+}

@@ -63,6 +63,7 @@ def _load_optional():
         "bloomjoin",
         "dedup_incremental",
         "adherence",
+        "simeval",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
