@@ -64,6 +64,7 @@ def _load_optional():
         "dedup_incremental",
         "adherence",
         "simeval",
+        "weighted",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
