@@ -185,6 +185,9 @@ def read_job_logs(spark: SparkSession, log_path: str, max_kb: int = 10, tail_lin
     budget = max_kb * 1024
     from pyspark.sql import Window as W
 
+    # unpartitioned window is SAFE here and only here: the frame is the
+    # already-limit(tail_lines)-bounded tail, <= 999 rows by the
+    # reference's own cap — never the raw log
     w = W.orderBy(F.desc("line_id")).rowsBetween(W.unboundedPreceding, 0)
     bounded = (
         tail.withColumn("cum_bytes", F.sum(F.length("value") + 1).over(w))

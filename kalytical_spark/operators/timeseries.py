@@ -408,13 +408,34 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     active_days = (
         ev.select(F.date_trunc("day", "ts").cast("date").alias("day")).distinct()
     )
-    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    days = active_days.join(
+        new_per_day, active_days.day == new_per_day.first_day, "left"
+    ).select(
+        "day",
+        F.date_trunc("month", "day").cast("date").alias("mon"),
+        F.coalesce("new_users", F.lit(0)).cast("bigint").alias("new_users"),
+    )
+    # two-level prefix sum, so NO unpartitioned window ever plans (an
+    # unbounded-history log would otherwise funnel every day through one
+    # WindowExec partition): running sum within each month partition, plus
+    # each month's offset from a triangular join over the |months|-row
+    # month-total frame (O(months^2) on a frame of dozens).
+    w_m = W.partitionBy("mon").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    within = days.withColumn("cum_in_mon", F.sum("new_users").over(w_m))
+    mon_tot = days.groupBy("mon").agg(F.sum("new_users").alias("mtot"))
+    a, b = mon_tot.alias("a"), mon_tot.alias("b")
+    offsets = (
+        a.join(b, F.col("b.mon") < F.col("a.mon"), "left")
+        .groupBy(F.col("a.mon").alias("mon"))
+        .agg(F.coalesce(F.sum("b.mtot"), F.lit(0)).alias("offset"))
+    )
     return (
-        active_days.join(
-            new_per_day, active_days.day == new_per_day.first_day, "left"
+        within.join(F.broadcast(offsets), "mon")
+        .select(
+            "day",
+            "new_users",
+            (F.col("cum_in_mon") + F.col("offset")).cast("bigint").alias("cumulative_users"),
         )
-        .select("day", F.coalesce("new_users", F.lit(0)).cast("bigint").alias("new_users"))
-        .withColumn("cumulative_users", F.sum("new_users").over(w).cast("bigint"))
     )
 
 
