@@ -67,6 +67,79 @@ GROUP BY 1
 """
 
 
+def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the banded MinHash-LSH miner against the exhaustive
+    shared-shingle ground truth at the verify threshold — the exact
+    measurement the documented-quadratic ngram-Jaccard baseline exists to
+    enable (dedup.py: 'correctness anchor for LSH'). One summary row:
+    ground-truth pair count, LSH-found count, hits, and milli recall.
+    Precision is 1000 by construction (every LSH pair is exact-verified),
+    so recall is the only free variable."""
+    from .dedup import (
+        LSH_VERIFY_THRESHOLD,
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+    )
+
+    truth = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= LSH_VERIFY_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    found = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        truth.join(found, ["doc_a", "doc_b"], "left")
+        .agg(
+            F.count("*").cast("bigint").alias("n_truth"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"),
+        )
+        .withColumn(
+            "recall_milli", F.expr("CAST(1000 * n_hit div n_truth AS INT)")
+        )
+    )
+
+
+def _oracle_lsh_recall() -> str:
+    from .dedup import (
+        LSH_VERIFY_THRESHOLD,
+        _sql_minhash_lsh_ctes,
+        _SQL_SHINGLES,
+    )
+
+    return f"""
+WITH {_sql_minhash_lsh_ctes()},
+truth AS (
+  SELECT i.doc_a, i.doc_b
+  FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_inter
+    FROM ({_SQL_SHINGLES}) a JOIN ({_SQL_SHINGLES}) b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) i
+  JOIN (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM ({_SQL_SHINGLES}) GROUP BY 1) sa
+    ON i.doc_a = sa.doc_id
+  JOIN (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM ({_SQL_SHINGLES}) GROUP BY 1) sb
+    ON i.doc_b = sb.doc_id
+  WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)
+        >= {LSH_VERIFY_THRESHOLD}
+),
+found AS (
+  SELECT doc_a, doc_b FROM lsh_pairs WHERE jaccard >= {LSH_VERIFY_THRESHOLD}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(COUNT(f.doc_a) AS BIGINT) AS n_hit,
+       CAST(1000 * COUNT(f.doc_a) // COUNT(*) AS INTEGER) AS recall_milli
+FROM truth t
+LEFT JOIN found f ON f.doc_a = t.doc_a AND f.doc_b = t.doc_b
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "sim_ivf_recall_report": (sim_ivf_recall_report, ORACLE_RECALL),
+    "dedup_lsh_recall_report": (dedup_lsh_recall_report, _oracle_lsh_recall()),
 }
