@@ -35,10 +35,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .common import SQL_NOW, now_expr, t
-from .scheduling import _DUCK_MATCH, _cron_due_sql
+from .scheduling import _DUCK_MATCH, cron_matched_minutes
 
 AUDIT_WINDOW_MIN = 48 * 60  # trailing 48h of expected fires
 TOLERANCE_S = 1800  # an origination within 30 min answers the fire
+TOLERANCE_MIN = TOLERANCE_S // 60
+# only CLOSED answer windows are audited: a fire due in the last
+# TOLERANCE of the window could still be legitimately answered after
+# `now`, and counting it as missed would understate adherence — expected
+# fires span (now - window, now - tolerance]
 
 _OUT_SCHEMA = T.StructType(
     [
@@ -53,34 +58,19 @@ _OUT_SCHEMA = T.StructType(
 
 def _expected_fires(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(pipeline_uuid, exp_s): epoch seconds of every cron minute due in
-    (now - window, now], per scheduled pipeline. Candidate grid is the
-    DISTINCT schedule dimension x window minutes."""
+    (now - window, now - tolerance] — closed answer windows only — per
+    scheduled pipeline. Candidate grid is the DISTINCT schedule dimension
+    x window minutes."""
     defs = t(spark, sf_dir, "pipeline_defs").filter(F.col("schedule").isNotNull())
     now = now_expr(spark, sf_dir)
-    cand = (
-        defs.select("schedule")
-        .distinct()
-        # split once (scheduling.cron_next_due note: the codegen compile of
-        # the cron predicate dominates cold cost; tks[i] refs keep it small)
-        .withColumn("tks", F.split("schedule", " "))
-        .crossJoin(spark.range(AUDIT_WINDOW_MIN))
-        .withColumn("now_min", F.date_trunc("minute", now))
-        .withColumn(
-            "cand_ts",
-            F.expr("now_min - make_dt_interval(0, 0, CAST(id AS INT), 0)"),
-        )
-    )
-    fields = {
-        "minute": "minute(cand_ts)",
-        "hour": "hour(cand_ts)",
-        "dom": "day(cand_ts)",
-        "month": "month(cand_ts)",
-        "dow": "dayofweek(cand_ts) - 1",  # Spark: 1=Sunday; cron: 0=Sunday
-    }
-    match = _cron_due_sql(lambda i: f"tks[{i}]", fields, duck=False)
-    due = cand.filter(F.expr(match)).select(
-        "schedule", F.unix_timestamp("cand_ts").alias("exp_s")
-    )
+    due = cron_matched_minutes(
+        spark,
+        defs.select("schedule"),
+        now,
+        TOLERANCE_MIN,
+        AUDIT_WINDOW_MIN,
+        sign=-1,
+    ).select("schedule", F.unix_timestamp("cand_ts").alias("exp_s"))
     return defs.select("pipeline_uuid", "schedule").join(
         F.broadcast(due), "schedule"
     ).select("pipeline_uuid", "exp_s")
@@ -158,7 +148,7 @@ grid AS (
          n.now_min - INTERVAL 1 MINUTE * g.m AS cand_ts
   FROM (SELECT DISTINCT schedule FROM pipeline_defs WHERE schedule IS NOT NULL) s
   CROSS JOIN now_t n
-  CROSS JOIN (SELECT unnest(generate_series(0, {AUDIT_WINDOW_MIN - 1})) AS m) g
+  CROSS JOIN (SELECT unnest(generate_series({TOLERANCE_MIN}, {AUDIT_WINDOW_MIN - 1})) AS m) g
 ),
 exp AS (
   SELECT d.pipeline_uuid,

@@ -38,8 +38,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .common import t
-
 _WINDOW = 32  # samples (bytes) per analysis window
 
 _ENERGY_SCHEMA = T.StructType(
@@ -54,8 +52,13 @@ _ENERGY_SCHEMA = T.StructType(
 
 
 def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    """The shared multimodal payload derivation (multimodal._with_payload)
+    narrowed to this module's columns — ONE place defines 'payload bytes
+    ARE the samples', so the audio family can never desync from the
+    image/video families' byte-exact convention."""
+    from .multimodal import _with_payload
+
+    return _with_payload(spark, sf_dir).select("doc_id", "payload")
 
 
 def _window_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -78,23 +78,32 @@ def _cron_due_sql(tok, fields: dict[str, str], duck: bool) -> str:
     return f"{m['minute']} AND {m['hour']} AND {m['month']} AND {day_ok}"
 
 
-def cron_next_due(spark: SparkSession, schedules: DataFrame, now) -> DataFrame:
-    """(schedule) -> (schedule, due_time): the first minute strictly after
-    ``now`` (a timestamp literal/Column) matching each distinct 5-field
-    cron schedule, evaluated wholly JVM-side over the candidate-minute
-    grid. Input is the DISTINCT schedule dimension — candidate volume is
-    |schedules| x horizon, independent of catalog size."""
+def cron_matched_minutes(
+    spark: SparkSession,
+    schedules: DataFrame,
+    base,
+    start_min: int,
+    end_min: int,
+    sign: int = 1,
+) -> DataFrame:
+    """(schedule, cand_ts) — the candidate minutes ``base + sign * m`` for
+    m in [start_min, end_min) that each DISTINCT 5-field schedule admits.
+    The ONE place the Spark-side grid and field semantics live (the
+    origination tick and the adherence audit both consume it, so the
+    vixie dow offset can never diverge between them). The 5 fields are
+    split ONCE into a column: the match predicate references tks[i]
+    instead of re-splitting per element test, which shrinks the generated
+    code severalfold (whole-stage compile of the full cron predicate is
+    the dominant cold cost of this family)."""
+    op = "+" if sign > 0 else "-"
     cand = (
         schedules.distinct()
-        # split the 5 fields ONCE into a column: the match predicate
-        # references tks[i] instead of re-splitting per element test, which
-        # shrinks the generated code severalfold (the whole-stage compile of
-        # the full cron predicate is the dominant cold cost of this family)
         .withColumn("tks", F.split("schedule", " "))
-        .crossJoin(spark.range(CRON_HORIZON_MINUTES))
-        .withColumn("base_ts", F.date_trunc("minute", now))
+        .crossJoin(spark.range(start_min, end_min))
+        .withColumn("base_ts", F.date_trunc("minute", base))
         .withColumn(
-            "cand_ts", F.expr("base_ts + make_dt_interval(0, 0, CAST(id AS INT) + 1, 0)")
+            "cand_ts",
+            F.expr(f"base_ts {op} make_dt_interval(0, 0, CAST(id AS INT), 0)"),
         )
     )
     fields = {
@@ -105,8 +114,17 @@ def cron_next_due(spark: SparkSession, schedules: DataFrame, now) -> DataFrame:
         "dow": "dayofweek(cand_ts) - 1",  # Spark: 1=Sunday; cron: 0=Sunday
     }
     match = _cron_due_sql(lambda i: f"tks[{i}]", fields, duck=False)
+    return cand.filter(F.expr(match)).select("schedule", "cand_ts")
+
+
+def cron_next_due(spark: SparkSession, schedules: DataFrame, now) -> DataFrame:
+    """(schedule) -> (schedule, due_time): the first minute strictly after
+    ``now`` (a timestamp literal/Column) matching each distinct 5-field
+    cron schedule, evaluated wholly JVM-side over the candidate-minute
+    grid. Input is the DISTINCT schedule dimension — candidate volume is
+    |schedules| x horizon, independent of catalog size."""
     return (
-        cand.filter(F.expr(match))
+        cron_matched_minutes(spark, schedules, now, 1, CRON_HORIZON_MINUTES + 1)
         .groupBy("schedule")
         .agg(F.min("cand_ts").alias("due_time"))
     )

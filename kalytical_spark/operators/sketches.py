@@ -100,16 +100,25 @@ def _hll_rho_sql(h: str) -> str:
 _H_USER = "md5('u:' || CAST(user_id AS STRING))"
 
 
-def _hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events_ms").select("event_type", "user_id")
+def hll_registers_for(events: DataFrame) -> DataFrame:
+    """(event_type, bucket, r) registers of any (event_type, user_id)
+    frame — the ONE definition of the register aggregation, shared by the
+    batch query below and the streaming MAX-merge fold
+    (streaming/sketches.py), so the two can never drift."""
     return (
-        ev.selectExpr(
+        events.selectExpr(
             "event_type",
             f"{_hll_bucket_sql(_H_USER)} AS bucket",
             f"{_hll_rho_sql(_H_USER)} AS rho",
         )
         .groupBy("event_type", "bucket")
         .agg(F.max("rho").cast("int").alias("r"))
+    )
+
+
+def _hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hll_registers_for(
+        t(spark, sf_dir, "events_ms").select("event_type", "user_id")
     )
 
 
@@ -223,8 +232,13 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest md5 values; est = (k-1) * 2^48 // kth_min. The k-sample
     doubles as a deterministic mergeable theta-style sketch (union = min-k
     of the union of samples). Groups with fewer than k keys report the
-    exact count (the sketch IS the key set there)."""
-    ev = t(spark, sf_dir, "events_ms").select("event_type", "event_id")
+    exact count (the sketch IS the key set there). Keys are DISTINCTed
+    first — a KMV sketches a SET, and an at-least-once ingest could carry
+    duplicate event_ids that would otherwise inflate n_exact and stack
+    identical hashes under the kth-min."""
+    ev = (
+        t(spark, sf_dir, "events_ms").select("event_type", "event_id").distinct()
+    )
     h = F.substring(
         F.md5(F.concat(F.lit("e:"), F.col("event_id").cast("string"))),
         1,
@@ -263,7 +277,7 @@ WITH hashed AS (
                     event_id
          ) AS rk,
          COUNT(*) OVER (PARTITION BY event_type) AS n_keys
-  FROM events_ms
+  FROM (SELECT DISTINCT event_type, event_id FROM events_ms)
 )
 SELECT event_type, h AS kth_hex, CAST(n_keys AS BIGINT) AS n_exact,
        CAST(CASE WHEN n_keys < {_KMV_K} THEN n_keys

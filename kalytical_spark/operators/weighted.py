@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 
 from .common import t
 
+from .sketches import _kv_int_sql
+
 _K = 50
 _POW2 = 1 << 40
 # integer weight from the event's value: milli-scaled, floor 1 so every
@@ -35,15 +37,13 @@ _POW2 = 1 << 40
 _W_SPARK = "GREATEST(CAST(floor(value * 1000) AS BIGINT), CAST(1 AS BIGINT))"
 _W_DUCK = "GREATEST(CAST(floor(value * 1000) AS BIGINT), 1)"
 
-_NIB = "(position(substring({h}, {i}, 1) IN '0123456789abcdef') - 1)"
 
-
-def _h48_sql(key: str) -> str:
-    h = f"md5('w:' || CAST({key} AS STRING))"
-    return " + ".join(
-        _NIB.format(h=h, i=i + 1) + f" * CAST({16 ** (11 - i)} AS BIGINT)"
-        for i in range(12)
-    )
+def _h48_sql(key_cast: str) -> str:
+    """First 48 md5 bits of the salted key as a bigint — the SHARED
+    nibble-polynomial helper from sketches.py (one spelling of the
+    hex-to-int technique across the repo), dialect-neutral because
+    position(IN) parses in both engines."""
+    return _kv_int_sql(f"md5('w:' || {key_cast})")
 
 
 def events_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,7 +51,8 @@ def events_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority sampling, with the priority surfaced for auditability."""
     ev = t(spark, sf_dir, "events_ms").select("event_type", "event_id", "value")
     pri = F.expr(
-        f"CAST(({_W_SPARK}) * {_POW2} AS BIGINT) div (({_h48_sql('event_id')}) + 1)"
+        f"CAST(({_W_SPARK}) * {_POW2} AS BIGINT) div "
+        f"(({_h48_sql('CAST(event_id AS STRING)')}) + 1)"
     )
     w = W.partitionBy("event_type").orderBy(
         F.desc("priority"), F.asc("event_id")
@@ -69,11 +70,7 @@ def events_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_H48_DUCK = " + ".join(
-    "(position(substring(md5('w:' || CAST(event_id AS VARCHAR)), %d, 1) IN '0123456789abcdef') - 1) * CAST(%d AS BIGINT)"
-    % (i + 1, 16 ** (11 - i))
-    for i in range(12)
-)
+_H48_DUCK = _h48_sql("CAST(event_id AS VARCHAR)")
 
 ORACLE_WEIGHTED = f"""
 SELECT event_type, CAST(rk AS INTEGER) AS rk, event_id, priority

@@ -22,22 +22,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import versioned
-from ..operators.sketches import _H_USER, _hll_bucket_sql, _hll_rho_sql
+from ..operators.sketches import hll_registers_for
 
-
-def batch_registers(events: DataFrame) -> DataFrame:
-    """(event_type, bucket, r) HLL registers of one event set — the same
-    md5 nibble arithmetic as the batch operator (imported, not copied, so
-    the two can never drift)."""
-    return (
-        events.selectExpr(
-            "event_type",
-            f"{_hll_bucket_sql(_H_USER)} AS bucket",
-            f"{_hll_rho_sql(_H_USER)} AS rho",
-        )
-        .groupBy("event_type", "bucket")
-        .agg(F.max("rho").cast("int").alias("r"))
-    )
+# the register aggregation IS the batch operator's (imported whole, not
+# re-spelled): one definition, so stream and batch can never drift
+batch_registers = hll_registers_for
 
 
 def hll_register_sink(table_dir: str):
