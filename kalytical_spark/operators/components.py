@@ -50,6 +50,21 @@ def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
     memo_key = (id(spark._jsparkSession), sf_dir)
     if memo_key in _CC_CACHE:
         return _CC_CACHE[memo_key]
+    def _ckpt_rdd_id(df: DataFrame) -> int:
+        """The checkpointed RDD id behind a localCheckpoint'ed frame (its
+        analyzed plan is a LogicalRDD wrapping exactly that RDD)."""
+        return df._jdf.queryExecution().analyzed().rdd().id()
+
+    def _free(rdd_id: int) -> None:
+        """Release a superseded round's localCheckpoint blocks NOW.
+        DataFrame.unpersist() does not touch checkpoint storage (verified:
+        block count unchanged) and ContextCleaner only frees it after an
+        eventual driver GC — on a large dup graph that transiently stacks
+        up to O(log diameter) full label sets in executor memory. The
+        blocks ARE the checkpointed data, so only ever free a round that
+        no later plan references."""
+        spark.sparkContext._jsc.sc().unpersistRDD(rdd_id, False)
+
     edges = _dup_edges(spark, sf_dir).cache()
     # localCheckpoint (eager) after every round: the doubling step references
     # the round's result TWICE, so without lineage truncation the logical
@@ -65,6 +80,7 @@ def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).first()[0] or 0
+    labels_rdd_id = _ckpt_rdd_id(labels)
     for _ in range(MAX_CC_ITERS):
         nbr = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
@@ -92,7 +108,8 @@ def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
         # labels only decrease: an unchanged sum IS the fixpoint (scalar
         # collect — the driver never holds per-row state)
         new_sum = new_labels.agg(F.sum("label")).first()[0] or 0
-        labels = new_labels
+        _free(labels_rdd_id)  # the superseded round is never read again
+        labels, labels_rdd_id = new_labels, _ckpt_rdd_id(new_labels)
         if new_sum == prev_sum:
             break
         prev_sum = new_sum

@@ -57,7 +57,7 @@ SELECT user_id,
        epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS tenure_ms,
        MIN(ts) AS first_ts,
        MAX(ts) AS last_ts,
-       {", ".join(f"SUM(CAST(event_type = '{et}' AS BIGINT)) AS n_{et}" for et in _EVENT_TYPES)}
+       {", ".join(f"CAST(SUM(CAST(event_type = '{et}' AS BIGINT)) AS BIGINT) AS n_{et}" for et in _EVENT_TYPES)}
 FROM events_ms
 GROUP BY user_id
 """

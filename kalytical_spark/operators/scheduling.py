@@ -40,11 +40,15 @@ from .common import SQL_NOW, now_expr, t
 CRON_HORIZON_MINUTES = 35 * 24 * 60  # covers any dom<=28 / weekly / daily gap
 
 
-def _cron_field_match_sql(tok: str, val: str, duck: bool) -> str:
+def _cron_field_match_sql(tok: str, val: str, duck: bool, first: int = 0) -> str:
     """SQL text (Spark or DuckDB dialect) testing whether cron field token
     ``tok`` (a SQL string expression) admits integer value ``val``. The two
     dialects differ only in split/size/lambda spellings; the arithmetic is
-    shared, so parity is by construction."""
+    shared, so parity is by construction. ``first`` is the field's lowest
+    legal value (0 for minute/hour/dow, 1 for dom/month): vixie/K8s
+    ``*/step`` counts FROM the field's first value, so '*/2' in dom fires
+    on days 1,3,5,... — a plain ``val % step`` would shift the phase on
+    the 1-based fields."""
     sp = "string_split" if duck else "split"
     size = "len" if duck else "size"
     one, two = ("[1]", "[2]") if duck else ("[0]", "[1]")
@@ -56,7 +60,7 @@ def _cron_field_match_sql(tok: str, val: str, duck: bool) -> str:
     lo = f"CAST({sp}({base}, '-'){one} AS INT)"
     hi = f"CAST({sp}({base}, '-'){two} AS INT)"
     elem = (
-        f"CASE WHEN {base} = '*' THEN ({val}) % {step} = 0 "
+        f"CASE WHEN {base} = '*' THEN (({val}) - {first}) % {step} = 0 "
         f"WHEN {base} LIKE '%-%' THEN ({val}) BETWEEN {lo} AND {hi}"
         f" AND (({val}) - {lo}) % {step} = 0 "
         f"ELSE ({val}) = CAST({base} AS INT) END"
@@ -66,13 +70,22 @@ def _cron_field_match_sql(tok: str, val: str, duck: bool) -> str:
     return f"({tok} = '*' OR exists({sp}({tok}, ','), e -> {elem}))"
 
 
+_FIELD_FIRST = {"minute": 0, "hour": 0, "dom": 1, "month": 1, "dow": 0}
+
+
 def _cron_due_sql(tok, fields: dict[str, str], duck: bool) -> str:
     """The all-fields predicate, including the vixie dom/dow OR quirk:
-    when BOTH day fields are restricted, a minute matching either fires."""
-    m = {f: _cron_field_match_sql(tok(i), v, duck) for i, (f, v) in enumerate(fields.items())}
+    when BOTH day fields are RESTRICTED, a minute matching either fires.
+    'Restricted' is vixie's star FLAG semantics — a field beginning with
+    '*' (plain or '*/n') is star-flagged and therefore unrestricted for
+    the quirk, even though '*/n' still constrains which days match."""
+    m = {
+        f: _cron_field_match_sql(tok(i), v, duck, first=_FIELD_FIRST[f])
+        for i, (f, v) in enumerate(fields.items())
+    }
     dom_tok, dow_tok = tok(2), tok(4)
     day_ok = (
-        f"(CASE WHEN {dom_tok} <> '*' AND {dow_tok} <> '*' "
+        f"(CASE WHEN {dom_tok} NOT LIKE '*%' AND {dow_tok} NOT LIKE '*%' "
         f"THEN ({m['dom']} OR {m['dow']}) ELSE ({m['dom']} AND {m['dow']}) END)"
     )
     return f"{m['minute']} AND {m['hour']} AND {m['month']} AND {day_ok}"
@@ -137,23 +150,32 @@ def cron_due_originations(spark: SparkSession, sf_dir: str) -> DataFrame:
     schedule against the deterministic clock and emits each pipeline's next
     origination. due_time = first minute strictly after `now` matching the
     schedule; exec ids are content-addressed from (pipeline, due_time) so
-    a replayed tick cannot double-originate."""
+    a replayed tick cannot double-originate. LEFT join on purpose: a
+    schedule with no match inside the horizon (a rare-but-valid shape like
+    '0 0 29 2 *' evaluated in March) must surface as a NULL-due_time
+    sentinel row the operator can alert on — an inner join would silently
+    never originate that pipeline."""
     defs = t(spark, sf_dir, "pipeline_defs").filter(F.col("schedule").isNotNull())
     now = now_expr(spark, sf_dir)
     due = cron_next_due(spark, defs.select("schedule"), now)
-    return defs.join(F.broadcast(due), "schedule", "inner").select(
+    return defs.join(F.broadcast(due), "schedule", "left").select(
         "pipeline_uuid",
         "schedule",
         F.lit("origination").alias("event_subtype"),
         F.col("due_time"),
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("pipeline_uuid"), F.lit("@"), F.col("due_time").cast("string")
-                )
+        F.when(
+            F.col("due_time").isNotNull(),
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("pipeline_uuid"),
+                        F.lit("@"),
+                        F.col("due_time").cast("string"),
+                    )
+                ),
+                1,
+                8,
             ),
-            1,
-            8,
         ).alias("exec_uuid"),
     )
 
@@ -173,10 +195,11 @@ ORACLE_CRON_DUE = f"""
 SELECT d.pipeline_uuid, d.schedule,
        'origination' AS event_subtype,
        due.due_time,
-       substr(md5(d.pipeline_uuid || '@' || CAST(due.due_time AS STRING)), 1, 8)
-         AS exec_uuid
+       CASE WHEN due.due_time IS NOT NULL THEN
+         substr(md5(d.pipeline_uuid || '@' || CAST(due.due_time AS STRING)), 1, 8)
+       END AS exec_uuid
 FROM pipeline_defs d
-JOIN (
+LEFT JOIN (
   SELECT schedule, MIN(cand_ts) AS due_time
   FROM (
     SELECT s.schedule,

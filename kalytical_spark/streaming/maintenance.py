@@ -72,8 +72,14 @@ def seed_ledger(table_dir: str) -> None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     path = os.path.join(table_dir, f"v{v}", _LEDGER)
     if not os.path.exists(path):
-        with open(path, "w") as fh:
+        # write-then-rename (the versioned.py pointer protocol): a crash
+        # mid-write must not leave a truncated ledger — the exists() check
+        # above would then treat the wedge as done and _applied_batches
+        # would raise on every subsequent fold
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump([], fh)
+        os.replace(tmp, path)
 
 
 def maintenance_sink(table_dir: str, group_cols: list[str], value_col: str):

@@ -66,18 +66,31 @@ def write_version(df: DataFrame, table_dir: str, pre_commit=None) -> int:
     pointer always sees the sidecars, and a crash before the swap leaves
     the old version current with its own sidecars intact.
 
-    Version directories newer than the pointer are uncommitted leftovers
-    from a crashed write; they are removed before writing so a replayed
-    commit (same next version number) applies cleanly instead of hitting
-    ``errorifexists``.
+    The immediate-next version directory, when present, is the
+    uncommitted leftover of a crashed write (single-writer protocol); it
+    is removed so a replayed commit applies cleanly instead of hitting
+    ``errorifexists``. ONLY that one directory is ever purged: deleting
+    every v > pointer would turn two recoverable conditions into data
+    loss — an unreadable pointer file (current_version() returns None,
+    which must NOT be read as "empty table" when snapshots exist; the
+    pointer is reconstructible from max(v)) and a concurrent writer's
+    in-flight directory. Writers are single-process by contract
+    (streaming sinks serialize through foreachBatch); the guard below
+    makes the pointer-corruption case an explicit error instead of a
+    silent wipe.
     """
     import shutil
 
     os.makedirs(table_dir, exist_ok=True)
     cur = current_version(table_dir)
-    for orphan in _uncommitted_versions(table_dir, cur):
-        shutil.rmtree(_version_dir(table_dir, orphan), ignore_errors=True)
+    if cur is None and _uncommitted_versions(table_dir, None):
+        raise RuntimeError(
+            f"{table_dir} has snapshot directories but no readable "
+            f"{_POINTER} pointer; refusing to write (recover the pointer "
+            "from the highest complete version instead of wiping history)"
+        )
     nxt = 1 if cur is None else cur + 1
+    shutil.rmtree(_version_dir(table_dir, nxt), ignore_errors=True)
     vdir = _version_dir(table_dir, nxt)
     df.write.mode("errorifexists").parquet(vdir)
     if pre_commit is not None:

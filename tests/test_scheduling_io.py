@@ -22,14 +22,16 @@ def _py_cron_next(schedule: str, now):
     OR quirk), used only as a differential twin for the Spark evaluator."""
     import datetime
 
-    def field_ok(tok: str, v: int) -> bool:
+    def field_ok(tok: str, v: int, first: int = 0) -> bool:
         if tok == "*":
             return True
         for e in tok.split(","):
             base, _, step_s = e.partition("/")
             step = int(step_s) if step_s else 1
             if base == "*":
-                if v % step == 0:
+                # vixie/K8s: */step counts from the field's FIRST value
+                # (1 for dom/month), not from 0
+                if (v - first) % step == 0:
                     return True
             elif "-" in base:
                 lo, hi = map(int, base.split("-"))
@@ -44,16 +46,19 @@ def _py_cron_next(schedule: str, now):
     for _ in range(scheduling.CRON_HORIZON_MINUTES):
         ts += datetime.timedelta(minutes=1)
         cron_dow = (ts.weekday() + 1) % 7  # cron: 0=Sunday
-        dom_ok, dow_ok = field_ok(toks[2], ts.day), field_ok(toks[4], cron_dow)
+        dom_ok = field_ok(toks[2], ts.day, first=1)
+        dow_ok = field_ok(toks[4], cron_dow)
+        # vixie star FLAG: a field beginning with '*' (plain or */n) is
+        # unrestricted for the dom/dow OR quirk
         day_ok = (
             (dom_ok or dow_ok)
-            if (toks[2] != "*" and toks[4] != "*")
+            if (not toks[2].startswith("*") and not toks[4].startswith("*"))
             else (dom_ok and dow_ok)
         )
         if (
             field_ok(toks[0], ts.minute)
             and field_ok(toks[1], ts.hour)
-            and field_ok(toks[3], ts.month)
+            and field_ok(toks[3], ts.month, first=1)
             and day_ok
         ):
             return ts
@@ -78,6 +83,9 @@ def test_cron_next_due_matches_brute_force(spark):
         "0 0 1 * 1",  # vixie OR: 1st of month OR every Monday
         "45 23 28-31 * *",
         "0 12 13 * 5",  # vixie OR: 13th OR Fridays, at noon
+        "0 0 */2 * *",  # 1-based step phase: days 1,3,5,... (K8s), not 2,4,...
+        "0 12 * */3 *",  # month step from month 1: Jan/Apr/Jul/Oct
+        "0 0 */2 * 1",  # star-FLAGGED dom (*/2): quirk is AND, not OR
     ]
     now = datetime.datetime(2026, 3, 28, 22, 47, 23)  # Saturday, late, mid-minute
     sdf = spark.createDataFrame([(s,) for s in shapes], "schedule string")
