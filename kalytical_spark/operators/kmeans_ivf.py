@@ -39,12 +39,81 @@ N_PROBE = 4
 
 
 def _normalized(emb: DataFrame) -> DataFrame:
-    """L2-normalized embeddings, JVM-side (no Python in the plan)."""
+    """L2-normalized embeddings, JVM-side (no Python in the plan). The
+    norm is projected as a COLUMN before the divide: embedding the O(dim)
+    aggregate fold inside the transform() lambda would re-evaluate it per
+    element (higher-order-function bodies are not hoisted — O(dim^2) per
+    row). A zero-norm vector divides by 1 and stays zero instead of
+    NaN-poisoning every downstream centroid/similarity."""
     d = _dbl(F.col("embedding"))
-    nrm = F.sqrt(_dot(d, d))
-    return emb.select(
-        "vec_id", F.transform(d, lambda x: x / nrm).alias("nemb")
+    staged = emb.select("vec_id", d.alias("demb")).withColumn(
+        "nrm", F.sqrt(_dot(F.col("demb"), F.col("demb")))
     )
+    safe = F.when(F.col("nrm") == 0.0, F.lit(1.0)).otherwise(F.col("nrm"))
+    return staged.select(
+        "vec_id",
+        F.transform(F.col("demb"), lambda x: x / safe).alias("nemb"),
+    )
+
+
+def _stack_unit(series) -> "np.ndarray":  # noqa: F821 - numpy local import convention
+    """Rows of an Arrow list column as a unit-normalized float64 matrix;
+    zero-norm rows stay zero (divide by 1) instead of going NaN."""
+    import numpy as np
+
+    X = np.stack(series.map(lambda a: np.asarray(a, dtype=np.float64)))
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return X / n
+
+
+def make_probe(bC, n_probe: int):
+    """Shared IVF probe stage (used by sim_topk_kmeans_ivf AND the IVF-PQ
+    index in pq.py — one definition, so probe semantics incl. the
+    round-to-4 stable tie-break can never drift): each query row fans out
+    to its n_probe nearest centroids."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 - batches are pandas frames
+
+    def probe(batches):
+        Cb = bC.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _stack_unit(pdf["q_emb"])
+            sims = X @ Cb.T
+            top = np.argsort(-np.round(sims, 4), axis=1, kind="stable")[:, :n_probe]
+            out = pdf.loc[
+                pdf.index.repeat(n_probe), ["query_id", "q_emb"]
+            ].reset_index(drop=True)
+            out["cell"] = top.reshape(-1).astype("int32")
+            yield out
+
+    return probe
+
+
+def make_pair_scorer(q_col: str, v_col: str):
+    """Shared exact-cosine pair scorer (kmeans IVF final scoring AND the
+    PQ re-rank): rounds to 4 decimals for the deterministic tie-break."""
+    import numpy as np
+    import pandas as pd
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _stack_unit(pdf[q_col])
+            B = _stack_unit(pdf[v_col])
+            sims = np.round(np.einsum("ij,ij->i", A, B), 4)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "vec_id": pdf["vec_id"],
+                    "cos_sim": sims,
+                }
+            )
+
+    return score
 
 
 # session-scoped memo: the coarse quantizer is shared by sim_topk_kmeans_ivf
@@ -164,38 +233,16 @@ def sim_topk_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bC = spark.sparkContext.broadcast(C)
 
-    def probe(batches):
-        Cb = bC.value
-        for pdf in batches:
-            X = np.stack(pdf["q_emb"].map(lambda a: np.asarray(a, dtype=np.float64)))
-            X /= np.linalg.norm(X, axis=1, keepdims=True)
-            sims = X @ Cb.T
-            top = np.argsort(-np.round(sims, 4), axis=1, kind="stable")[:, :N_PROBE]
-            out = pdf.loc[pdf.index.repeat(N_PROBE), ["query_id", "q_emb"]].reset_index(
-                drop=True
-            )
-            out["cell"] = top.reshape(-1).astype("int32")
-            yield out
-
     probed = queries.mapInPandas(
-        probe, schema="query_id long, q_emb array<float>, cell int"
+        make_probe(bC, N_PROBE), schema="query_id long, q_emb array<float>, cell int"
     )
     cand = probed.join(assignments, "cell").join(
         emb.select("vec_id", "embedding"), "vec_id"
     ).filter(F.col("vec_id") != F.col("query_id"))
-
-    def score(batches):
-        for pdf in batches:
-            A = np.stack(pdf["q_emb"].map(lambda a: np.asarray(a, dtype=np.float64)))
-            B = np.stack(pdf["embedding"].map(lambda a: np.asarray(a, dtype=np.float64)))
-            A /= np.linalg.norm(A, axis=1, keepdims=True)
-            B /= np.linalg.norm(B, axis=1, keepdims=True)
-            sims = np.round(np.einsum("ij,ij->i", A, B), 4)
-            yield pd.DataFrame(
-                {"query_id": pdf["query_id"], "vec_id": pdf["vec_id"], "cos_sim": sims}
-            )
-
-    scored = cand.mapInPandas(score, schema="query_id long, vec_id long, cos_sim double")
+    scored = cand.mapInPandas(
+        make_pair_scorer("q_emb", "embedding"),
+        schema="query_id long, vec_id long, cos_sim double",
+    )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

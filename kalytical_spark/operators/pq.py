@@ -29,7 +29,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .kmeans_ivf import N_PROBE, _normalized, fit_kmeans_cells
+from .kmeans_ivf import (
+    N_PROBE,
+    _normalized,
+    fit_kmeans_cells,
+    make_pair_scorer,
+    make_probe,
+)
 from .similarity import QUERY_STRIDE, TOP_K
 from .common import t
 
@@ -53,6 +59,11 @@ def _train_codebooks(spark: SparkSession, sf_dir: str):
     # fit_kmeans_cells)
     nemb = _normalized(emb).join(assignments, "vec_id").cache()
     dim = C.shape[1]
+    assert dim % PQ_M == 0, (
+        f"embedding dim {dim} is not divisible by PQ_M={PQ_M}: the subspace "
+        "split would silently drop the trailing coordinates from codebook "
+        "training, encoding, and the ADC LUT"
+    )
     dsub = dim // PQ_M
 
     # deterministic init: residual subvectors of the PQ_KS vectors with the
@@ -161,21 +172,11 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
 
-    def probe(batches):
-        Cb = bC.value
-        for pdf in batches:
-            X = np.stack(pdf["q_emb"].map(lambda a: np.asarray(a, dtype=np.float64)))
-            X /= np.linalg.norm(X, axis=1, keepdims=True)
-            sims = X @ Cb.T
-            top = np.argsort(-np.round(sims, 4), axis=1, kind="stable")[:, :N_PROBE]
-            out = pdf.loc[pdf.index.repeat(N_PROBE), ["query_id", "q_emb"]].reset_index(
-                drop=True
-            )
-            out["cell"] = top.reshape(-1).astype("int32")
-            yield out
-
+    # the probe stage is kmeans_ivf.make_probe — ONE definition shared with
+    # sim_topk_kmeans_ivf, so probe semantics (round-to-4 stable tie-break,
+    # zero-norm guard) cannot drift between the two index families
     probed = queries.mapInPandas(
-        probe, schema="query_id long, q_emb array<float>, cell int"
+        make_probe(bC, N_PROBE), schema="query_id long, q_emb array<float>, cell int"
     )
 
     def adc(batches):
@@ -186,7 +187,7 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             frames = []
             for (qid, cell), grp in pdf.groupby(["query_id", "cell"], sort=True):
                 q = np.asarray(grp["q_emb"].iloc[0], dtype=np.float64)
-                q /= np.linalg.norm(q)
+                q /= np.linalg.norm(q) or 1.0  # zero-norm query stays zero
                 base = float(q @ Cb[cell])
                 # LUT[m, k] = q_m . codebook[m][k]
                 lut = np.stack(
@@ -225,20 +226,11 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = emb.select("vec_id", F.col("embedding").alias("v_full"))
     joined = shortlist.join(F.broadcast(qn), "query_id").join(ev, "vec_id")
 
-    def rerank(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.stack(pdf["q_full"].map(lambda a: np.asarray(a, dtype=np.float64)))
-            Bv = np.stack(pdf["v_full"].map(lambda a: np.asarray(a, dtype=np.float64)))
-            A /= np.linalg.norm(A, axis=1, keepdims=True)
-            Bv /= np.linalg.norm(Bv, axis=1, keepdims=True)
-            sims = np.round(np.einsum("ij,ij->i", A, Bv), 4)
-            yield pd.DataFrame(
-                {"query_id": pdf["query_id"], "vec_id": pdf["vec_id"], "cos_sim": sims}
-            )
-
-    scored = joined.mapInPandas(rerank, schema="query_id long, vec_id long, cos_sim double")
+    # exact re-rank scoring = kmeans_ivf.make_pair_scorer (shared)
+    scored = joined.mapInPandas(
+        make_pair_scorer("q_full", "v_full"),
+        schema="query_id long, vec_id long, cos_sim double",
+    )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

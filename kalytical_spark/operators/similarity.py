@@ -358,7 +358,11 @@ def _sql_sign_lsh() -> str:
 ), planes AS (
   SELECT p, d, CAST(({hexval5}) - {1 << 19} AS BIGINT) AS h
   FROM generate_series(0, {N_HYPERPLANES - 1}) gp(p),
-       generate_series(0, 63) gd(d)
+       -- dim is data-driven, like the Spark side's _hyperplanes(V.shape[1]):
+       -- a hardcoded 63 here would silently truncate sign dots if the
+       -- fixture's embedding dimension ever changed (generate_series only
+       -- takes constants, so reuse base's exploded positions)
+       (SELECT DISTINCT pos AS d FROM base) gd
 ), dots AS (
   SELECT v.vec_id, pl.p,
          CASE WHEN SUM(v.q * pl.h) > 0 THEN 1 ELSE 0 END AS bit
@@ -438,6 +442,10 @@ def sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.crossJoin(F.broadcast(scal))
         .select("vec_id", code.alias("codes"))
         .select("vec_id", "codes", n2.alias("n2"))
+        # both join sides (broadcast query subset + corpus probe) read this
+        # frame; without the cache each side re-scans the parquet AND
+        # re-runs the global max-abs scale aggregate
+        .cache()
     )
     queries = coded.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"),
