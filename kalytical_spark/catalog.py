@@ -31,7 +31,10 @@ _CACHED_DFS: dict[int, list[DataFrame]] = {}
 
 def register(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, cache_domain: bool = True) -> None:
     """Register base parquet tables and derived domain views as temp views."""
-    sid = id(spark._jsparkSession)
+    # (app id, JVM session identity hash): temp views are SESSION-scoped,
+    # so the key must distinguish sibling sessions, but must not alias a
+    # stopped session whose py4j wrapper address got reused (id() would)
+    sid = (spark.sparkContext.applicationId, spark._jsparkSession.hashCode())
     if _CURRENT_SF.get(sid) == sf_dir:
         return
     for df in _CACHED_DFS.pop(sid, []):

@@ -62,7 +62,17 @@ def sql_davg(expr: str) -> str:
     return f"{sql_dsum(expr)} / CAST(COUNT({expr}) AS DOUBLE)"
 
 
-_NOW_CACHE: dict[tuple[int, str], object] = {}
+def app_key(spark: SparkSession) -> str:
+    """Session-memo key: the Spark application id. Unique per
+    SparkContext LIFETIME — unlike id(spark._jsparkSession), whose py4j
+    wrapper address can be reused after a session is stopped and garbage
+    collected, silently handing a later session another app's cached
+    DataFrames. Sibling sessions of one context share the memos safely
+    (the cached frames are context-bound and the data is deterministic)."""
+    return spark.sparkContext.applicationId
+
+
+_NOW_CACHE: dict[tuple[str, str], object] = {}
 
 
 def now_expr(spark: SparkSession, sf_dir: str) -> Column:
@@ -71,7 +81,7 @@ def now_expr(spark: SparkSession, sf_dir: str) -> Column:
     (data_provider.py:130,135; job_culler.py:22,35). Memoized per
     (session, sf_dir) — otherwise every time-based query pays an extra
     aggregate job just to build its expression."""
-    key = (id(spark._jsparkSession), sf_dir)
+    key = (app_key(spark), sf_dir)
     if key not in _NOW_CACHE:
         catalog.register(spark, sf_dir)
         _NOW_CACHE[key] = spark.table("events_ms").agg(F.max("ts")).collect()[0][0]

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .common import app_key
 from .dedup import LSH_VERIFY_THRESHOLD, _sql_minhash_lsh_ctes, dedup_minhash_lsh
 
 MAX_CC_ITERS = 50
@@ -47,7 +48,7 @@ def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, component_id) for every document in at least one near-dup
     pair; component_id = min doc_id of the component."""
-    memo_key = (id(spark._jsparkSession), sf_dir)
+    memo_key = (app_key(spark), sf_dir)
     if memo_key in _CC_CACHE:
         return _CC_CACHE[memo_key]
     def _ckpt_rdd_id(df: DataFrame) -> int:
@@ -174,7 +175,7 @@ def dedup_keeper_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus plus one per-component window."""
     from pyspark.sql import Window as W
 
-    from .common import t
+    from .common import app_key, t
 
     cc = _components(spark, sf_dir)
     docs = t(spark, sf_dir, "documents").select(

@@ -28,13 +28,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .common import t
+from .common import app_key, t
 from .dedup import (
     LSH_VERIFY_THRESHOLD,
     _sql_minhash_lsh_ctes,
     dedup_minhash_lsh,
 )
 from .text import STOPWORDS as _STOPWORDS
+from .text import _SW_SQL
 
 QUALITY_MIN_TOKENS = 20
 QUALITY_MAX_TOKENS = 400
@@ -57,7 +58,7 @@ _FATE_CACHE: dict[tuple[int, str], DataFrame] = {}
 def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document fate ledger: kept | dropped_quality | dropped_exact_dup |
     dropped_near_dup, with the token count that drove the quality decision."""
-    memo_key = (id(spark._jsparkSession), sf_dir)
+    memo_key = (app_key(spark), sf_dir)
     if memo_key in _FATE_CACHE:
         return _FATE_CACHE[memo_key]
     docs = t(spark, sf_dir, "documents")
@@ -119,13 +120,16 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _FATE_CACHE[memo_key]
 
 
-ORACLE_CURATE = f"""
+# the shared CTE chain ENDING IN the fate table: both curation oracles and
+# the training-mix oracle (mix.py) append their own SELECT to this one
+# string — no rsplit string surgery, and the fate CASE exists exactly once
+ORACLE_CURATE_CTES = f"""
 WITH staged AS (
   SELECT doc_id, lang,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
          (len(string_split(text, ' ')) BETWEEN {QUALITY_MIN_TOKENS} AND {QUALITY_MAX_TOKENS}
           AND CAST(len(list_filter(string_split(text, ' '),
-                        x -> x IN ('a', 'the', 'of', 'and'))) AS DOUBLE)
+                        x -> x IN {_SW_SQL})) AS DOUBLE)
               / CAST(len(string_split(text, ' ')) AS DOUBLE)
               < {QUALITY_MAX_STOPWORD_RATIO}) AS quality_ok,
          md5(list_aggregate(list_sort(string_split(text, ' ')), 'string_agg', ' ')) AS bag_fp
@@ -140,16 +144,18 @@ WITH staged AS (
   SELECT DISTINCT p.doc_b AS doc_id
   FROM lsh_pairs p JOIN survivors2 s ON p.doc_a = s.doc_id
   WHERE p.jaccard >= {NEAR_DUP_JACCARD}
-)
-SELECT st.doc_id, st.lang, st.n_tokens,
-       CASE WHEN NOT st.quality_ok THEN 'dropped_quality'
-            WHEN NOT e.exact_keeper THEN 'dropped_exact_dup'
-            WHEN d.doc_id IS NOT NULL THEN 'dropped_near_dup'
-            ELSE 'kept' END AS fate
-FROM staged st
-LEFT JOIN exact e USING (doc_id)
-LEFT JOIN dropped_b d USING (doc_id)
-"""
+), fate AS (
+  SELECT st.doc_id, st.lang, st.n_tokens,
+         CASE WHEN NOT st.quality_ok THEN 'dropped_quality'
+              WHEN NOT e.exact_keeper THEN 'dropped_exact_dup'
+              WHEN d.doc_id IS NOT NULL THEN 'dropped_near_dup'
+              ELSE 'kept' END AS fate
+  FROM staged st
+  LEFT JOIN exact e USING (doc_id)
+  LEFT JOIN dropped_b d USING (doc_id)
+)"""
+
+ORACLE_CURATE = ORACLE_CURATE_CTES + "\nSELECT doc_id, lang, n_tokens, fate FROM fate"
 
 
 def pipeline_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,17 +168,8 @@ def pipeline_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_CURATE_SUMMARY = (
-    ORACLE_CURATE.rsplit("SELECT st.doc_id", 1)[0]
-    + """, fate AS (
-  SELECT st.doc_id, st.lang, st.n_tokens,
-         CASE WHEN NOT st.quality_ok THEN 'dropped_quality'
-              WHEN NOT e.exact_keeper THEN 'dropped_exact_dup'
-              WHEN d.doc_id IS NOT NULL THEN 'dropped_near_dup'
-              ELSE 'kept' END AS fate
-  FROM staged st
-  LEFT JOIN exact e USING (doc_id)
-  LEFT JOIN dropped_b d USING (doc_id)
-)
+    ORACLE_CURATE_CTES
+    + """
 SELECT lang, fate,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens

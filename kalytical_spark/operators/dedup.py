@@ -23,10 +23,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import t
+from .common import app_key, t
 
 N_MINHASH = 16
 N_BANDS = 8  # rows-per-band = 2
+# planted-copy keyspace (see preprocess.DECONTAM_PLANT_OFFSET note): 2^40
+# multiples keep re-keyed plant ids disjoint from genuine doc_ids at any
+# realistic corpus size and from each other
+EXACT_PLANT_OFFSET = 1 << 40
 LSH_VERIFY_THRESHOLD = 0.7
 JACCARD_THRESHOLD = 0.5
 COSINE_PAIR_THRESHOLD = 0.45
@@ -35,14 +39,13 @@ COSINE_PAIR_THRESHOLD = 0.45
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct 3-gram word shingles per document."""
     docs = t(spark, sf_dir, "documents")
+    from .preprocess import _grams
+
     toks = F.split(F.col("text"), " ")
-    # shingle i = tokens[i..i+2] joined; sequence over 0..n-3
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 3),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
-        ),
-    )
+    # ONE n-gram construction across the repo (preprocess._grams): the
+    # space-joined 3-gram strings here must match the decontamination
+    # family's grams and both DuckDB twins
+    shingles = _grams(toks, 3)
     # The docs parquet is a single small file at test scale -> the explode
     # would run in one partition and serialize all downstream hash work.
     # Hash-partition by doc_id: parallelizes minhash/signature computation
@@ -71,12 +74,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeper = min doc_id per group. The raw corpus contains no exact
     duplicates, which would make this a vacuous 0-row check — so the input
     is the corpus PLUS a deterministic re-ingest of every 50th document
-    (re-keyed doc_id + 100000), the re-crawl scenario exact dedup exists
+    (re-keyed doc_id + EXACT_PLANT_OFFSET, a 2^40 keyspace no real corpus
+    reaches — a small constant would collide with genuine ids at large sf),
+    the re-crawl scenario exact dedup exists
     for. Groups must then contain exactly the original and its copy."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     reingest = (
         docs.filter(F.col("doc_id") % 50 == 0)
-        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("doc_id", F.col("doc_id") + EXACT_PLANT_OFFSET)
     )
     corpus = docs.unionByName(reingest)
     bag_fp = F.md5(F.array_join(F.array_sort(F.split(F.col("text"), " ")), " "))
@@ -92,11 +97,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_EXACT = """
+ORACLE_EXACT = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0
+  SELECT doc_id + {EXACT_PLANT_OFFSET}, text FROM documents WHERE doc_id % 50 = 0
 )
 SELECT md5(list_aggregate(list_sort(string_split(text, ' ')), 'string_agg', ' ')) AS bag_fp,
        CAST(COUNT(*) AS BIGINT) AS group_size,
@@ -112,7 +117,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exhaustive n-gram Jaccard near-dup pairs (candidate generation via
     shared shingles, then |A ∩ B| / |A ∪ B| >= threshold). The exact baseline
     for the LSH variant below."""
-    sh = _shingles_df(spark, sf_dir).cache()
+    # the shared signature memo's shingle table (already cached and
+    # materialized) — a private .cache() here would pin a second full copy
+    # of the corpus shingles in executor storage for the session
+    sh, _long = signature_tables(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -200,7 +208,7 @@ def signature_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataF
     (doc_id, n_sh, band_idx, band_key) band table, both materialized —
     `long` because the band self-join scans it twice and a bare count()
     would not materialize the pruned-away minhash aggregates."""
-    key = (id(spark._jsparkSession), sf_dir)
+    key = (app_key(spark), sf_dir)
     if key not in _SIG_CACHE:
         sh = _shingles_df(spark, sf_dir).cache()
         sh.count()
@@ -237,7 +245,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> 8 bands of 2 -> candidate pairs within band buckets -> verified with
     exact Jaccard >= 0.7. At 100 TB the expensive all-pairs join never
     happens; only band-bucket collisions are compared."""
-    memo_key = (id(spark._jsparkSession), sf_dir)
+    memo_key = (app_key(spark), sf_dir)
     if memo_key in _PAIR_CACHE:
         return _PAIR_CACHE[memo_key]
     sh, long = signature_tables(spark, sf_dir)
@@ -372,7 +380,9 @@ def _cosine_block(key, pdf):
     label, bi, bj = (int(k) for k in key)
     pdf = pdf.sort_values("vec_id").reset_index(drop=True)
     V = np.stack(pdf["embedding"].map(lambda a: np.asarray(a, dtype=np.float64)))
-    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    nrm = np.linalg.norm(V, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0  # zero vectors score 0 (excluded), never NaN
+    V /= nrm
     ids = pdf["vec_id"].to_numpy()
     if bi == bj:
         gram = V @ V.T
@@ -414,7 +424,18 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nch = F.greatest(F.ceil(F.col("n_lab") / F.lit(EMB_BLOCK_CAP)), F.lit(1)).cast("int")
     chunked = (
         emb.join(F.broadcast(counts), "label")
-        .withColumn("chunk", F.pmod(F.col("vec_id"), nch).cast("int"))
+        # size-based chunk id: row_number-within-label DIV CAP guarantees
+        # every chunk holds <= CAP rows regardless of vec_id distribution
+        # (pmod(vec_id, nch) only bounds chunks if ids are uniform mod nch
+        # inside the label); chunking never changes the OUTPUT, only the
+        # block partitioning, so the oracle is untouched
+        .withColumn(
+            "chunk",
+            F.expr(
+                f"CAST((row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1)"
+                f" div {EMB_BLOCK_CAP} AS INT)"
+            ),
+        )
         .withColumn("d", F.explode(F.sequence(F.lit(0), nch - 1)))
         .select(
             "label",
@@ -450,7 +471,7 @@ QUERIES: dict[str, tuple] = {
 
 
 FUZZY_PLANT_STRIDE = 29
-FUZZY_KEY_OFFSET = 400000
+FUZZY_KEY_OFFSET = 3 << 40  # disjoint from real ids AND other plants
 FUZZY_NAME_LEN = 40
 FUZZY_BLOCK_PREFIX = 8
 FUZZY_MAX_DIST = 2

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .common import app_key
 from .dedup import (
     LSH_VERIFY_THRESHOLD,
     _sql_minhash_lsh_ctes,
@@ -45,7 +46,7 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the delta's band keys probed against the full band table (doc_id
     ordering dedupes the delta-delta pairs that appear on both sides);
     exact-Jaccard verification touches only candidate docs' shingles."""
-    memo_key = (id(spark._jsparkSession), sf_dir)
+    memo_key = (app_key(spark), sf_dir)
     if memo_key in _DELTA_CACHE:
         return _DELTA_CACHE[memo_key]
     # the shared session signature memo: in production these are the stored

@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .common import t
+from .common import app_key, t
 from .similarity import QUERY_STRIDE, TOP_K, _dbl, _dot
 
 K_CELLS = 16
@@ -133,7 +133,7 @@ def fit_kmeans_cells(spark: SparkSession, sf_dir: str):
     Returns (assignments DataFrame [vec_id, cell], centroids ndarray)."""
     import numpy as np
 
-    memo_key = (id(spark._jsparkSession), sf_dir)
+    memo_key = (app_key(spark), sf_dir)
     if memo_key in _FIT_CACHE:
         return _FIT_CACHE[memo_key]
 

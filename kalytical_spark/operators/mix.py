@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .curation import ORACLE_CURATE, pipeline_curate_corpus
+from .curation import ORACLE_CURATE_CTES, pipeline_curate_corpus
 from .filtering import _SQL_FEATURES, _SQL_LOGIT, _features, _logit
 from .sampling import _HEX_SPACE, _TRAIN_HI, _VAL_HI
 from .common import t
@@ -84,20 +84,11 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_mix_ctes() -> str:
-    """ORACLE_CURATE's CTE chain + the classifier/quota/split stages."""
-    curate_ctes = ORACLE_CURATE.rsplit("SELECT st.doc_id", 1)[0]
+    """curation.ORACLE_CURATE_CTES (which already ends in the fate CTE —
+    defined exactly once there) + the classifier/quota/split stages."""
     return (
-        curate_ctes
-        + f""", fate AS (
-  SELECT st.doc_id, st.lang, st.n_tokens,
-         CASE WHEN NOT st.quality_ok THEN 'dropped_quality'
-              WHEN NOT e.exact_keeper THEN 'dropped_exact_dup'
-              WHEN d.doc_id IS NOT NULL THEN 'dropped_near_dup'
-              ELSE 'kept' END AS fate
-  FROM staged st
-  LEFT JOIN exact e USING (doc_id)
-  LEFT JOIN dropped_b d USING (doc_id)
-), feats AS ({_SQL_FEATURES}
+        ORACLE_CURATE_CTES
+        + f""", feats AS ({_SQL_FEATURES}
 ), scored AS (
   SELECT doc_id, {_SQL_LOGIT} > 0 AS clf_ok FROM feats
 ), pool AS (

@@ -254,7 +254,7 @@ PHASH_HAMMING_MAX = 3
 # the re-crawl / re-encode scenario a media dedup exists for — guarantees
 # the miner has true positives (same non-vacuous pattern as dedup_exact)
 PHASH_PLANT_STRIDE = 50
-PHASH_PLANT_OFFSET = 200_000
+PHASH_PLANT_OFFSET = 4 << 40
 
 
 def _ahash_codes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

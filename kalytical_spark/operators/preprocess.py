@@ -39,6 +39,10 @@ BENCH_PROMPT_TOKENS = 12  # tokens taken per benchmark "prompt"
 PACK_WINDOW = 512  # context-window size in (whitespace) tokens
 TOP_TOKEN_MAX = 0.10  # Gopher-style: max fraction of the most common token
 DUP_2GRAM_MAX = 0.05  # max fraction of duplicated 2-grams
+# planted-copy keyspace: 2^40-scaled so re-keyed ids can never collide with
+# genuine doc_ids at any realistic corpus size (a 100 TB corpus at 1 KB/doc
+# is ~1e11 docs < 2^40); each planting family gets its own multiple
+DECONTAM_PLANT_OFFSET = 2 << 40
 
 _HEX = "0123456789abcdef"
 
@@ -71,7 +75,7 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = _toks()
     leaked = (
         docs.filter(F.col("doc_id") % 82 == 0)
-        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("doc_id", F.col("doc_id") + DECONTAM_PLANT_OFFSET)
     )
     corpus = docs.unionByName(leaked)
     n_part = spark.sparkContext.defaultParallelism
@@ -106,7 +110,7 @@ ORACLE_DECONTAM = f"""
 WITH corpus AS (
   SELECT doc_id, string_split(text, ' ') AS ts FROM documents
   UNION ALL
-  SELECT doc_id + 200000, string_split(text, ' ') FROM documents WHERE doc_id % 82 = 0
+  SELECT doc_id + {DECONTAM_PLANT_OFFSET}, string_split(text, ' ') FROM documents WHERE doc_id % 82 = 0
 ), corpus_grams AS (
   SELECT DISTINCT doc_id, list_aggregate(ts[i:i+{NGRAM - 1}], 'string_agg', ' ') AS gram
   FROM corpus, unnest(range(1, len(ts) - {NGRAM - 2})) AS u(i)
@@ -153,11 +157,18 @@ def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tot_2g"), F.countDistinct("g2").alias("dis_2g"))
     )
     top_frac = F.round(F.col("top_c").cast("double") / F.col("n_tokens"), 4)
+    # LEFT join: a 1-token document has no 2-gram row but must still get a
+    # verdict (its dup fraction is 0.0 — nothing repeats) — an inner join
+    # would silently drop it from the quality ledger
     dup_frac = F.round(
-        (F.col("tot_2g") - F.col("dis_2g")).cast("double") / F.col("tot_2g"), 4
+        F.coalesce(
+            (F.col("tot_2g") - F.col("dis_2g")).cast("double") / F.col("tot_2g"),
+            F.lit(0.0),
+        ),
+        4,
     )
     return (
-        tok_stats.join(gram_stats, "doc_id")
+        tok_stats.join(gram_stats, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
@@ -188,11 +199,13 @@ WITH toks AS (
 )
 SELECT t.doc_id, t.n_tokens,
        ROUND(CAST(t.top_c AS DOUBLE) / t.n_tokens, 4) AS top_token_frac,
-       ROUND(CAST(g.tot_2g - g.dis_2g AS DOUBLE) / g.tot_2g, 4) AS dup_2gram_frac,
+       ROUND(COALESCE(CAST(g.tot_2g - g.dis_2g AS DOUBLE) / g.tot_2g, 0.0), 4)
+         AS dup_2gram_frac,
        (ROUND(CAST(t.top_c AS DOUBLE) / t.n_tokens, 4) <= {TOP_TOKEN_MAX}
-        AND ROUND(CAST(g.tot_2g - g.dis_2g AS DOUBLE) / g.tot_2g, 4) <= {DUP_2GRAM_MAX})
+        AND ROUND(COALESCE(CAST(g.tot_2g - g.dis_2g AS DOUBLE) / g.tot_2g, 0.0), 4)
+              <= {DUP_2GRAM_MAX})
          AS gopher_pass
-FROM tok_stats t JOIN gram_stats g USING (doc_id)
+FROM tok_stats t LEFT JOIN gram_stats g USING (doc_id)
 """
 
 

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..streaming.transitions import TriggerState, apply_delivery, sources_repr
-from .common import t
+from .common import app_key, t
 
 _DECISION_SCHEMA = T.StructType(
     [
@@ -110,7 +110,7 @@ def dag_replay_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigger-map fold, which runs in applyInPandas over that (much smaller)
     subset. Both paths share the transition semantics pinned by tests.
     """
-    key = (id(spark._jsparkSession), sf_dir)
+    key = (app_key(spark), sf_dir)
     if key in _DECISIONS_CACHE:
         return _DECISIONS_CACHE[key]
     deliveries = _deliveries(spark, sf_dir)
@@ -142,7 +142,7 @@ def dag_replay_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     then filtered away). A warm decisions cache is still preferred — its
     simple rows are identical by construction.
     """
-    key = (id(spark._jsparkSession), sf_dir)
+    key = (app_key(spark), sf_dir)
     if key in _DECISIONS_CACHE:
         dec = _DECISIONS_CACHE[key].filter(
             (F.col("trigger_operator") == "any") | (F.col("n_deps") == 1)

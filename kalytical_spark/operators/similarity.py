@@ -198,7 +198,7 @@ LSH_PAIR_THRESHOLD = 0.4
 # near-dup miner always has true positives to find — the re-crawl scenario,
 # same non-vacuous pattern as dedup_exact
 PLANT_STRIDE = 100
-PLANT_ID_OFFSET = 1_000_000
+PLANT_ID_OFFSET = 5 << 40  # 2^40 keyspace: never collides with real vec_ids
 PLANT_EPS = 1e-3
 
 

@@ -46,11 +46,13 @@ def test_decontam_flags_planted_leaks(spark):
     out = preprocess.decontam_ngram_overlap(spark, SF_ORACLE)
     leaked = {
         r["doc_id"]: r["first_bench_id"]
-        for r in out.filter(F.col("doc_id") >= 200000).collect()
+        for r in out.filter(
+            F.col("doc_id") >= preprocess.DECONTAM_PLANT_OFFSET
+        ).collect()
     }
     assert leaked, "no leaked copies flagged"
     for copy_id, bench in leaked.items():
-        assert bench == copy_id - 200000  # matched the original eval doc, not itself
+        assert bench == copy_id - preprocess.DECONTAM_PLANT_OFFSET  # matched the original eval doc, not itself
 
 
 def test_split_assignment_balanced_and_complete(spark):
