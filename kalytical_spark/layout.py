@@ -123,10 +123,25 @@ def write_zordered(
     keyed = df.crossJoin(F.broadcast(stats)).withColumn(
         "__z", morton_key(bucket(x_col, "xmn", "xmx"), bucket(y_col, "ymn", "ymx"), bits)
     )
-    (
-        keyed.repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("xmn", "xmx", "ymn", "ymx", "__z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    # repartitionByRange estimates its boundaries from a per-partition
+    # SAMPLE (default 100 rows); at that size the file edges wobble between
+    # runs, which both blurs the clustering and made the layout test flaky.
+    # A larger sample makes the boundaries effectively exact; restore the
+    # session's setting afterwards.
+    spark = df.sparkSession
+    conf_key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "5000")
+    try:
+        (
+            keyed.repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("xmn", "xmx", "ymn", "ymx", "__z")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set(conf_key, prev)
+        else:
+            spark.conf.unset(conf_key)
