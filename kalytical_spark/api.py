@@ -56,7 +56,11 @@ def describe_pipeline(spark: SparkSession, sf_dir: str, pipeline_uuid: str) -> D
     """GET /pipeline/config/describe — point lookup (S2), 404 = empty frame."""
     _check(_UUID_RE, pipeline_uuid, "pipeline_uuid")
     defs = catalog.table(spark, sf_dir, "pipeline_defs_full")
-    return defs.filter(F.col("pipeline_uuid") == pipeline_uuid).drop("pipeline_body")
+    # same projection contract as list_pipeline_configs: the raw tag_*
+    # columns are presentation-hidden behind the tags map on BOTH endpoints
+    return defs.filter(F.col("pipeline_uuid") == pipeline_uuid).drop(
+        "pipeline_body", "tag_team", "tag_tier"
+    )
 
 
 def fetch_pipeline_body(spark: SparkSession, sf_dir: str, pipeline_uuid: str) -> DataFrame:
@@ -137,8 +141,10 @@ def running_pipelines(
         out = out.filter(F.col("pipeline_uuid") == pipeline_uuid)
     if engine_name is not None:
         out = out.filter(F.col("engine") == engine_name)
+    # explicit limit=0 means "no rows" (an existence/pagination edge);
+    # `limit or page_size` would silently promote it to a full page
     return out.orderBy(F.desc("start_time"), F.desc("exec_uuid")).limit(
-        limit or cfg.running_jobs_page_size
+        limit if limit is not None else cfg.running_jobs_page_size
     )
 
 
@@ -170,7 +176,25 @@ def run_single_use(
         pipeline_model.get("engine", "LocalLedgerEngine")
     )
     body = pipeline_model.get("pipeline_body", "")
-    exec_uuid = hashlib.sha256(f"singleuse|{pipeline_uuid}|{body}".encode()).hexdigest()[:8]
+    # content digest PLUS the submission sequence number: a repeat
+    # submission of the same body is a legitimate re-run and must get its
+    # own addressable exec/tracking id (the reference mints a fresh uuid;
+    # the deterministic analog derives the sequence from the ledger state,
+    # so replays of the SAME state still reproduce the same id)
+    try:
+        seq = (
+            eng.ledger(spark)
+            .filter(
+                (F.col("pipeline_uuid") == pipeline_uuid)
+                & (F.col("source_uuid") == "singleuse")
+            )
+            .count()
+        )
+    except Exception:  # engine without a readable ledger: first submission
+        seq = 0
+    exec_uuid = hashlib.sha256(
+        f"singleuse|{pipeline_uuid}|{body}|{seq}".encode()
+    ).hexdigest()[:8]
     return eng.submit(
         spark,
         {

@@ -34,12 +34,15 @@ def retry(attempts: int = 3, delay_s: float = 0.0):
         @functools.wraps(fn)
         def wrapper(*args, **kwargs):
             last: Exception | None = None
-            for i in range(max(1, attempts)):
+            n = max(1, attempts)
+            for i in range(n):
                 try:
                     return fn(*args, **kwargs)
                 except Exception as exc:  # noqa: BLE001 - mirror reference semantics
                     last = exc
-                    if delay_s:
+                    # no sleep after the FINAL attempt: nothing follows it,
+                    # so the pause would only delay the re-raise
+                    if delay_s and i < n - 1:
                         time.sleep(delay_s * (i + 1))
             raise last  # type: ignore[misc]
 
@@ -141,7 +144,16 @@ def submit_fires(
     """UD4 within-engine analog: hand a fire-decision frame to an engine and
     return its ledger. Driver-side iteration is bounded (limit) — the real
     sink is foreachBatch, which keeps submission on the streaming path."""
-    rows = fires.select("pipeline_uuid", "sources", "fired_at").limit(limit or 1000).collect()
+    n = limit if limit is not None else 1000  # explicit 0 means "none"
+    # deterministic submission set AND replay indices: an unordered
+    # limit().collect() returns an arbitrary subset in arbitrary order,
+    # which would make the content-addressed tracking ids differ run-to-run
+    rows = (
+        fires.select("pipeline_uuid", "sources", "fired_at")
+        .orderBy("fired_at", "pipeline_uuid")
+        .limit(n)
+        .collect()
+    )
     for i, r in enumerate(rows):
         engine.submit(
             spark,

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from .common import DEC, t
+from .warehouse import _rev
 
 _LATE_DAYS = 60
 _Q18_MIN_QTY = 250
@@ -229,10 +230,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
         )
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast(DEC)
-                * (1 - F.col("l_discount")).cast(DEC)
-            )
+            F.sum(_rev())
             .cast("decimal(38,6)")
             .alias("rev_dec")
         )
@@ -320,7 +318,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts onto the lineitem scan."""
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount")).cast(DEC)
+    rev = _rev()  # the ONE decimal revenue definition (warehouse.py)
     joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     return joined.agg(
         F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC)))
@@ -531,10 +529,7 @@ def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("bigint").alias("l_year"),
         )
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast(DEC)
-                * (1 - F.col("l_discount")).cast(DEC)
-            )
+            F.sum(_rev())
             .cast("decimal(38,6)")
             .cast("double")
             .alias("revenue")

@@ -187,7 +187,14 @@ def score_rate_anomalies(hourly: DataFrame) -> DataFrame:
     ).filter(F.col("n") == _BASELINE_HOURS)
     # integer self-multiplication, NOT ** 2: Column ** 2 is float pow()
     # (DOUBLE), which rounds beyond 2^53 and would diverge from the
-    # oracle's exact bigint (c*n-s)*(c*n-s)
+    # oracle's exact bigint (c*n-s)*(c*n-s).
+    # Domain bound: the bigint z-test is exact while 4*d^2 and the
+    # variance term fit int64 — |c*n - s| up to ~1.5e9 (hourly-count
+    # deviations of ~6e7 events against a 24h baseline). Beyond that BOTH
+    # engines fail loudly — Spark 4 runs ANSI mode (session default
+    # verified true) and DuckDB raises on overflow — never silently wrap
+    # or round; at that volume re-bucket to shorter windows or pre-scale
+    # the counts.
     d = F.col("c") * F.col("n") - F.col("s")
     lhs = _Z4_LHS * d * d
     rhs = _Z25_RHS * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
@@ -298,12 +305,18 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     span = F.sequence(
         F.col("day"), F.date_add("day", _WAU_DAYS - 1), F.expr("INTERVAL 1 DAY")
     )
+    user_days = user_days.cache()  # scanned by the explode AND the max-day scalar
     covered = user_days.select(
         "user_id", F.explode(span).alias("window_day")
     ).withColumn("window_day", F.col("window_day").cast("date"))
-    max_day = user_days.agg(F.max("day")).first()[0]
+    # broadcast-scalar crossJoin (the q11/q15/q22 pattern): keeps the
+    # max-day bound LAZY — a .first() here would run a full distinct scan
+    # merely to CONSTRUCT the frame (plan printing, registry enumeration)
+    # and then re-scan at execution
+    max_day = user_days.agg(F.max("day").alias("max_day"))
     return (
-        covered.filter(F.col("window_day") <= F.lit(max_day))
+        covered.crossJoin(F.broadcast(max_day))
+        .filter(F.col("window_day") <= F.col("max_day"))
         .groupBy("window_day")
         .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
     )
