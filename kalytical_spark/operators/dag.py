@@ -112,7 +112,12 @@ def dag_oldest_waiting_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pipeline_uuid").alias("trigger_uuid"), "exec_uuid"
     )
     matched = triggers.join(waiting, "trigger_uuid")
-    w = W.partitionBy("exec_uuid", "pipeline_uuid").orderBy(
+    # identity = (exec_uuid, trigger_uuid, pipeline): exec_uuid alone is a
+    # 32-bit md5 prefix, so two DISTINCT success events colliding on it
+    # would otherwise merge into one window and emit one credit instead of
+    # one per event (both engines share the partitioning, so the gate
+    # cannot see the under-credit)
+    w = W.partitionBy("exec_uuid", "trigger_uuid", "pipeline_uuid").orderBy(
         F.col("create_time").asc(), F.col("obj_id").asc()
     )
     return (
@@ -130,7 +135,7 @@ WITH waiting AS (
   WHERE it.trigger_value = 'waiting'
 ), matched AS (
   SELECT e.exec_uuid, w.trigger_uuid, w.pipeline_uuid, w.obj_id, w.create_time,
-         row_number() OVER (PARTITION BY e.exec_uuid, w.pipeline_uuid
+         row_number() OVER (PARTITION BY e.exec_uuid, w.trigger_uuid, w.pipeline_uuid
                             ORDER BY w.create_time, w.obj_id) AS rn
   FROM lifecycle_events e
   JOIN waiting w ON e.pipeline_uuid = w.trigger_uuid

@@ -40,6 +40,11 @@ def dag_transitive_downstream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("e.dst").alias("dst"),
                 (F.col("f.hops") + 1).alias("hops"),
             )
+            # dedupe per level: without it the frontier enumerates every
+            # distinct PATH (outdeg^hops rows per root) instead of every
+            # reachable node — exponential in the hop bound
+            .groupBy("src", "dst")
+            .agg(F.min("hops").alias("hops"))
         )
         levels.append(frontier)
     all_paths = reduce(DataFrame.unionByName, levels)

@@ -310,7 +310,10 @@ def meta_defs_events_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     '_rogue' re-key with no definition (must classify 'undeclared') —
     same planted-positive pattern as dedup_exact / decontam."""
     base_defs = t(spark, sf_dir, "pipeline_defs")
-    pnum = F.substring(F.col("pipeline_uuid"), 3, 10).cast("int")  # 'p-<n>'
+    # unbounded suffix + TRY-cast semantics matching the oracle's
+    # try_cast(substr(col, 3)): a 10-char cap would truncate an 11-digit
+    # suffix that DuckDB parses in full, silently flipping the %-selections
+    pnum = F.expr("try_cast(substring(pipeline_uuid, 3) AS INT)")  # 'p-<n>'
     shadow = base_defs.filter(pnum % 7 == 0).withColumn(
         "pipeline_uuid", F.concat(F.col("pipeline_uuid"), F.lit("_shadow"))
     )
@@ -319,7 +322,7 @@ def meta_defs_events_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = t(spark, sf_dir, "lifecycle_events")
     rogue = ev.filter(
-        F.substring(F.col("pipeline_uuid"), 3, 10).cast("int") % 5 == 0
+        F.expr("try_cast(substring(pipeline_uuid, 3) AS INT)") % 5 == 0
     ).withColumn("pipeline_uuid", F.concat(F.col("pipeline_uuid"), F.lit("_rogue")))
     acts = (
         ev.unionByName(rogue)
@@ -346,12 +349,12 @@ WITH defs2 AS (
   SELECT pipeline_uuid, tag_team FROM pipeline_defs
   UNION ALL
   SELECT pipeline_uuid || '_shadow', tag_team FROM pipeline_defs
-  WHERE CAST(substr(pipeline_uuid, 3) AS INT) % 7 = 0
+  WHERE TRY_CAST(substr(pipeline_uuid, 3) AS INT) % 7 = 0
 ), ev2 AS (
   SELECT pipeline_uuid, event_time FROM lifecycle_events
   UNION ALL
   SELECT pipeline_uuid || '_rogue', event_time FROM lifecycle_events
-  WHERE CAST(substr(pipeline_uuid, 3) AS INT) % 5 = 0
+  WHERE TRY_CAST(substr(pipeline_uuid, 3) AS INT) % 5 = 0
 ), acts AS (
   SELECT pipeline_uuid AS ev_uuid, CAST(COUNT(*) AS BIGINT) AS n_events,
          MAX(event_time) AS last_seen

@@ -149,7 +149,7 @@ def incub_trigger_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TRIGGER_MAP_OPS = """
 WITH updated AS (
   SELECT obj_id, pipeline_uuid, trigger_uuid,
-         CASE WHEN trigger_uuid = MIN(trigger_uuid) OVER (PARTITION BY obj_id)
+         CASE WHEN trigger_uuid = MIN(trigger_uuid) OVER (PARTITION BY obj_id, pipeline_uuid)
               THEN 'deadbeef' ELSE trigger_value END AS trigger_value
   FROM incubating_triggers
 )
@@ -196,7 +196,7 @@ SELECT pipeline_uuid, 'failed_only' FROM only_failed
 
 
 def runs_presentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5+C4: the pod-unmarshal reshape — status normalization (lower/when),
+    """P5+C4: the pod-unmarshal reshape — status normalization (upper/when),
     the reference's '%Y%m%d-%H:%M:%S' presentation format (engine.py:192-196)
     applied only at the edge, and the 'NA' sentinel replaced by NULL-safe
     formatting."""
