@@ -30,11 +30,17 @@ from ..operators.dag import dag_cull_decisions
 def culler_sink(spark: SparkSession, sf_dir: str, ledger_dir: str):
     """foreachBatch fn: one culler sweep per tick micro-batch, idempotent
     under replay (batch-partitioned overwrite). Empty tick batches (possible
-    after restarts) do nothing."""
+    after restarts) do nothing.
+
+    CAVEAT (resident mode): the sweep reads the CACHED domain views and the
+    memoized data clock (catalog.register / common.now_expr), which freeze
+    at query start — correct for the bounded replay the tests drive, but a
+    long-resident deployment must re-register the catalog per sweep (or
+    read the live state tables directly) so later ticks see state changes;
+    the frozen-view behavior would re-emit identical decisions forever."""
 
     def sink(ticks: DataFrame, batch_id: int) -> None:
-        n_ticks = ticks.count()
-        if n_ticks == 0:
+        if ticks.isEmpty():  # limit-1 probe, not a full count per tick
             return
         (
             dag_cull_decisions(spark, sf_dir)

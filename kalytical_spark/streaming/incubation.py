@@ -73,9 +73,22 @@ def _update_group(
     rows: list[dict[str, Any]] = []
     operator = None
     n_deps = 0
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["event_time", "exec_uuid"], kind="mergesort")
-        for row in pdf.itertuples(index=False):
+    # accumulate EVERY Arrow chunk before folding: a group whose micro-batch
+    # spans multiple chunks (arrow.maxRecordsPerBatch) arrives as chunks in
+    # arbitrary order — sorting each chunk independently would fold the
+    # deliveries out of global event-time order and diverge from the batch
+    # replay (verified: interleaved chunks shift fired_at/slot winners)
+    import pandas as _pd
+
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        merged = _pd.concat(chunks, ignore_index=True).sort_values(
+            ["event_time", "exec_uuid"], kind="mergesort"
+        )
+    else:
+        merged = None
+    if merged is not None:
+        for row in merged.itertuples(index=False):
             operator = row.trigger_operator
             n_deps = int(row.n_deps)
             tstate = TriggerState(operator=operator, n_deps=n_deps, seen=seen)

@@ -30,7 +30,11 @@ def dispatch_ledger_sink(ledger_dir: str):
                     F.sha2(
                         F.concat_ws(
                             "|", "pipeline_uuid", "sources",
-                            F.col("fired_at").cast("string"),
+                            # epoch seconds, NOT cast('string'): the string
+                            # render depends on spark.sql.session.timeZone,
+                            # so a consumer under a different TZ would mint
+                            # a different id for the same instant
+                            F.unix_timestamp("fired_at").cast("string"),
                         ),
                         256,
                     ),
@@ -97,7 +101,11 @@ def cron_origination_stream(
         .select("pipeline_uuid", "schedule")
     )
     hours = (
-        ticks.withWatermark("tick_ts", "10 minutes")
+        # the watermark delay must cover the WHOLE span over which ticks
+        # for one boundary keep arriving (a full hour) — at 10 minutes the
+        # boundary's dedup state would be evicted mid-hour and later ticks
+        # of the same hour would re-originate it
+        ticks.withWatermark("tick_ts", "70 minutes")
         .withColumn("boundary", F.date_trunc("hour", "tick_ts"))
         .dropDuplicatesWithinWatermark(["boundary"])
     )
@@ -106,7 +114,15 @@ def cron_origination_stream(
         F.lit("origination").alias("event_subtype"),
         F.col("boundary").alias("event_time"),
         F.substring(
-            F.md5(F.concat(F.col("pipeline_uuid"), F.lit("@"), F.col("boundary").cast("string"))),
+            # TZ-independent idempotence key: hash the epoch seconds of the
+            # boundary, not its session-timezone string render
+            F.md5(
+                F.concat(
+                    F.col("pipeline_uuid"),
+                    F.lit("@"),
+                    F.unix_timestamp("boundary").cast("string"),
+                )
+            ),
             1,
             8,
         ).alias("exec_uuid"),

@@ -43,10 +43,15 @@ def kafka_reader_options(cfg: KalyticalSparkConfig) -> dict[str, str]:
 def parse_event_payload(raw: DataFrame, schema: T.StructType) -> DataFrame:
     """Map a broker frame (binary ``value``) to the canonical event columns.
     Works identically on a streaming kafka frame and a batch test frame —
-    which is how the mapping is tested without a broker."""
-    return raw.select(
+    which is how the mapping is tested without a broker. Malformed payloads
+    (from_json's PERMISSIVE null struct) are dropped EXPLICITLY rather than
+    flowing downstream as all-null rows that filters and watermarks would
+    swallow invisibly; production would route this branch to a dead-letter
+    sink and count it instead of discarding."""
+    parsed = raw.select(
         F.from_json(F.col("value").cast("string"), schema).alias("ev")
-    ).select("ev.*")
+    )
+    return parsed.filter(F.col("ev").isNotNull()).select("ev.*")
 
 
 def lifecycle_event_stream(

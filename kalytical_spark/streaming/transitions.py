@@ -19,6 +19,14 @@ Semantics reproduced (and their reference citations):
   (upstream uuid -> satisfying exec uuid); when all N are satisfied the
   pipeline fires with that map as source_uuids and the map resets
   (job_culler.py:28-33 re-queue path).
+
+CAVEAT (checkpointed state vs DAG redefinition): TriggerState counts seen
+upstreams without knowing the CURRENT dependency set, so state restored
+from a checkpoint after a topology change (deps swapped while n_deps
+stayed equal) can fire with stale sources the batch replay would not
+produce. Redefining a pipeline's dependencies requires resetting its keyed
+state (fresh checkpoint dir or a keyed state purge) — the standard
+structured-streaming contract for stateful logic changes.
 """
 
 from __future__ import annotations
