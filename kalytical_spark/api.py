@@ -181,17 +181,19 @@ def run_single_use(
     # own addressable exec/tracking id (the reference mints a fresh uuid;
     # the deterministic analog derives the sequence from the ledger state,
     # so replays of the SAME state still reproduce the same id)
+    # Only "this engine has no ledger surface" may default seq to 0; a
+    # transient ledger-READ failure must propagate — silently minting
+    # seq=0 would reuse the first submission's exec_uuid and reintroduce
+    # the repeat-submission collision this sequence exists to prevent.
     try:
-        seq = (
-            eng.ledger(spark)
-            .filter(
-                (F.col("pipeline_uuid") == pipeline_uuid)
-                & (F.col("source_uuid") == "singleuse")
-            )
-            .count()
-        )
-    except Exception:  # engine without a readable ledger: first submission
+        ledger = eng.ledger(spark)
+    except (AttributeError, NotImplementedError):
         seq = 0
+    else:
+        seq = ledger.filter(
+            (F.col("pipeline_uuid") == pipeline_uuid)
+            & (F.col("source_uuid") == "singleuse")
+        ).count()
     exec_uuid = hashlib.sha256(
         f"singleuse|{pipeline_uuid}|{body}|{seq}".encode()
     ).hexdigest()[:8]

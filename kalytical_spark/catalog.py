@@ -25,8 +25,8 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # session at a time. Track the current one and re-register (unpersisting the
 # previous domain caches) whenever a query targets a different sf_dir — the
 # driver mixes sf0.001 (entry smoke) and sf0.01 (oracle gate) on one session.
-_CURRENT_SF: dict[int, str] = {}
-_CACHED_DFS: dict[int, list[DataFrame]] = {}
+_CURRENT_SF: dict[tuple[str, int], str] = {}
+_CACHED_DFS: dict[tuple[str, int], list[DataFrame]] = {}
 
 
 def register(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, cache_domain: bool = True) -> None:

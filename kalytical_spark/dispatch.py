@@ -143,7 +143,11 @@ def submit_fires(
 ) -> DataFrame:
     """UD4 within-engine analog: hand a fire-decision frame to an engine and
     return its ledger. Driver-side iteration is bounded (limit) — the real
-    sink is foreachBatch, which keeps submission on the streaming path."""
+    sink is foreachBatch, which keeps submission on the streaming path.
+
+    The bound is a guardrail, not a sampler: a fire set larger than the
+    limit raises instead of silently dropping the tail (dropped fires are
+    lost work orders — no silent caps)."""
     n = limit if limit is not None else 1000  # explicit 0 means "none"
     # deterministic submission set AND replay indices: an unordered
     # limit().collect() returns an arbitrary subset in arbitrary order,
@@ -151,9 +155,15 @@ def submit_fires(
     rows = (
         fires.select("pipeline_uuid", "sources", "fired_at")
         .orderBy("fired_at", "pipeline_uuid")
-        .limit(n)
+        .limit(n + 1)  # one past the cap: detects overflow without a count()
         .collect()
     )
+    if len(rows) > n:
+        raise ValueError(
+            f"fire set exceeds the driver-side submission limit ({n}); "
+            "refusing to silently drop fires — raise the limit or route "
+            "through the streaming foreachBatch sink"
+        )
     for i, r in enumerate(rows):
         engine.submit(
             spark,

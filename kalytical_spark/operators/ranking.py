@@ -3,10 +3,20 @@ standard lexical-ranking primitives a training-data pipeline uses for
 quality weighting and query-based corpus slicing.
 
 All pure pyspark.sql.functions (JVM-side, whole-stage codegen): token
-explode -> map-side-combinable aggregates -> broadcast joins of the (tiny)
-per-term statistics back onto the doc-term frame. Corpus-level scalars
-(doc count, average doc length) ride a broadcast crossJoin exactly like
-the scalar-subquery operators in subqueries.py.
+explode -> map-side-combinable aggregates -> joins of the per-term
+statistics back onto the doc-term frame. Corpus-level scalars (doc count,
+average doc length) ride a broadcast crossJoin exactly like the
+scalar-subquery operators in subqueries.py.
+
+Join strategy by cardinality class:
+* UNBOUNDED per-term stats (TF-IDF's df table — the vocabulary, 10^8+
+  terms with ngrams at web scale) must NOT be broadcast-hinted: a forced
+  broadcast ignores size and blows driver memory exactly when the corpus
+  grows. They ride a shuffle_hash-hinted join on `term`: both sides are
+  already keyed by term, per-partition vocab slices stay small, and AQE's
+  skew-join splitting handles stopword-heavy probe partitions.
+* BOUNDED dims keep explicit broadcasts: BM25's query-term set is LIMIT
+  BM25_N_QUERY_TERMS (constant) and the corpus stats are one row.
 
 Determinism: scores are rounded to 6 decimals BEFORE ranking (ln() may
 differ in the last ulp across engines; the noise is ~1e-15 of O(1..10)
@@ -58,7 +68,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = t(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_.hint("shuffle_hash"), "term")  # vocab-sized: never broadcast
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

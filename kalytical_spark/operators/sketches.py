@@ -300,13 +300,16 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     array functions — per-order fan-out is bounded by the line count, and
     the only shuffles are the orderkey groupBy and the (u,v) support
     rollup. The DuckDB twin keeps the textbook row self-join, so the
-    oracle match also proves the array rewrite pair-exact (including
-    duplicate-part orders: strict u < v drops the equal-value pairs the
-    row form never emits)."""
+    oracle match also proves the array rewrite pair-exact. Market-basket
+    support is COUNT(DISTINCT order): parts are deduped per order
+    (collect_set) before pair expansion, so an order listing the same
+    part on two lineitems contributes one co-occurrence, not two — a
+    single order can never satisfy the minimum-orders support threshold
+    by itself (the twin dedups with DISTINCT rows per order)."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     return (
         li.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
         .select(
             F.explode(
                 F.expr(
@@ -406,11 +409,11 @@ ORACLE_TRIANGLES = f"""
 WITH und AS (
   SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
          GREATEST(a.l_partkey, b.l_partkey) AS v
-  FROM lineitem a
-  JOIN lineitem b
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
-  HAVING COUNT(*) >= {_TRI_SUPPORT}
+  HAVING COUNT(DISTINCT a.l_orderkey) >= {_TRI_SUPPORT}
 ), tri AS (
   SELECT e1.u AS pa, e1.v AS pb, e2.v AS pc
   FROM und e1
@@ -467,11 +470,11 @@ ORACLE_CLUSTERING = f"""
 WITH und AS (
   SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
          GREATEST(a.l_partkey, b.l_partkey) AS v
-  FROM lineitem a
-  JOIN lineitem b
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
-  HAVING COUNT(*) >= {_TRI_SUPPORT}
+  HAVING COUNT(DISTINCT a.l_orderkey) >= {_TRI_SUPPORT}
 ), deg AS (
   SELECT p, CAST(COUNT(*) AS BIGINT) AS d
   FROM (SELECT u AS p FROM und UNION ALL SELECT v FROM und)

@@ -309,10 +309,12 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistically unusual text — the model-based quality filter that sits
     one step above the rule-based stats in text_quality_stats.
 
-    Scale: the model is one explode->groupBy over tokens; the VOCABULARY
-    (not the corpus) is the model table — a few million rows at web scale —
-    so the scoring join broadcasts the model onto the token stream and the
-    corpus side is never shuffled for it. The corpus total rides in as a
+    Scale: the model is one explode->groupBy over tokens (map-side partial
+    aggregation collapses hot tokens before the shuffle, so stopwords
+    can't skew it). The VOCABULARY is unbounded at web scale (10^8+ terms
+    with ngrams), so the scoring join is a shuffle_hash join on token —
+    never a forced broadcast that ignores size; AQE's skew-join splitting
+    handles stopword-hot probe partitions. The corpus total rides in as a
     broadcast scalar (cross-join of a 1-row aggregate).
 
     Determinism: per-token surprisal is quantized to integer MICRO-NATS
@@ -333,7 +335,7 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lp_micro"),
     )
     return (
-        toks.join(F.broadcast(lp), "tok")
+        toks.join(lp.hint("shuffle_hash"), "tok")  # vocab-sized: never broadcast
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
@@ -390,7 +392,8 @@ def text_token_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pairs are generated per document from its DISTINCT tokens after
     a doc-frequency floor prunes the long tail (the join fans out
     O(tokens_per_doc^2) within a doc, never across docs); counts are one
-    hash aggregate. The df dim is vocabulary-sized and broadcast."""
+    hash aggregate. The df dim is vocabulary-sized — unbounded at web
+    scale — so it joins shuffle_hash on token, never a forced broadcast."""
     docs = t(spark, sf_dir, "documents")
     dt = docs.select(
         "doc_id", F.explode(F.array_distinct(_tokens())).alias("tok")
@@ -401,7 +404,7 @@ def text_token_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("df"))
         .filter(F.col("df") >= _LIFT_MIN_DF)
     )
-    kept = dt.join(F.broadcast(df_tbl), "tok")
+    kept = dt.join(df_tbl.hint("shuffle_hash"), "tok")  # vocab-sized: never broadcast
     a = kept.select("doc_id", F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
     b = kept.select("doc_id", F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
     pairs = (

@@ -75,20 +75,38 @@ def write_version(df: DataFrame, table_dir: str, pre_commit=None) -> int:
     which must NOT be read as "empty table" when snapshots exist; the
     pointer is reconstructible from max(v)) and a concurrent writer's
     in-flight directory. Writers are single-process by contract
-    (streaming sinks serialize through foreachBatch); the guard below
-    makes the pointer-corruption case an explicit error instead of a
-    silent wipe.
+    (streaming sinks serialize through foreachBatch).
+
+    Pointer-missing recovery distinguishes two cases by inspecting the
+    orphan directories themselves: a snapshot directory WITHOUT parquet's
+    ``_SUCCESS`` marker is a crashed in-flight write (e.g. the very first
+    commit died mid-``df.write``) — those are swept and the replayed
+    commit proceeds from v1, which is exactly the recovery contract the
+    streaming sinks rely on ("replay the batch"). A directory WITH
+    ``_SUCCESS`` is committed-looking history whose pointer was lost or
+    corrupted; wiping it would be data loss, so that case raises and asks
+    for explicit pointer recovery instead.
     """
     import shutil
 
     os.makedirs(table_dir, exist_ok=True)
     cur = current_version(table_dir)
-    if cur is None and _uncommitted_versions(table_dir, None):
-        raise RuntimeError(
-            f"{table_dir} has snapshot directories but no readable "
-            f"{_POINTER} pointer; refusing to write (recover the pointer "
-            "from the highest complete version instead of wiping history)"
-        )
+    if cur is None:
+        orphans = _uncommitted_versions(table_dir, None)
+        complete = [
+            v
+            for v in orphans
+            if os.path.exists(os.path.join(_version_dir(table_dir, v), "_SUCCESS"))
+        ]
+        if complete:
+            raise RuntimeError(
+                f"{table_dir} has complete snapshot directories "
+                f"(v{sorted(complete)}) but no readable {_POINTER} pointer; "
+                "refusing to write (recover the pointer from the highest "
+                "complete version instead of wiping history)"
+            )
+        for v in orphans:  # crashed first write(s): no complete snapshot exists
+            shutil.rmtree(_version_dir(table_dir, v), ignore_errors=True)
     nxt = 1 if cur is None else cur + 1
     shutil.rmtree(_version_dir(table_dir, nxt), ignore_errors=True)
     vdir = _version_dir(table_dir, nxt)

@@ -64,10 +64,15 @@ def test_engine_registry_and_submission(spark):
         dispatch.engine_factory("K8sPodEngine")
     eng = dispatch.engine_factory("LocalLedgerEngine")
     fires = replay.dag_replay_decisions(spark, SF_SMALL)
-    ledger = dispatch.submit_fires(spark, fires, eng, limit=25)
+    n_fires = fires.count()
+    assert n_fires > 25
+    # overflow is an error, never a silent drop of the tail
+    with pytest.raises(ValueError, match="exceeds the driver-side submission limit"):
+        dispatch.submit_fires(spark, fires, eng, limit=25)
+    ledger = dispatch.submit_fires(spark, fires, eng, limit=n_fires)
     rows = ledger.collect()
-    assert len(rows) == 25
-    assert len({r.tracking_id for r in rows}) == 25  # deterministic + unique
+    assert len(rows) == n_fires
+    assert len({r.tracking_id for r in rows}) == n_fires  # deterministic + unique
 
 
 def test_retry_decorator():

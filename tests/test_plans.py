@@ -92,16 +92,41 @@ def test_shuffle_counts_bounded(spark):
     assert _n_shuffles(plan) <= 3, f"too many shuffles:\n{plan}"
 
 
-def test_tfidf_broadcasts_term_stats(spark):
-    """Ranking family: the per-TERM statistics (vocabulary-sized) must ride
-    broadcast joins onto the doc-term frame — the corpus side is never
-    shuffled for the join — and the whole plan stays JVM-side."""
+def test_tfidf_never_broadcasts_vocab_dim(spark):
+    """Ranking family: the per-TERM statistics table is the VOCABULARY —
+    unbounded at web scale (10^8+ terms with ngrams) — so it must ride a
+    shuffled hash join on term, never a forced broadcast that ignores
+    size. The only broadcast in the plan is the 1-row corpus scalar
+    (BroadcastNestedLoopJoin); no equi-join may broadcast. Whole plan
+    stays JVM-side."""
     from kalytical_spark.operators import ranking
 
     plan = _final_plan(ranking.text_tfidf_topk(spark, SF_ORACLE))
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ShuffledHashJoin" in final, final
+    assert "BroadcastHashJoin" not in final, final  # vocab dim never broadcast
+    assert "CartesianProduct" not in final
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_surprisal_and_lift_never_broadcast_vocab_dim(spark):
+    """Same contract for the other two vocabulary-dim joins: the unigram
+    model (text_unigram_surprisal) and the df-floored token table
+    (text_token_lift_topk) join shuffle_hash, never forced broadcast."""
+    from kalytical_spark.operators import text
+
+    for fn in (text.text_unigram_surprisal, text.text_token_lift_topk):
+        plan = _final_plan(fn(spark, SF_ORACLE))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "ShuffledHashJoin" in final, (fn.__name__, final)
+        # match the JOIN KEYS (first bracket group), not post-join filters:
+        # auto-broadcasts on doc_id are adaptive/size-based and fine
+        vocab_broadcasts = [
+            ln
+            for ln in final.splitlines()
+            if "BroadcastHashJoin [tok" in ln or "BroadcastHashJoin [term" in ln
+        ]
+        assert not vocab_broadcasts, (fn.__name__, vocab_broadcasts)
 
 
 def test_bm25_scalar_stats_broadcast_no_python(spark):

@@ -77,6 +77,39 @@ def test_failed_write_leaves_pointer_untouched(spark, tmp_path):
     assert versioned.read_version(spark, tbl).count() == 7
 
 
+def test_crashed_first_write_recovers(spark, tmp_path):
+    """A first-ever commit that dies mid-parquet-write (no _SUCCESS, no
+    pointer) must not wedge the table: the replayed commit sweeps the
+    incomplete orphan and lands as v1 — the streaming sinks' 'replay the
+    batch' recovery contract."""
+    import os
+
+    tbl = str(tmp_path / "tbl")
+    orphan = os.path.join(tbl, "v1")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"torn write")  # no _SUCCESS marker: incomplete
+    assert versioned.write_version(spark.range(0, 5).select("id"), tbl) == 1
+    assert versioned.read_version(spark, tbl).count() == 5
+
+
+def test_complete_snapshot_without_pointer_raises(spark, tmp_path):
+    """A committed-looking snapshot (has _SUCCESS) with a lost pointer is
+    recoverable history, not a crashed write — writing over it would be
+    data loss, so write_version refuses."""
+    import os
+
+    import pytest
+
+    tbl = str(tmp_path / "tbl")
+    versioned.write_version(spark.range(0, 5).select("id"), tbl)
+    os.remove(os.path.join(tbl, "_latest"))  # simulate pointer corruption
+    with pytest.raises(RuntimeError, match="no readable"):
+        versioned.write_version(spark.range(0, 9).select("id"), tbl)
+    # history untouched: pinned read still works
+    assert versioned.read_version(spark, tbl, 1).count() == 5
+
+
 def test_compact_preserves_rows_and_shrinks_files(spark, tmp_path):
     import glob
 
