@@ -264,21 +264,62 @@ GROUP BY 1, 2, 3
 """
 
 
+APPROX_USERS_EPS = 0.05  # HLL++ default rsd; estimates are deterministic
+
+
 def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates (approx_count_distinct/percentile_approx) —
-    sketch outputs are engine-specific, so this is a rows-only check; the
-    accuracy bound vs exact values is pinned in tests."""
+    """Approximate aggregates with a VALUE-CHECKED accuracy bound: the raw
+    sketch estimates (approx_count_distinct / percentile_approx) are
+    engine-private, so the oracle-comparable output is the exact values
+    plus boolean bound assertions — |approx_users - exact| <=
+    APPROX_USERS_EPS * exact, and the approximate median landing inside
+    the exact [p40, p60] band. The DuckDB twin recomputes the exact side
+    and emits TRUE literals: a sketch drifting out of bounds flips the
+    boolean and fails the value hash, so sketch accuracy is driver-gated
+    instead of rows-only. HLL++ is deterministic for a given input, so
+    the booleans are stable across runs."""
     ev = t(spark, sf_dir, "events_ms")
     # sketches and COUNT(DISTINCT) must not share one aggregate: Catalyst
     # rewrites the mix through an Expand node and merges percentile sketches
-    # across the expanded rows (~10x slower); two aggregates + a tiny join
-    # keep both on the fast path
+    # across the expanded rows (~10x slower); separate aggregates + tiny
+    # joins on the low-cardinality event_type keep each on the fast path
     approx = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.percentile_approx("value", 0.5).alias("approx_median_value"),
     )
-    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_users"))
-    return approx.join(exact, "event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    band = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.4)").alias("p40"),
+        F.expr("percentile(value, 0.6)").alias("p60"),
+    )
+    return (
+        approx.join(exact, "event_type")
+        .join(band, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.lit(APPROX_USERS_EPS) * F.col("exact_users")
+            ).alias("users_within_eps"),
+            (
+                (F.col("approx_median_value") >= F.col("p40"))
+                & (F.col("approx_median_value") <= F.col("p60"))
+            ).alias("median_within_band"),
+        )
+    )
+
+
+ORACLE_APPROX_STATS = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS users_within_eps,
+       TRUE AS median_within_band
+FROM events_ms
+GROUP BY 1
+"""
 
 
 QUERIES: dict[str, tuple] = {
@@ -288,7 +329,7 @@ QUERIES: dict[str, tuple] = {
     "runs_status_setops": (runs_status_setops, ORACLE_SETOPS),
     "runs_presentation": (runs_presentation, ORACLE_PRESENTATION),
     "events_tumbling_windows": (events_tumbling_windows, ORACLE_TUMBLING),
-    "events_approx_stats": (events_approx_stats, None),
+    "events_approx_stats": (events_approx_stats, ORACLE_APPROX_STATS),
 }
 
 

@@ -139,7 +139,92 @@ LEFT JOIN found f ON f.doc_a = t.doc_a AND f.doc_b = t.doc_b
 """
 
 
+# Learned-index recall floors (integer milli-recall). The indexes are
+# deterministic (fixed seeds, fixed iteration counts), so measured recall
+# for a given dataset is a constant: kmeans-IVF is 520/660 milli at
+# sf0.001/sf0.01, IVF-PQ 360/560 — floors sit safely below both while
+# still catching a real regression (a broken quantizer collapses recall
+# toward the 250-milli probe-share chance line).
+KMEANS_IVF_RECALL_FLOOR_MILLI = 450
+IVFPQ_RECALL_FLOOR_MILLI = 300
+
+
+def _learned_recall_report(
+    exact: DataFrame, approx: DataFrame, floor_milli: int
+) -> DataFrame:
+    """One summary row: exact-side sizes (oracle-recomputable) plus a
+    boolean floor assertion on overall recall. The learned index itself is
+    not SQL-expressible, but 'recall >= floor' is a value the driver can
+    hash-check: the DuckDB twin recomputes n_queries/k_total from the
+    exact top-k and emits TRUE — a recall regression flips the boolean
+    and fails the gate (same bounded-oracle trick as events_approx_stats)."""
+    hit = approx.select("query_id", "vec_id").withColumn("hit", F.lit(1))
+    return (
+        exact.select("query_id", "vec_id")
+        .join(hit, ["query_id", "vec_id"], "left")
+        .agg(
+            F.count_distinct("query_id").cast("int").alias("n_queries"),
+            F.count("*").cast("bigint").alias("k_total"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "n_queries",
+            "k_total",
+            F.lit(floor_milli).cast("int").alias("recall_floor_milli"),
+            (
+                F.expr("CAST(1000 * n_hit div k_total AS INT)")
+                >= F.lit(floor_milli)
+            ).alias("recall_ok"),
+        )
+    )
+
+
+def sim_kmeans_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the learned-cell kmeans-IVF path vs the exact baseline,
+    floor-asserted (>= {KMEANS_IVF_RECALL_FLOOR_MILLI} milli)."""
+    from .kmeans_ivf import sim_topk_kmeans_ivf
+
+    return _learned_recall_report(
+        sim_topk_bruteforce(spark, sf_dir),
+        sim_topk_kmeans_ivf(spark, sf_dir),
+        KMEANS_IVF_RECALL_FLOOR_MILLI,
+    )
+
+
+def sim_ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF-PQ (ADC + exact re-rank) path vs the exact
+    baseline, floor-asserted (>= {IVFPQ_RECALL_FLOOR_MILLI} milli)."""
+    from .pq import sim_topk_ivfpq
+
+    return _learned_recall_report(
+        sim_topk_bruteforce(spark, sf_dir),
+        sim_topk_ivfpq(spark, sf_dir),
+        IVFPQ_RECALL_FLOOR_MILLI,
+    )
+
+
+def _oracle_learned_recall(floor_milli: int) -> str:
+    return f"""
+WITH exact_tk AS (
+  SELECT query_id, vec_id FROM ({ORACLE_TOPK_BRUTEFORCE})
+)
+SELECT CAST(COUNT(DISTINCT query_id) AS INTEGER) AS n_queries,
+       CAST(COUNT(*) AS BIGINT) AS k_total,
+       CAST({floor_milli} AS INTEGER) AS recall_floor_milli,
+       TRUE AS recall_ok
+FROM exact_tk
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "sim_ivf_recall_report": (sim_ivf_recall_report, ORACLE_RECALL),
     "dedup_lsh_recall_report": (dedup_lsh_recall_report, _oracle_lsh_recall()),
+    "sim_kmeans_ivf_recall_report": (
+        sim_kmeans_ivf_recall_report,
+        _oracle_learned_recall(KMEANS_IVF_RECALL_FLOOR_MILLI),
+    ),
+    "sim_ivfpq_recall_report": (
+        sim_ivfpq_recall_report,
+        _oracle_learned_recall(IVFPQ_RECALL_FLOOR_MILLI),
+    ),
 }
