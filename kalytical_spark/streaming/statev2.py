@@ -22,9 +22,13 @@ protobuf between the JVM and the Python driver worker; this container's
 ``google.protobuf`` lacks its compiled descriptor module, so the query
 crashes at init here (verified: StreamingPythonRunner init fails with
 ``ImportError: cannot import name 'descriptor' from 'google.protobuf'``).
-The implementation is complete and the equivalence test runs wherever
-protobuf is intact (tests/test_statev2.py skips on the broken import,
-mirroring the broker-less Kafka gate in sources.py).
+The implementation is complete; the end-to-end equivalence test runs
+wherever protobuf is intact, and the PROCESSOR TRANSITION LOGIC is proven
+in every container regardless — tests/test_statev2.py drives
+PipelineLedgerProcessor through a faithful fake of the handle/ValueState
+contract across arbitrary micro-batch split points and compares against
+the batch recompute (the same shared-transitions trick incubation.py
+uses). Only the protobuf state-server wire itself stays gated.
 """
 
 from __future__ import annotations
