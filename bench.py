@@ -158,7 +158,16 @@ def main() -> None:
     # overflowed that window). Keep the line under budget by dropping the
     # FASTEST queries from the inline map; the complete map always lands in
     # BENCH_FULL.json next to this script.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as fh:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    # fold in the persisted scale sweep (tools/scale_bench.py): the sf1-
+    # equivalent curve for the LSH/CC/curation chain rides along in
+    # BENCH_FULL so the scaling claim is a recorded measurement
+    try:
+        with open(os.path.join(repo, "SCALE_SWEEP.json")) as fh:
+            payload["scale_sweep"] = json.load(fh)
+    except (OSError, ValueError):
+        pass
+    with open(os.path.join(repo, "BENCH_FULL.json"), "w") as fh:
         json.dump(payload, fh, indent=1)
     budget = 1900
     line = json.dumps(payload, separators=(",", ":"))

@@ -409,17 +409,17 @@ def _cosine_block(key, pdf):
     )
 
 
-def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs above a threshold, blocked by the
-    coarse label (the IVF-style pruning that makes this survive scale:
-    within-block brute force only, vectorized in numpy per block).
+def _embedding_pairs_from(emb: DataFrame) -> DataFrame:
+    """Label-blocked chunked cosine pairs over an arbitrary (vec_id,
+    embedding, label) frame — the shared engine behind the pair mine and
+    the semantic-dedup keep/drop decision (which plants its own copies
+    before pairing).
 
     Hot labels never OOM an executor: a label with n rows is split into
     C = ceil(n / EMB_BLOCK_CAP) chunks by vec_id; every vector is
     replicated into the C blocks (min(chunk, d), max(chunk, d)) it pairs
     across, so each gram block is at most CAP x CAP while the union of
     blocks still covers every within-label pair exactly once."""
-    emb = t(spark, sf_dir, "embeddings")
     counts = emb.groupBy("label").agg(F.count("*").alias("n_lab"))
     nch = F.greatest(F.ceil(F.col("n_lab") / F.lit(EMB_BLOCK_CAP)), F.lit(1)).cast("int")
     chunked = (
@@ -452,6 +452,14 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above a threshold, blocked by the
+    coarse label (the IVF-style pruning that makes this survive scale:
+    within-block brute force only, vectorized in numpy per block). See
+    _embedding_pairs_from for the blocking/chunking contract."""
+    return _embedding_pairs_from(t(spark, sf_dir, "embeddings"))
+
+
 ORACLE_EMBEDDING_PAIRS = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
        round(CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 4) AS cos_sim
@@ -462,11 +470,72 @@ WHERE round(CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.em
 """
 
 
+SEMDEDUP_PLANT_STRIDE = 25
+SEMDEDUP_PLANT_OFFSET = 6 << 40  # disjoint from every other plant family
+
+
+def dedup_semantic_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication decision: per vector, KEEP
+    unless some lower-id vector in the same label block sits within the
+    cosine threshold — the witness (smallest such id) is carried for
+    audit. One-pass greedy-by-id semantics (a dropped vector can still be
+    another's witness), the deterministic variant that needs no iteration:
+    at 100 TB it is the label-blocked pair mine plus one aggregation and
+    one left join, nothing sequential.
+
+    The raw corpus has almost no semantic dups (max organic cosine 0.475
+    at sf0.01), so a re-keyed copy of every SEMDEDUP_PLANT_STRIDE-th
+    vector is planted (cos 1.0 to its source) — same non-vacuousness
+    convention as dedup_exact / fuzzy / phash. Planted copies must drop
+    with their source as witness; organic near-pairs drop the higher id."""
+    emb = t(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % SEMDEDUP_PLANT_STRIDE == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(SEMDEDUP_PLANT_OFFSET)
+    )
+    corpus = emb.unionByName(planted)
+    witnesses = (
+        _embedding_pairs_from(corpus)
+        .groupBy(F.col("vec_b").alias("vec_id"))
+        .agg(F.min("vec_a").alias("witness"))
+    )
+    return (
+        corpus.select("vec_id", "label")
+        .join(witnesses, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.col("witness").isNull().alias("kept"),
+            "witness",
+        )
+    )
+
+
+ORACLE_SEMDEDUP = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + {SEMDEDUP_PLANT_OFFSET}, embedding, label
+  FROM embeddings WHERE vec_id % {SEMDEDUP_PLANT_STRIDE} = 0
+), witnesses AS (
+  SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS witness
+  FROM corpus a
+  JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round(CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 4)
+        >= {COSINE_PAIR_THRESHOLD}
+  GROUP BY 1
+)
+SELECT c.vec_id, c.label, w.witness IS NULL AS kept, w.witness
+FROM corpus c LEFT JOIN witnesses w ON c.vec_id = w.vec_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, ORACLE_EXACT),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _sql_minhash_lsh()),
     "dedup_embedding_pairs": (dedup_embedding_pairs, ORACLE_EMBEDDING_PAIRS),
+    "dedup_semantic_greedy": (dedup_semantic_greedy, ORACLE_SEMDEDUP),
 }
 
 

@@ -59,6 +59,42 @@ def _grams(ts, n: int) -> F.Column:
     )
 
 
+def _decontam_corpus_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, gram): distinct NGRAM-token grams of the corpus-under-test
+    (documents plus the planted re-crawl of every 82nd doc)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    ts = _toks()
+    leaked = (
+        docs.filter(F.col("doc_id") % 82 == 0)
+        .withColumn("doc_id", F.col("doc_id") + DECONTAM_PLANT_OFFSET)
+    )
+    corpus = docs.unionByName(leaked)
+    n_part = spark.sparkContext.defaultParallelism
+    return (
+        corpus.filter(F.size(ts) >= NGRAM)
+        .repartition(n_part, "doc_id")
+        .select(
+            "doc_id", F.explode(F.array_distinct(_grams(ts, NGRAM))).alias("gram")
+        )
+    )
+
+
+def _decontam_bench_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bench_id, gram): distinct grams of each synthetic benchmark prompt
+    (every 41st document's first BENCH_PROMPT_TOKENS tokens)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    ts = _toks()
+    return (
+        docs.filter((F.col("doc_id") % 41 == 0) & (F.size(ts) >= BENCH_PROMPT_TOKENS))
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.explode(
+                F.array_distinct(_grams(F.slice(ts, 1, BENCH_PROMPT_TOKENS), NGRAM))
+            ).alias("gram"),
+        )
+    )
+
+
 def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus documents that share any
     8-token gram with a benchmark prompt (the standard n-gram-overlap
@@ -71,30 +107,8 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     The benchmark gram set is broadcast: at 100 TB the eval suite is
     kilobytes while the corpus side streams through map tasks untouched.
     """
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    ts = _toks()
-    leaked = (
-        docs.filter(F.col("doc_id") % 82 == 0)
-        .withColumn("doc_id", F.col("doc_id") + DECONTAM_PLANT_OFFSET)
-    )
-    corpus = docs.unionByName(leaked)
-    n_part = spark.sparkContext.defaultParallelism
-    corpus_grams = (
-        corpus.filter(F.size(ts) >= NGRAM)
-        .repartition(n_part, "doc_id")
-        .select(
-            "doc_id", F.explode(F.array_distinct(_grams(ts, NGRAM))).alias("gram")
-        )
-    )
-    bench_grams = (
-        docs.filter((F.col("doc_id") % 41 == 0) & (F.size(ts) >= BENCH_PROMPT_TOKENS))
-        .select(
-            F.col("doc_id").alias("bench_id"),
-            F.explode(
-                F.array_distinct(_grams(F.slice(ts, 1, BENCH_PROMPT_TOKENS), NGRAM))
-            ).alias("gram"),
-        )
-    )
+    corpus_grams = _decontam_corpus_grams(spark, sf_dir)
+    bench_grams = _decontam_bench_grams(spark, sf_dir)
     return (
         corpus_grams.join(F.broadcast(bench_grams), "gram")
         .groupBy("doc_id")
@@ -106,8 +120,7 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DECONTAM = f"""
-WITH corpus AS (
+_SQL_DECONTAM_CTES = f"""corpus AS (
   SELECT doc_id, string_split(text, ' ') AS ts FROM documents
   UNION ALL
   SELECT doc_id + {DECONTAM_PLANT_OFFSET}, string_split(text, ' ') FROM documents WHERE doc_id % 82 = 0
@@ -123,7 +136,10 @@ WITH corpus AS (
         WHERE doc_id % 41 = 0
           AND len(string_split(text, ' ')) >= {BENCH_PROMPT_TOKENS}),
        unnest(range(1, {BENCH_PROMPT_TOKENS - NGRAM + 2})) AS u(i)
-)
+)"""
+
+ORACLE_DECONTAM = f"""
+WITH {_SQL_DECONTAM_CTES}
 SELECT c.doc_id,
        CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_hits,
        CAST(COUNT(DISTINCT c.gram) AS BIGINT) AS n_gram_hits,
@@ -327,8 +343,65 @@ GROUP BY split, lang
 """
 
 
+CONTAINMENT_FLAG_MILLI = 500  # flag docs holding >= half of a prompt's grams
+
+
+def decontam_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment decontamination: per (document, benchmark
+    prompt) pair sharing any gram, what FRACTION of the prompt's grams the
+    document contains — 1000 * |grams(doc) ∩ grams(bench)| // |grams(bench)|
+    in exact integer milli-units. Containment is the decontamination metric
+    that catches a short eval item quoted inside a long document, where
+    symmetric Jaccard dilutes toward zero and a raw hit count understates
+    coverage. Same broadcast shape as decontam_ngram_overlap: the bench
+    gram dimension is eval-suite-sized (kilobytes at 100 TB), the corpus
+    side streams map-only until the final per-pair aggregate."""
+    corpus_grams = _decontam_corpus_grams(spark, sf_dir)
+    bench_grams = _decontam_bench_grams(spark, sf_dir)
+    bench_sizes = bench_grams.groupBy("bench_id").agg(
+        F.count("*").cast("bigint").alias("n_bench_grams")
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.countDistinct("gram").cast("bigint").alias("n_common"))
+        .join(F.broadcast(bench_sizes), "bench_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            "n_common",
+            "n_bench_grams",
+            F.expr("CAST(1000 * n_common div n_bench_grams AS INT)").alias(
+                "containment_milli"
+            ),
+            (
+                F.expr("1000 * n_common div n_bench_grams")
+                >= F.lit(CONTAINMENT_FLAG_MILLI)
+            ).alias("flagged"),
+        )
+    )
+
+
+ORACLE_CONTAINMENT = f"""
+WITH {_SQL_DECONTAM_CTES},
+sizes AS (
+  SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_bench_grams
+  FROM bench_grams GROUP BY 1
+), common AS (
+  SELECT c.doc_id, b.bench_id, CAST(COUNT(DISTINCT c.gram) AS BIGINT) AS n_common
+  FROM corpus_grams c JOIN bench_grams b USING (gram)
+  GROUP BY 1, 2
+)
+SELECT doc_id, bench_id, n_common, n_bench_grams,
+       CAST(1000 * n_common // n_bench_grams AS INTEGER) AS containment_milli,
+       1000 * n_common // n_bench_grams >= {CONTAINMENT_FLAG_MILLI} AS flagged
+FROM common JOIN sizes USING (bench_id)
+"""
+
+
 QUERIES = {
     "decontam_ngram_overlap": (decontam_ngram_overlap, ORACLE_DECONTAM),
+    "decontam_containment": (decontam_containment, ORACLE_CONTAINMENT),
     "text_repetition_filters": (text_repetition_filters, ORACLE_REPETITION),
     "pack_context_windows": (pack_context_windows, ORACLE_PACK),
     "split_assign_stats": (split_assign_stats, ORACLE_SPLIT),

@@ -378,6 +378,127 @@ QUERIES.update(
 )
 
 
+BIGRAM_LAMBDA_NUM = 3  # interpolation weight 3/4 bigram, 1/4 unigram backoff
+
+
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring with unigram backoff — one step up the LM
+    ladder from text_unigram_surprisal: score each document by the mean
+    surprisal of its token transitions under an interpolated bigram model
+    fit on the corpus itself, p(w2|w1) = (3/4)·c12/c1 + (1/4)·c2/N.
+    Low-probability transitions (word salad, shuffled text, boilerplate
+    splices) score high even when every individual token is common — the
+    failure mode unigram surprisal is blind to.
+
+    Determinism: the interpolation is evaluated as ONE IEEE division of two
+    exact BIGINT products, p = (3·c12·N + c2·c1) / (4·c1·N), then quantized
+    to integer micro-nats per DISTINCT bigram — per-doc accumulation is
+    exact integer arithmetic, so engines can never disagree on summation
+    order. (The bigint products cap out around N≈3e8 tokens per fit shard;
+    a web-scale fit shards the corpus or moves the products to double.)
+
+    Scale: the model tables are c12 (bigram vocab) and c1/c2 (unigram
+    vocab) — both unbounded, so every model join is shuffle_hash keyed on
+    the token(s), never a forced broadcast; N rides a broadcast scalar.
+    All aggregates are map-side combinable."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    ts = _tokens()
+    bg = (
+        docs.filter(F.size(ts) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(ts, 1, F.size(ts) - 1).alias("w1"),
+                    F.slice(ts, 2, F.size(ts) - 1).alias("w2"),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    toks = docs.select(F.explode(ts).alias("tok"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    c2 = toks.groupBy("tok").agg(F.count("*").alias("c2"))
+    n_total = toks.groupBy().agg(F.count("*").alias("n_total"))
+    lp = (
+        c12.join(c1.hint("shuffle_hash"), "w1")
+        .join(
+            c2.hint("shuffle_hash").withColumnRenamed("tok", "w2"), "w2"
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (
+                        F.lit(BIGRAM_LAMBDA_NUM) * F.col("c12") * F.col("n_total")
+                        + F.col("c2") * F.col("c1")
+                    ).cast("double")
+                    / (F.lit(4) * F.col("c1") * F.col("n_total")).cast("double")
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("lp_micro"),
+        )
+    )
+    return (
+        bg.join(lp.hint("shuffle_hash"), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (-F.sum("lp_micro")).alias("surprisal_micro"),
+            F.round(
+                (-F.sum("lp_micro")).cast("double") / 1e6 / F.count("*"), 4
+            ).alias("avg_surprisal_nats"),
+        )
+    )
+
+
+ORACLE_BIGRAM = f"""
+WITH bg AS (
+  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       unnest(range(1, len(ts))) AS u(i)
+  WHERE len(ts) >= 2
+), toks AS (
+  SELECT tok FROM (SELECT string_split(text, ' ') AS ts FROM documents),
+       unnest(ts) AS u(tok)
+), c12 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY 1
+), c2 AS (
+  SELECT tok AS w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM toks GROUP BY 1
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks
+), lp AS (
+  SELECT c12.w1, c12.w2,
+         CAST(ROUND(ln(
+           CAST({BIGRAM_LAMBDA_NUM} * c12.c12 * n.n_total + c2.c2 * c1.c1 AS DOUBLE)
+           / CAST(4 * c1.c1 * n.n_total AS DOUBLE)
+         ) * 1e6) AS BIGINT) AS lp_micro
+  FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(-SUM(l.lp_micro) AS BIGINT) AS surprisal_micro,
+       ROUND(CAST(-SUM(l.lp_micro) AS DOUBLE) / 1e6 / COUNT(*), 4)
+         AS avg_surprisal_nats
+FROM bg b JOIN lp l USING (w1, w2)
+GROUP BY b.doc_id
+"""
+
+
+QUERIES.update(
+    {
+        "text_bigram_surprisal": (text_bigram_surprisal, ORACLE_BIGRAM),
+    }
+)
+
+
 _LIFT_MIN_DF = 5
 _LIFT_TOPK = 30
 

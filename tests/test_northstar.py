@@ -356,3 +356,28 @@ def test_sq8_recall_vs_bruteforce(spark):
     assert bf_set and len(sq_set) == len(bf_set)
     recall = len(bf_set & sq_set) / len(bf_set)
     assert recall >= 0.9, f"SQ8 recall {recall} too low"
+
+
+def test_semantic_greedy_drops_planted_copies(spark):
+    """Every planted copy must drop with its SOURCE as witness (cos 1.0
+    within the same label block); every organic-pair higher id drops with
+    a lower-id witness; everything else is kept. Greedy-by-id is one-pass:
+    a dropped vector may still witness another."""
+    from kalytical_spark.operators import dedup
+
+    rows = dedup.dedup_semantic_greedy(spark, SF_ORACLE).collect()
+    by_id = {r.vec_id: r for r in rows}
+    planted = [r for r in rows if r.vec_id >= dedup.SEMDEDUP_PLANT_OFFSET]
+    assert planted, "planting produced no rows"
+    for r in planted:
+        src = r.vec_id - dedup.SEMDEDUP_PLANT_OFFSET
+        assert not r.kept, f"planted copy {r.vec_id} not dropped"
+        assert r.witness is not None and r.witness <= src
+    n_dropped = sum(1 for r in rows if not r.kept)
+    assert n_dropped >= len(planted)  # organic near-pairs may add more
+    for r in rows:
+        if r.kept:
+            assert r.witness is None
+        else:
+            w = by_id[r.witness]
+            assert w.vec_id < r.vec_id and w.label == r.label
