@@ -53,9 +53,10 @@ def _load_optional():
         "embedding_stats",
         "skew",
         "mix",
-        # sketches registers LAST by design: its queries are never-gated
-        # (prio 0) and stable sort keeps them BEHIND the 50 queued entries
-        # that exactly fill the round-3 driver window
+        # module order only breaks ties WITHIN a priority class (the prio
+        # sort queues never-gated oracle queries first regardless); keep
+        # the total never-gated count <= 50 when adding queries so one
+        # driver window can prove them all
         "sketches",
         "audio",
         "olap",

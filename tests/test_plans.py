@@ -115,7 +115,11 @@ def test_surprisal_and_lift_never_broadcast_vocab_dim(spark):
     (text_token_lift_topk) join shuffle_hash, never forced broadcast."""
     from kalytical_spark.operators import text
 
-    for fn in (text.text_unigram_surprisal, text.text_token_lift_topk):
+    for fn in (
+        text.text_unigram_surprisal,
+        text.text_token_lift_topk,
+        text.text_bigram_surprisal,
+    ):
         plan = _final_plan(fn(spark, SF_ORACLE))
         final = plan.split("== Initial Plan ==")[0]
         assert "ShuffledHashJoin" in final, (fn.__name__, final)
