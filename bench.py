@@ -140,14 +140,16 @@ def main() -> None:
             print(f"# bench rebench error {name}: {exc}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
+    n_memos = sum(1 for k in timings if k.startswith("memo:"))
     payload = {
         "metric": "kalytical_spark_headline_queries_total",
-        "value": total,
+        "value": total,  # queries + memo builds: comparable to rounds where builds hid inside queries
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "warmup_sec": round(warm_s, 2),
-        "n_queries": len(timings),
+        "n_queries": len(timings) - n_memos,
+        "n_memos": n_memos,
         # shared session memos are pre-paid and reported as their own
         # `memo:*` lines above, so per-query times are build-free and
         # comparable across rounds
@@ -169,6 +171,10 @@ def main() -> None:
         pass
     with open(os.path.join(repo, "BENCH_FULL.json"), "w") as fh:
         json.dump(payload, fh, indent=1)
+    # the sweep rides only in BENCH_FULL: leaving it in the stdout line
+    # would eat most of the driver's 1900-byte parse budget and force the
+    # per-query map to be dropped
+    payload.pop("scale_sweep", None)
     budget = 1900
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > budget:

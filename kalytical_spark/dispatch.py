@@ -148,7 +148,12 @@ def submit_fires(
     The bound is a guardrail, not a sampler: a fire set larger than the
     limit raises instead of silently dropping the tail (dropped fires are
     lost work orders — no silent caps)."""
-    n = limit if limit is not None else 1000  # explicit 0 means "none"
+    n = limit if limit is not None else 1000
+    if n == 0:
+        # explicit 0 means "submit none, just hand back the ledger" — a
+        # deliberate no-op, not an overflow (api.py's pagination documents
+        # the same limit=0-means-none convention)
+        return engine.ledger(spark)
     # deterministic submission set AND replay indices: an unordered
     # limit().collect() returns an arbitrary subset in arbitrary order,
     # which would make the content-addressed tracking ids differ run-to-run

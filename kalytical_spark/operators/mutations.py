@@ -279,24 +279,23 @@ def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of rows-only. HLL++ is deterministic for a given input, so
     the booleans are stable across runs."""
     ev = t(spark, sf_dir, "events_ms")
-    # sketches and COUNT(DISTINCT) must not share one aggregate: Catalyst
-    # rewrites the mix through an Expand node and merges percentile sketches
-    # across the expanded rows (~10x slower); separate aggregates + tiny
-    # joins on the low-cardinality event_type keep each on the fast path
+    # COUNT(DISTINCT) must not share an aggregate with the sketch/percentile
+    # buffers: Catalyst rewrites that mix through an Expand node and merges
+    # the buffers across expanded rows (~10x slower). Everything
+    # NON-distinct (both sketches + the exact percentile band) rides one
+    # aggregate — no Expand without a distinct — and the lone countDistinct
+    # joins back on the low-cardinality event_type
     approx = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.percentile_approx("value", 0.5).alias("approx_median_value"),
+        F.expr("percentile(value, 0.4)").alias("p40"),
+        F.expr("percentile(value, 0.6)").alias("p60"),
     )
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users")
     )
-    band = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.4)").alias("p40"),
-        F.expr("percentile(value, 0.6)").alias("p60"),
-    )
     return (
         approx.join(exact, "event_type")
-        .join(band, "event_type")
         .select(
             "event_type",
             "exact_users",

@@ -86,6 +86,13 @@ def write_version(df: DataFrame, table_dir: str, pre_commit=None) -> int:
     ``_SUCCESS`` is committed-looking history whose pointer was lost or
     corrupted; wiping it would be data loss, so that case raises and asks
     for explicit pointer recovery instead.
+
+    The heuristic is only sound if committed snapshots always HAVE the
+    marker, so that precondition is enforced at write time below: a
+    deployment with success markers disabled
+    (``mapreduce.fileoutputcommitter.marksuccessfuljobs=false``) fails its
+    first commit with a clear error instead of silently creating history
+    the recovery path would later mistake for a crashed write.
     """
     import shutil
 
@@ -111,6 +118,13 @@ def write_version(df: DataFrame, table_dir: str, pre_commit=None) -> int:
     shutil.rmtree(_version_dir(table_dir, nxt), ignore_errors=True)
     vdir = _version_dir(table_dir, nxt)
     df.write.mode("errorifexists").parquet(vdir)
+    if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
+        raise RuntimeError(
+            f"{vdir} was written without a _SUCCESS marker "
+            "(mapreduce.fileoutputcommitter.marksuccessfuljobs disabled?); "
+            "versioned tables require markers — pointer-loss recovery "
+            "distinguishes committed snapshots from crashed writes by them"
+        )
     if pre_commit is not None:
         pre_commit(vdir)
     tmp = os.path.join(table_dir, f"{_POINTER}.tmp.{nxt}")

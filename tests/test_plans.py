@@ -128,7 +128,10 @@ def test_surprisal_and_lift_never_broadcast_vocab_dim(spark):
         vocab_broadcasts = [
             ln
             for ln in final.splitlines()
-            if "BroadcastHashJoin [tok" in ln or "BroadcastHashJoin [term" in ln
+            if any(
+                f"BroadcastHashJoin [{key}" in ln
+                for key in ("tok", "term", "w1", "w2")
+            )
         ]
         assert not vocab_broadcasts, (fn.__name__, vocab_broadcasts)
 

@@ -51,7 +51,10 @@ CHAIN = [
 def build_scaled_dir(spark, k: int) -> str:
     out = os.path.join(SCRATCH, f"k{k}")
     docs_path = os.path.join(out, "documents.parquet")
-    if not os.path.exists(docs_path):
+    # _SUCCESS gates cache reuse: a sweep killed mid-write must rebuild,
+    # not silently measure a torn corpus
+    if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
+        shutil.rmtree(docs_path, ignore_errors=True)
         os.makedirs(out, exist_ok=True)
         docs = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
         n = docs.count()
@@ -139,12 +142,18 @@ def main() -> None:
     ks = [int(x) for x in (sys.argv[1] if len(sys.argv) > 1 else "1,2,5,10").split(",")]
     sweep: dict[str, dict] = {}
     for k in ks:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--single", str(k)],
-            capture_output=True,
-            text=True,
-            timeout=1800,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--single", str(k)],
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            # one stuck point must not lose the completed ones: skip it and
+            # still persist the sweep below
+            print(f"# scale point k={k} timed out after 1800s", file=sys.stderr)
+            continue
         line = next(
             (l for l in proc.stdout.splitlines() if l.startswith("RESULT")), None
         )
@@ -154,6 +163,16 @@ def main() -> None:
         sweep[f"k{k}"] = json.loads(line[len("RESULT"):])
         print(json.dumps({f"k{k}": sweep[f"k{k}"]}), flush=True)
 
+    # merge into the persisted sweep: a focused rerun of one k refreshes
+    # that point without dropping the others
+    sweep_path = os.path.join(REPO, "SCALE_SWEEP.json")
+    points: dict[str, dict] = {}
+    try:
+        with open(sweep_path) as fh:
+            points = json.load(fh).get("points", {})
+    except (OSError, ValueError):
+        pass
+    points.update(sweep)
     payload = {
         "base_sf": 0.1,
         "note": (
@@ -161,9 +180,9 @@ def main() -> None:
             "disjoint vocabularies so pair structure scales linearly by "
             "construction — the measured curve shows whether the ENGINE does"
         ),
-        "points": sweep,
+        "points": dict(sorted(points.items(), key=lambda kv: int(kv[0][1:]))),
     }
-    with open(os.path.join(REPO, "SCALE_SWEEP.json"), "w") as fh:
+    with open(sweep_path, "w") as fh:
         json.dump(payload, fh, indent=1)
     print(json.dumps({"scale_sweep": payload}))
 
