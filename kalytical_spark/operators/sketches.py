@@ -506,10 +506,111 @@ GROUP BY 1
 """
 
 
+# --- Count-min sketch: frequency estimation without per-key state ---------
+
+_CMS_D = 4  # depth: independent hash rows
+_CMS_W = 256  # width: counters per row (2 hex nibbles -> bucket)
+_CMS_TOPK = 20  # probe set: exact heavy hitters to estimate
+
+
+def _cms_bucket_sql(h: str) -> str:
+    """8-bit bucket from the first 2 hex nibbles of md5 expression ``h``."""
+    return f"CAST({_nib(h, 1)} * 16 + {_nib(h, 2)} AS INT)"
+
+
+def _cms_hash(d_expr: str, key_expr: str, cast_str: str) -> str:
+    return f"md5('cm' || CAST({d_expr} AS {cast_str}) || ':' || CAST({key_expr} AS {cast_str}))"
+
+
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over per-user event frequencies, probed at the
+    exact top-_CMS_TOPK heavy hitters: per user, the exact count, the CMS
+    estimate (min over depth rows of the hashed counter), and the
+    collision overcount. CMS never undercounts — ``overcount >= 0`` by
+    construction — and the md5 bucket hashing is cross-engine
+    deterministic, so the DuckDB twin recomputes the ENTIRE sketch and the
+    estimates match value-exactly (no bounded-oracle trick needed).
+
+    Scale: the sketch state is _CMS_D x _CMS_W counters total — constant,
+    mergeable (counters add), map-side combinable — while exact per-key
+    counting shuffles every key. The build pre-aggregates per user first
+    (map-side combinable), so the D-way explode multiplies distinct users,
+    not raw events. The probe joins TOPK x D rows against the D x W
+    counter table — both tiny."""
+    per_user = (
+        t(spark, sf_dir, "events_ms")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+    )
+    h = _cms_hash("d", "user_id", "STRING")
+    depth_rows = per_user.select(
+        "user_id",
+        "exact_n",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("d"),
+    ).selectExpr("user_id", "exact_n", "d", f"{_cms_bucket_sql(h)} AS bucket")
+    cms = depth_rows.groupBy("d", "bucket").agg(
+        F.sum("exact_n").cast("bigint").alias("counter")
+    )
+    probes = (
+        per_user.orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(_CMS_TOPK)
+        .select(
+            "user_id",
+            "exact_n",
+            F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("d"),
+        )
+        .selectExpr("user_id", "exact_n", "d", f"{_cms_bucket_sql(h)} AS bucket")
+    )
+    return (
+        probes.join(F.broadcast(cms), ["d", "bucket"])
+        .groupBy("user_id")
+        .agg(
+            F.first("exact_n").cast("bigint").alias("exact_n"),
+            F.min("counter").cast("bigint").alias("cms_est"),
+        )
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).cast("bigint").alias("overcount"),
+        )
+    )
+
+
+_CMS_H_ORACLE = _cms_hash("d", "user_id", "VARCHAR")
+
+ORACLE_CMS = f"""
+WITH per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM events_ms GROUP BY 1
+), depth_rows AS (
+  SELECT user_id, exact_n, d,
+         {_cms_bucket_sql(_CMS_H_ORACLE)} AS bucket
+  FROM per_user, unnest(range(0, {_CMS_D})) AS u(d)
+), cms AS (
+  SELECT d, bucket, CAST(SUM(exact_n) AS BIGINT) AS counter
+  FROM depth_rows GROUP BY 1, 2
+), probes AS (
+  SELECT user_id, exact_n, d, bucket
+  FROM depth_rows
+  WHERE user_id IN (
+    SELECT user_id FROM per_user ORDER BY exact_n DESC, user_id LIMIT {_CMS_TOPK}
+  )
+)
+SELECT p.user_id,
+       CAST(MIN(p.exact_n) AS BIGINT) AS exact_n,
+       CAST(MIN(c.counter) AS BIGINT) AS cms_est,
+       CAST(MIN(c.counter) - MIN(p.exact_n) AS BIGINT) AS overcount
+FROM probes p JOIN cms c ON p.d = c.d AND p.bucket = c.bucket
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "sketch_hll_registers": (sketch_hll_registers, ORACLE_HLL_REGISTERS),
     "sketch_hll_estimate": (sketch_hll_estimate, ORACLE_HLL_ESTIMATE),
     "sketch_kmv_distinct": (sketch_kmv_distinct, ORACLE_KMV),
+    "sketch_cms_heavy_hitters": (sketch_cms_heavy_hitters, ORACLE_CMS),
     "graph_copurchase_triangles": (graph_copurchase_triangles, ORACLE_TRIANGLES),
     "graph_clustering_coefficient": (
         graph_clustering_coefficient,
