@@ -1,24 +1,35 @@
-"""Scale sweep for the dedup/LSH + CC + curation chain: measure the
-chain's wall time at k x the sf0.1 documents table (k=1..10; k=10 is the
-sf1-equivalent corpus) and record the curve in SCALE_SWEEP.json, which
-bench.py folds into BENCH_FULL.json under "scale_sweep".
+"""Scale sweeps for two flagship chains: measure wall time at k x the
+sf0.1 base tables (k=10 is the sf1-equivalent corpus) and record the
+curves in SCALE_SWEEP.json, which bench.py folds into BENCH_FULL.json
+under "scale_sweep".
 
-The scaled corpus is built by REPLICATION WITH DISJOINT VOCABULARIES:
-replica r rewrites every token t -> "t~r" (r>0), so replicas share no
-shingles and contribute no cross-replica candidate pairs. That preserves
-the *per-document* duplicate structure of the driver-generated corpus
-exactly k times over — corpus k x bigger => pair work k x bigger — which
-is the honest linear-scaling shape a sharded 100 TB ingest has (shards
-don't near-dup each other either). Replicating verbatim would instead
-plant C(k,2) exact dups per document and force a quadratic pair blowup
-no engine design could avoid.
+Chains:
+* ``docs`` — the dedup/LSH + connected-components + curation chain over a
+  k-x documents table. Replication uses DISJOINT VOCABULARIES: replica r
+  rewrites every token t -> "t~r" (r>0), so replicas share no shingles
+  and contribute no cross-replica candidate pairs. That preserves the
+  *per-document* duplicate structure of the driver-generated corpus
+  exactly k times over — corpus k x bigger => pair work k x bigger —
+  the honest linear-scaling shape a sharded 100 TB ingest has (shards
+  don't near-dup each other either). Replicating verbatim would instead
+  plant C(k,2) exact dups per document and force a quadratic pair blowup
+  no engine design could avoid.
+* ``events`` — the behavioral/window chain (sessionization, rolling WAU,
+  robust outliers, tumbling windows) plus the sequential replay fold,
+  over a k-x events table. Replicas shift user_id and event_id into
+  disjoint ranges with timestamps unchanged: k x more users at the same
+  event density per user, so per-key window work stays constant while
+  key volume scales — and the replay fold's per-PIPELINE event streams
+  grow k x (pipeline ids are user_id mod a fixed supplier count), which
+  stresses the one genuinely sequential per-key path.
 
-Only the documents table scales; the chain reads nothing else. Scratch
-parquet lives under /tmp (testdata is read-only). This tool measures
-performance scaling only — correctness is the oracle gate's job, on the
-unmodified driver tables.
+Only the chain's driving table scales; other tables link unmodified.
+Scratch parquet lives under /tmp (testdata is read-only). This tool
+measures performance scaling only — correctness is the oracle gate's
+job, on the unmodified driver tables.
 
-Usage: python tools/scale_bench.py [k1,k2,...]   (default 1,2,5,10)
+Usage: python tools/scale_bench.py [chain] [k1,k2,...]
+Defaults: chain=docs, ks=1,2,5,10.
 """
 
 from __future__ import annotations
@@ -37,47 +48,89 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BASE_SF = "/root/testdata/sf0.1"
 SCRATCH = "/tmp/kalytical_scale"
 
-# the chain under test, in dependency order (each is a registry query or
-# the memo build feeding one)
-CHAIN = [
-    ("memo:lsh_signatures", "dedup", lambda m, s, d: m.signature_tables(s, d)[1]),
-    ("memo:lsh_pairs", "dedup", lambda m, s, d: m.dedup_minhash_lsh(s, d)),
-    ("dedup_cluster_components", "components", lambda m, s, d: m.dedup_cluster_components(s, d)),
-    ("dedup_keeper_selection", "components", lambda m, s, d: m.dedup_keeper_selection(s, d)),
-    ("pipeline_curate_corpus", "curation", lambda m, s, d: m.pipeline_curate_corpus(s, d)),
-]
+
+def _docs_chain():
+    from kalytical_spark.operators import components, curation, dedup
+
+    return [
+        ("memo:lsh_signatures", lambda s, d: dedup.signature_tables(s, d)[1]),
+        ("memo:lsh_pairs", dedup.dedup_minhash_lsh),
+        ("dedup_cluster_components", components.dedup_cluster_components),
+        ("dedup_keeper_selection", components.dedup_keeper_selection),
+        ("pipeline_curate_corpus", curation.pipeline_curate_corpus),
+    ]
 
 
-def build_scaled_dir(spark, k: int) -> str:
-    out = os.path.join(SCRATCH, f"k{k}")
-    docs_path = os.path.join(out, "documents.parquet")
+def _events_chain():
+    from kalytical_spark.operators import events, mutations, replay, timeseries
+
+    return [
+        ("events_sessionization", events.events_sessionization),
+        ("events_rolling_wau", timeseries.events_rolling_wau),
+        ("events_robust_outliers", timeseries.events_robust_outliers),
+        ("events_tumbling_windows", mutations.events_tumbling_windows),
+        ("memo:replay_decisions", replay.dag_replay_decisions),
+    ]
+
+
+CHAINS = {"docs": _docs_chain, "events": _events_chain}
+
+
+def _replicate_docs(spark, base_path: str, k: int):
+    docs = spark.read.parquet(base_path)
+    n = docs.count()
+    reps = None
+    for r in range(k):
+        part = docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * 10 * n))
+        if r > 0:
+            # disjoint vocabulary per replica: t -> t~r for every token
+            part = part.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda t: F.concat(t, F.lit(f"~{r}")),
+                    ),
+                    " ",
+                ),
+            )
+        reps = part if reps is None else reps.unionByName(part)
+    return reps
+
+
+def _replicate_events(spark, base_path: str, k: int):
+    ev = spark.read.parquet(base_path)
+    maxes = ev.agg(
+        F.max("event_id").alias("me"), F.max("user_id").alias("mu")
+    ).collect()[0]
+    e_off, u_off = int(maxes.me) + 1, int(maxes.mu) + 1
+    reps = None
+    for r in range(k):
+        part = ev.withColumn(
+            "event_id", F.col("event_id") + F.lit(r * e_off)
+        ).withColumn("user_id", F.col("user_id") + F.lit(r * u_off))
+        reps = part if reps is None else reps.unionByName(part)
+    return reps
+
+
+_SCALED_TABLE = {"docs": "documents.parquet", "events": "events.parquet"}
+_REPLICATE = {"docs": _replicate_docs, "events": _replicate_events}
+
+
+def build_scaled_dir(spark, chain: str, k: int) -> str:
+    out = os.path.join(SCRATCH, f"{chain}_k{k}")
+    table = _SCALED_TABLE[chain]
+    scaled_path = os.path.join(out, table)
     # _SUCCESS gates cache reuse: a sweep killed mid-write must rebuild,
     # not silently measure a torn corpus
-    if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
-        shutil.rmtree(docs_path, ignore_errors=True)
+    if not os.path.exists(os.path.join(scaled_path, "_SUCCESS")):
+        shutil.rmtree(scaled_path, ignore_errors=True)
         os.makedirs(out, exist_ok=True)
-        docs = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
-        n = docs.count()
-        reps = None
-        for r in range(k):
-            part = docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * 10 * n))
-            if r > 0:
-                # disjoint vocabulary per replica: t -> t~r for every token
-                part = part.withColumn(
-                    "text",
-                    F.array_join(
-                        F.transform(
-                            F.split(F.col("text"), " "),
-                            lambda t: F.concat(t, F.lit(f"~{r}")),
-                        ),
-                        " ",
-                    ),
-                )
-            reps = part if reps is None else reps.unionByName(part)
-        reps.write.mode("overwrite").parquet(docs_path)
-        # the chain only reads documents; link the other tables unmodified
+        reps = _REPLICATE[chain](spark, os.path.join(BASE_SF, table), k)
+        reps.write.mode("overwrite").parquet(scaled_path)
+        # the chain only reads its scaled table; link the rest unmodified
         for f in os.listdir(BASE_SF):
-            if f != "documents.parquet" and not os.path.exists(os.path.join(out, f)):
+            if f != table and not os.path.exists(os.path.join(out, f)):
                 src = os.path.join(BASE_SF, f)
                 dst = os.path.join(out, f)
                 if os.path.isdir(src):
@@ -87,27 +140,20 @@ def build_scaled_dir(spark, k: int) -> str:
     return out
 
 
-def run_chain(spark, sf_dir: str) -> dict[str, float]:
-    from kalytical_spark.operators import components, curation, dedup
-
-    mods = {"dedup": dedup, "components": components, "curation": curation}
-    # fresh memos per scale point: the caches are keyed by (session, sf_dir),
-    # and each k uses its own sf_dir, so no cross-contamination — but clear
-    # cached blocks from the previous point to keep memory comparable
+def run_chain(spark, chain: str, sf_dir: str) -> dict[str, float]:
     timings: dict[str, float] = {}
-    for name, mod, fn in CHAIN:
+    for name, fn in CHAINS[chain]():
         try:
             spark._jvm.System.gc()
         except Exception:
             pass
         t0 = time.time()
-        df = fn(mods[mod], spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
     return timings
 
 
-def run_single(k: int) -> None:
+def run_single(chain: str, k: int) -> None:
     """One scale point in THIS process (fresh JVM): measured numbers must
     reflect the chain at scale k, not heap garbage accumulated by smaller
     points (a shared session measured 58s for a build a fresh one does in
@@ -116,16 +162,18 @@ def run_single(k: int) -> None:
     from kalytical_spark.session import get_spark
 
     spark = get_spark("kalytical_scale_bench")
-    sf_dir = build_scaled_dir(spark, k)
+    sf_dir = build_scaled_dir(spark, chain, k)
     catalog.register(spark, sf_dir)
-    n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    n_rows = spark.read.parquet(
+        os.path.join(sf_dir, _SCALED_TABLE[chain])
+    ).count()
     t0 = time.time()
-    timings = run_chain(spark, sf_dir)
+    timings = run_chain(spark, chain, sf_dir)
     print(
         "RESULT"
         + json.dumps(
             {
-                "n_docs": n_docs,
+                "n_rows": n_rows,
                 "chain_total_sec": round(time.time() - t0, 3),
                 "queries": timings,
             }
@@ -133,18 +181,31 @@ def run_single(k: int) -> None:
     )
 
 
+def _point_sort_key(name: str):
+    chain, _, kpart = name.partition(":k")
+    return (chain, int(kpart or 0))
+
+
 def main() -> None:
-    if len(sys.argv) > 2 and sys.argv[1] == "--single":
-        run_single(int(sys.argv[2]))
+    if len(sys.argv) > 3 and sys.argv[1] == "--single":
+        run_single(sys.argv[2], int(sys.argv[3]))
         return
     import subprocess
 
-    ks = [int(x) for x in (sys.argv[1] if len(sys.argv) > 1 else "1,2,5,10").split(",")]
+    args = sys.argv[1:]
+    if args and args[0] in CHAINS:
+        chain = args[0]
+        ks_arg = args[1] if len(args) > 1 else "1,2,5,10"
+    else:
+        chain = "docs"  # bare-ks invocation keeps the original CLI shape
+        ks_arg = args[0] if args else "1,2,5,10"
+    ks = [int(x) for x in ks_arg.split(",")]
+
     sweep: dict[str, dict] = {}
     for k in ks:
         try:
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--single", str(k)],
+                [sys.executable, os.path.abspath(__file__), "--single", chain, str(k)],
                 capture_output=True,
                 text=True,
                 timeout=1800,
@@ -152,35 +213,41 @@ def main() -> None:
         except subprocess.TimeoutExpired:
             # one stuck point must not lose the completed ones: skip it and
             # still persist the sweep below
-            print(f"# scale point k={k} timed out after 1800s", file=sys.stderr)
+            print(f"# scale point {chain}:k{k} timed out after 1800s", file=sys.stderr)
             continue
         line = next(
             (l for l in proc.stdout.splitlines() if l.startswith("RESULT")), None
         )
         if line is None:
-            print(f"# scale point k={k} failed:\n{proc.stderr[-2000:]}", file=sys.stderr)
+            print(
+                f"# scale point {chain}:k{k} failed:\n{proc.stderr[-2000:]}",
+                file=sys.stderr,
+            )
             continue
-        sweep[f"k{k}"] = json.loads(line[len("RESULT"):])
-        print(json.dumps({f"k{k}": sweep[f"k{k}"]}), flush=True)
+        sweep[f"{chain}:k{k}"] = json.loads(line[len("RESULT"):])
+        print(json.dumps({f"{chain}:k{k}": sweep[f"{chain}:k{k}"]}), flush=True)
 
-    # merge into the persisted sweep: a focused rerun of one k refreshes
-    # that point without dropping the others
+    # merge into the persisted sweep: a focused rerun of one point
+    # refreshes it without dropping the others
     sweep_path = os.path.join(REPO, "SCALE_SWEEP.json")
     points: dict[str, dict] = {}
     try:
         with open(sweep_path) as fh:
-            points = json.load(fh).get("points", {})
+            old = json.load(fh).get("points", {})
+        # migrate pre-chain keys ("k1") to the docs chain
+        points = {(k if ":" in k else f"docs:{k}"): v for k, v in old.items()}
     except (OSError, ValueError):
         pass
     points.update(sweep)
     payload = {
         "base_sf": 0.1,
         "note": (
-            "k=10 is the sf1-equivalent documents corpus; replicas use "
-            "disjoint vocabularies so pair structure scales linearly by "
-            "construction — the measured curve shows whether the ENGINE does"
+            "k=10 is the sf1-equivalent table; docs replicas use disjoint "
+            "vocabularies and events replicas disjoint user/event id "
+            "ranges, so work scales linearly by construction — the "
+            "measured curve shows whether the ENGINE does"
         ),
-        "points": dict(sorted(points.items(), key=lambda kv: int(kv[0][1:]))),
+        "points": dict(sorted(points.items(), key=lambda kv: _point_sort_key(kv[0]))),
     }
     with open(sweep_path, "w") as fh:
         json.dump(payload, fh, indent=1)
