@@ -14,7 +14,7 @@ predicates pushed into the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from .common import t
@@ -97,8 +97,84 @@ GROUP BY 1, 2
 """
 
 
+def runs_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency per engine: the maximum number of
+    simultaneously-running jobs over the whole history, and the earliest
+    instant attaining it — capacity planning's first question, and the
+    temporal generalization of the point-in-time concurrency gate (J4).
+
+    Each run contributes +1 at start_time and -1 at end_time (open runs
+    never decrement); the running sum over boundaries IS the concurrency
+    curve. Boundary order at equal timestamps is (delta asc, exec_uuid):
+    an end releases its slot before a coincident start takes one — the
+    same convention a semaphore has — and exec_uuid makes the order (and
+    therefore peak_ts) total and cross-engine deterministic.
+
+    Scale: one shuffle keyed by engine; the running sum is a window inside
+    each engine partition. Engines are few, so per-key volume is the run
+    count — the same bound the duration stats already carry."""
+    jobs = t(spark, sf_dir, "running_jobs")
+    starts = jobs.select(
+        "engine",
+        F.col("start_time").alias("ts"),
+        F.lit(1).alias("delta"),
+        "exec_uuid",
+    )
+    ends = jobs.filter(F.col("end_time").isNotNull()).select(
+        "engine",
+        F.col("end_time").alias("ts"),
+        F.lit(-1).alias("delta"),
+        "exec_uuid",
+    )
+    w = (
+        W.partitionBy("engine")
+        .orderBy("ts", "delta", "exec_uuid")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    curve = starts.unionByName(ends).withColumn(
+        "running", F.sum("delta").over(w).cast("int")
+    )
+    peaks = curve.groupBy("engine").agg(F.max("running").alias("peak"))
+    return (
+        curve.join(peaks, "engine")
+        .groupBy("engine", "peak")
+        .agg(
+            F.min(
+                F.when(F.col("running") == F.col("peak"), F.col("ts"))
+            ).alias("peak_ts"),
+            F.count("*").cast("bigint").alias("n_boundaries"),
+            F.sum(F.col("delta").cast("bigint")).alias("still_open"),
+        )
+        .select("engine", "peak", "peak_ts", "n_boundaries", "still_open")
+    )
+
+
+ORACLE_PEAK_CONCURRENCY = """
+WITH boundaries AS (
+  SELECT engine, start_time AS ts, 1 AS delta, exec_uuid FROM running_jobs
+  UNION ALL
+  SELECT engine, end_time, -1, exec_uuid FROM running_jobs WHERE end_time IS NOT NULL
+), curve AS (
+  SELECT engine, ts, delta,
+         CAST(SUM(delta) OVER (PARTITION BY engine ORDER BY ts, delta, exec_uuid
+                               ROWS UNBOUNDED PRECEDING) AS INTEGER) AS running
+  FROM boundaries
+), peaks AS (
+  SELECT engine, MAX(running) AS peak FROM curve GROUP BY 1
+)
+SELECT c.engine,
+       p.peak,
+       MIN(c.ts) FILTER (c.running = p.peak) AS peak_ts,
+       CAST(COUNT(*) AS BIGINT) AS n_boundaries,
+       CAST(SUM(c.delta) AS BIGINT) AS still_open
+FROM curve c JOIN peaks p USING (engine)
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "runs_active_topk": (runs_active_topk, ORACLE_ACTIVE_TOPK),
     "runs_engine_union": (runs_engine_union, ORACLE_ENGINE_UNION),
     "runs_duration_stats": (runs_duration_stats, ORACLE_DURATION_STATS),
+    "runs_peak_concurrency": (runs_peak_concurrency, ORACLE_PEAK_CONCURRENCY),
 }
