@@ -63,9 +63,12 @@ SHOWCASE = [
     (
         "text_tfidf_topk",
         lambda s: _ranking().text_tfidf_topk(s, SF),
-        "Per-term stats (vocabulary-sized) broadcast onto the doc-term frame;\n"
-        "corpus side shuffles once for the per-doc rank window; fully\n"
-        "JVM-side (no Python nodes).",
+        "Join policy by cardinality class: the vocabulary-sized df table\n"
+        "rides a ShuffledHashJoin on term (a forced broadcast would blow\n"
+        "the driver exactly when the corpus grows; AQE skew-split handles\n"
+        "stopword-hot probe partitions), while the 1-row corpus scalar\n"
+        "stays a BroadcastNestedLoopJoin. Fully JVM-side; guarded by\n"
+        "test_plans.py.",
     ),
     (
         "sim_topk_sq8",
@@ -199,6 +202,14 @@ SHOWCASE = [
         "(pruned scan side) against the full band table — delta x all,\n"
         "never all x all — and verification semi-prunes the shingle table\n"
         "to candidate docs before the intersection shuffle.",
+    ),
+    (
+        "sketch_cms_heavy_hitters",
+        lambda s: _sketches().sketch_cms_heavy_hitters(s, SF),
+        "Count-min build: per-user pre-aggregation (map-side combinable)\n"
+        "before the D-way explode, so depth rows multiply distinct users,\n"
+        "not raw events; the counter table is a constant D x W mergeable\n"
+        "state and the top-k probe joins against it broadcast.",
     ),
 ]
 
