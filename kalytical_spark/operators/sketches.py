@@ -522,6 +522,27 @@ def _cms_hash(d_expr: str, key_expr: str, cast_str: str) -> str:
     return f"md5('cm' || CAST({d_expr} AS {cast_str}) || ':' || CAST({key_expr} AS {cast_str}))"
 
 
+def cms_counters_for(events: DataFrame) -> DataFrame:
+    """(d, bucket, counter) count-min table of any frame with a user_id
+    column — the ONE definition of the counter aggregation, shared by the
+    batch query below and the streaming SUM-fold (streaming/sketches.py),
+    so the two can never drift. Pre-aggregates per user first (map-side
+    combinable) so the D-way explode multiplies distinct users, not raw
+    rows."""
+    per_user = events.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    h = _cms_hash("d", "user_id", "STRING")
+    return (
+        per_user.select(
+            "user_id",
+            "cnt",
+            F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("d"),
+        )
+        .selectExpr("cnt", "d", f"{_cms_bucket_sql(h)} AS bucket")
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("counter"))
+    )
+
+
 def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch over per-user event frequencies, probed at the
     exact top-_CMS_TOPK heavy hitters: per user, the exact count, the CMS
@@ -537,20 +558,10 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combinable), so the D-way explode multiplies distinct users,
     not raw events. The probe joins TOPK x D rows against the D x W
     counter table — both tiny."""
-    per_user = (
-        t(spark, sf_dir, "events_ms")
-        .groupBy("user_id")
-        .agg(F.count("*").alias("exact_n"))
-    )
+    ev = t(spark, sf_dir, "events_ms")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
     h = _cms_hash("d", "user_id", "STRING")
-    depth_rows = per_user.select(
-        "user_id",
-        "exact_n",
-        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("d"),
-    ).selectExpr("user_id", "exact_n", "d", f"{_cms_bucket_sql(h)} AS bucket")
-    cms = depth_rows.groupBy("d", "bucket").agg(
-        F.sum("exact_n").cast("bigint").alias("counter")
-    )
+    cms = cms_counters_for(ev)
     probes = (
         per_user.orderBy(F.desc("exact_n"), F.asc("user_id"))
         .limit(_CMS_TOPK)

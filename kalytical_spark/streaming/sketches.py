@@ -85,3 +85,89 @@ def start_hll_query(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- Count-min maintenance: the NON-idempotent sketch fold -----------------
+#
+# HLL merges with MAX (idempotent — replay-safe for free); count-min
+# counters merge with SUM, which double-counts on replay. The CMS sink
+# therefore uses the maintenance.py commit protocol: the applied-batch
+# ledger rides INSIDE the versioned snapshot commit, so at-least-once
+# delivery still folds each batch exactly once. Together the two sinks
+# pin the two sketch-maintenance regimes a streaming engine needs.
+
+from ..operators.sketches import cms_counters_for  # noqa: E402
+from .maintenance import _LEDGER, _applied_batches  # noqa: E402
+
+# one definition shared with the batch operator — stream and batch can
+# never drift (same contract as batch_registers above)
+batch_counters = cms_counters_for
+
+
+def cms_counter_sink(table_dir: str):
+    """foreachBatch fold: SUM-merge the micro-batch's count-min counters
+    into the versioned counter table, exactly once per batch_id."""
+    import json
+    import os
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        applied = _applied_batches(table_dir)
+        if batch_id in applied:
+            return  # replay of an already-folded batch: no-op
+        spark = batch_df.sparkSession
+        delta = batch_counters(batch_df)
+        cur = versioned.current_version(table_dir)
+        if cur is None:
+            merged = delta
+        else:
+            old = versioned.read_version(spark, table_dir, cur).withColumnRenamed(
+                "counter", "c_old"
+            )
+            merged = (
+                old.join(
+                    delta.withColumnRenamed("counter", "c_new"),
+                    ["d", "bucket"],
+                    "full_outer",
+                )
+                .select(
+                    "d",
+                    "bucket",
+                    (
+                        F.coalesce("c_old", F.lit(0))
+                        + F.coalesce("c_new", F.lit(0))
+                    )
+                    .cast("bigint")
+                    .alias("counter"),
+                )
+            )
+
+        def commit_ledger(vdir: str) -> None:
+            with open(os.path.join(vdir, _LEDGER), "w") as fh:
+                json.dump(sorted(applied | {batch_id}), fh)
+
+        versioned.write_version(merged, table_dir, pre_commit=commit_ledger)
+
+    return sink
+
+
+def start_cms_query(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    table_dir: str,
+    checkpoint_dir: str,
+):
+    """Wire a file-source event feed into the CMS counter sink (bounded by
+    availableNow; one file per micro-batch so the SUM-fold and the
+    exactly-once ledger are exercised incrementally)."""
+    feed = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    return (
+        feed.writeStream.foreachBatch(cms_counter_sink(table_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

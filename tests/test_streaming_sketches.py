@@ -65,3 +65,49 @@ def test_partial_feed_registers_are_submerge(spark):
     assert part, "non-vacuous prefix"
     for k, r in part.items():
         assert r <= full[k]
+
+
+def test_streamed_cms_counters_equal_batch_and_replay_noop(spark):
+    """CMS maintenance: the SUM-fold over micro-batches must converge to
+    the batch counter table exactly, a replayed batch_id must be a no-op
+    (the applied-batch ledger — SUM is NOT idempotent, unlike MAX), and a
+    NEW batch id re-delivering the same rows must visibly double-count
+    (proving the ledger, not accidental idempotence, is what protects
+    replays)."""
+    ev = sketches.t(spark, SF_ORACLE, "events_ms").select("user_id")
+    batch = {(r.d, r.bucket): r.counter for r in ssk.batch_counters(ev).collect()}
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "feed")
+        tbl = os.path.join(tmp, "cms_table")
+        ev.repartition(4).write.parquet(src)
+        q = ssk.start_cms_query(spark, src, ev.schema, tbl, os.path.join(tmp, "ckpt"))
+        q.awaitTermination(120)
+        v = versioned.current_version(tbl)
+        assert v is not None and v >= 4, "one committed version per batch"
+        streamed = {
+            (r.d, r.bucket): r.counter
+            for r in versioned.read_version(spark, tbl, v).collect()
+        }
+        assert streamed == batch
+
+        sink = ssk.cms_counter_sink(tbl)
+        # replayed batch_id (0..3 were applied by the stream): no-op
+        sink(spark.read.parquet(src), batch_id=0)
+        after_replay = {
+            (r.d, r.bucket): r.counter
+            for r in versioned.read_version(
+                spark, tbl, versioned.current_version(tbl)
+            ).collect()
+        }
+        assert after_replay == batch
+
+        # a genuinely NEW batch with the same rows must double every
+        # counter — SUM semantics, so the ledger is load-bearing
+        sink(spark.read.parquet(src), batch_id=999)
+        doubled = {
+            (r.d, r.bucket): r.counter
+            for r in versioned.read_version(
+                spark, tbl, versioned.current_version(tbl)
+            ).collect()
+        }
+        assert doubled == {k: 2 * c for k, c in batch.items()}
