@@ -219,8 +219,48 @@ WHERE e.event_subtype = 'failure'
 """
 
 
+def dag_replay_fires_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL fire ledger for the closed-form subset ('any' operator or
+    single-dep 'all'): every delivery fires (dispatcher.py:41-42), so each
+    fire's seq, instant, and source attribution are window-expressible and
+    the oracle checks them PER FIRE — a strictly stronger proof than the
+    aggregate dag_replay_summary, narrowing the unproven surface of the
+    full replay to exactly the sequential multi-dep fold (which the golden
+    tests pin). Shares _fires_simple with dag_replay_decisions, so the
+    driver-gated rows here ARE the rows the full ledger's simple path
+    emits."""
+    return _fires_simple(_deliveries(spark, sf_dir))
+
+
+ORACLE_FIRES_SIMPLE = """
+WITH n_deps AS (
+  SELECT pipeline_uuid, CAST(COUNT(*) AS INT) AS n_deps
+  FROM dag_edges GROUP BY 1
+), deliveries AS (
+  SELECT e.pipeline_uuid, d.trigger_operator, n.n_deps,
+         t.upstream_uuid, t.exec_uuid, t.event_time
+  FROM (SELECT pipeline_uuid AS upstream_uuid, exec_uuid, event_time
+        FROM lifecycle_events
+        WHERE event_subtype = 'success' AND NOT disable_downstream) t
+  JOIN dag_edges e USING (upstream_uuid)
+  JOIN pipeline_defs d ON e.pipeline_uuid = d.pipeline_uuid
+  JOIN n_deps n ON e.pipeline_uuid = n.pipeline_uuid
+)
+SELECT pipeline_uuid,
+       CAST(row_number() OVER (PARTITION BY pipeline_uuid
+                               ORDER BY event_time, exec_uuid) AS INT) AS seq,
+       event_time AS fired_at,
+       trigger_operator,
+       n_deps,
+       upstream_uuid || '=' || exec_uuid AS sources
+FROM deliveries
+WHERE trigger_operator = 'any' OR n_deps = 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dag_replay_decisions": (dag_replay_decisions, None),
     "dag_replay_summary": (dag_replay_summary, ORACLE_REPLAY_SUMMARY),
+    "dag_replay_fires_simple": (dag_replay_fires_simple, ORACLE_FIRES_SIMPLE),
     "retry_ledger": (retry_ledger, ORACLE_RETRY_LEDGER),
 }
