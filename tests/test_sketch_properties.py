@@ -100,3 +100,59 @@ def test_bitmap_words_reconstruct_exact_set(keys):
             if mask >> b & 1:
                 decoded.add(word * w + b)
     assert decoded == set(keys)
+
+
+def _py_cms_bucket(d: int, key: int) -> int:
+    """Independent reference for the count-min bucket: hashlib md5 hex
+    parse, not the SQL nibble polynomial."""
+    h = hashlib.md5(f"cm{d}:{key}".encode()).hexdigest()
+    return int(h[:2], 16)
+
+
+@given(keys=ids)
+@settings(max_examples=60, deadline=None)
+def test_cms_bucket_fragment_matches_bit_model(keys):
+    """The dialect-shared bucket fragment equals the canonical md5 bit
+    model for every (depth, key) on arbitrary inputs, and stays in
+    [0, W)."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(d INT, user_id BIGINT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)",
+        [(d, k) for k in keys for d in range(sketches._CMS_D)],
+    )
+    h = sketches._cms_hash("d", "user_id", "VARCHAR")
+    got = con.execute(
+        f"SELECT d, user_id, {sketches._cms_bucket_sql(h)} FROM t"
+    ).fetchall()
+    assert got
+    for d, k, b in got:
+        assert 0 <= b < sketches._CMS_W
+        assert b == _py_cms_bucket(d, k)
+
+
+@given(keys=ids)
+@settings(max_examples=100, deadline=None)
+def test_cms_never_undercounts_and_counters_merge(keys):
+    """Design invariants on arbitrary multisets: the min-over-depth
+    estimate never undercounts any key, and counter tables merge by
+    addition (sketch of a concatenation == sum of the parts' sketches —
+    the property the streaming SUM-fold relies on)."""
+    from collections import Counter
+
+    def counters(ks):
+        c: Counter = Counter()
+        for k, n in Counter(ks).items():
+            for d in range(sketches._CMS_D):
+                c[(d, _py_cms_bucket(d, k))] += n
+        return c
+
+    true = Counter(keys)
+    tab = counters(keys)
+    for k, n in true.items():
+        est = min(
+            tab[(d, _py_cms_bucket(d, k))] for d in range(sketches._CMS_D)
+        )
+        assert est >= n
+    half = len(keys) // 2
+    assert counters(keys[:half]) + counters(keys[half:]) == tab
