@@ -157,20 +157,26 @@ def dag_replay_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_REPLAY_SUMMARY = """
-WITH n_deps AS (
+# ONE SQL spelling of delivery resolution (the twin of delivery_stream),
+# shared by both replay oracles — the success filter, the
+# disable_downstream gate, and the three joins can never diverge between
+# them
+_SQL_DELIVERIES_CTES = """n_deps AS (
   SELECT pipeline_uuid, CAST(COUNT(*) AS INT) AS n_deps
   FROM dag_edges GROUP BY 1
 ), deliveries AS (
   SELECT e.pipeline_uuid, d.trigger_operator, n.n_deps,
-         t.exec_uuid, t.event_time
+         t.upstream_uuid, t.exec_uuid, t.event_time
   FROM (SELECT pipeline_uuid AS upstream_uuid, exec_uuid, event_time
         FROM lifecycle_events
         WHERE event_subtype = 'success' AND NOT disable_downstream) t
   JOIN dag_edges e USING (upstream_uuid)
   JOIN pipeline_defs d ON e.pipeline_uuid = d.pipeline_uuid
   JOIN n_deps n ON e.pipeline_uuid = n.pipeline_uuid
-)
+)"""
+
+ORACLE_REPLAY_SUMMARY = f"""
+WITH {_SQL_DELIVERIES_CTES}
 SELECT pipeline_uuid, trigger_operator, n_deps,
        CAST(COUNT(*) AS BIGINT) AS n_fires,
        CAST(COUNT(*) AS INT) AS max_seq,
@@ -232,20 +238,8 @@ def dag_replay_fires_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fires_simple(_deliveries(spark, sf_dir))
 
 
-ORACLE_FIRES_SIMPLE = """
-WITH n_deps AS (
-  SELECT pipeline_uuid, CAST(COUNT(*) AS INT) AS n_deps
-  FROM dag_edges GROUP BY 1
-), deliveries AS (
-  SELECT e.pipeline_uuid, d.trigger_operator, n.n_deps,
-         t.upstream_uuid, t.exec_uuid, t.event_time
-  FROM (SELECT pipeline_uuid AS upstream_uuid, exec_uuid, event_time
-        FROM lifecycle_events
-        WHERE event_subtype = 'success' AND NOT disable_downstream) t
-  JOIN dag_edges e USING (upstream_uuid)
-  JOIN pipeline_defs d ON e.pipeline_uuid = d.pipeline_uuid
-  JOIN n_deps n ON e.pipeline_uuid = n.pipeline_uuid
-)
+ORACLE_FIRES_SIMPLE = f"""
+WITH {_SQL_DELIVERIES_CTES}
 SELECT pipeline_uuid,
        CAST(row_number() OVER (PARTITION BY pipeline_uuid
                                ORDER BY event_time, exec_uuid) AS INT) AS seq,

@@ -131,21 +131,20 @@ def runs_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "delta", "exec_uuid")
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    curve = starts.unionByName(ends).withColumn(
-        "running", F.sum("delta").over(w).cast("int")
+    # peak rides a second window over the SAME engine partitioning, so the
+    # union + running sum evaluate once behind one exchange — no self-join
+    curve = (
+        starts.unionByName(ends)
+        .withColumn("running", F.sum("delta").over(w).cast("int"))
+        .withColumn("peak", F.max("running").over(W.partitionBy("engine")))
     )
-    peaks = curve.groupBy("engine").agg(F.max("running").alias("peak"))
-    return (
-        curve.join(peaks, "engine")
-        .groupBy("engine", "peak")
-        .agg(
-            F.min(
-                F.when(F.col("running") == F.col("peak"), F.col("ts"))
-            ).alias("peak_ts"),
-            F.count("*").cast("bigint").alias("n_boundaries"),
-            F.sum(F.col("delta").cast("bigint")).alias("still_open"),
-        )
-        .select("engine", "peak", "peak_ts", "n_boundaries", "still_open")
+    return curve.groupBy("engine").agg(
+        F.max("running").cast("int").alias("peak"),
+        F.min(
+            F.when(F.col("running") == F.col("peak"), F.col("ts"))
+        ).alias("peak_ts"),
+        F.count("*").cast("bigint").alias("n_boundaries"),
+        F.sum(F.col("delta").cast("bigint")).alias("still_open"),
     )
 
 

@@ -522,14 +522,11 @@ def _cms_hash(d_expr: str, key_expr: str, cast_str: str) -> str:
     return f"md5('cm' || CAST({d_expr} AS {cast_str}) || ':' || CAST({key_expr} AS {cast_str}))"
 
 
-def cms_counters_for(events: DataFrame) -> DataFrame:
-    """(d, bucket, counter) count-min table of any frame with a user_id
-    column — the ONE definition of the counter aggregation, shared by the
-    batch query below and the streaming SUM-fold (streaming/sketches.py),
-    so the two can never drift. Pre-aggregates per user first (map-side
-    combinable) so the D-way explode multiplies distinct users, not raw
-    rows."""
-    per_user = events.groupBy("user_id").agg(F.count("*").alias("cnt"))
+def _counters_from_per_user(per_user: DataFrame) -> DataFrame:
+    """(d, bucket, counter) from an already-aggregated (user_id, cnt)
+    frame — the shared tail of the counter build, so a caller that
+    already holds per-user counts (the heavy-hitters query) never pays a
+    second aggregation of the raw events."""
     h = _cms_hash("d", "user_id", "STRING")
     return (
         per_user.select(
@@ -540,6 +537,18 @@ def cms_counters_for(events: DataFrame) -> DataFrame:
         .selectExpr("cnt", "d", f"{_cms_bucket_sql(h)} AS bucket")
         .groupBy("d", "bucket")
         .agg(F.sum("cnt").cast("bigint").alias("counter"))
+    )
+
+
+def cms_counters_for(events: DataFrame) -> DataFrame:
+    """(d, bucket, counter) count-min table of any frame with a user_id
+    column — the ONE definition of the counter aggregation, shared by the
+    batch query below and the streaming SUM-fold (streaming/sketches.py),
+    so the two can never drift. Pre-aggregates per user first (map-side
+    combinable) so the D-way explode multiplies distinct users, not raw
+    rows."""
+    return _counters_from_per_user(
+        events.groupBy("user_id").agg(F.count("*").alias("cnt"))
     )
 
 
@@ -561,7 +570,11 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events_ms")
     per_user = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
     h = _cms_hash("d", "user_id", "STRING")
-    cms = cms_counters_for(ev)
+    # build from the per-user counts already in hand — one aggregation of
+    # events_ms, not two
+    cms = _counters_from_per_user(
+        per_user.select("user_id", F.col("exact_n").alias("cnt"))
+    )
     probes = (
         per_user.orderBy(F.desc("exact_n"), F.asc("user_id"))
         .limit(_CMS_TOPK)

@@ -64,6 +64,24 @@ def hll_register_sink(table_dir: str):
     return sink
 
 
+def _start_sink_query(spark, events_dir, schema, checkpoint_dir, sink):
+    """Shared wiring for the sketch-maintenance sinks: a file-source feed,
+    one file per micro-batch (so the fold is exercised incrementally),
+    bounded by availableNow. ONE definition — feed options can never
+    diverge between the HLL and CMS queries."""
+    feed = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    return (
+        feed.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_hll_query(
     spark: SparkSession,
     events_dir: str,
@@ -71,19 +89,9 @@ def start_hll_query(
     table_dir: str,
     checkpoint_dir: str,
 ):
-    """Wire a file-source event feed into the HLL register sink (bounded
-    by availableNow; one file per micro-batch so the merge is exercised
-    incrementally)."""
-    feed = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(events_dir)
-    )
-    return (
-        feed.writeStream.foreachBatch(hll_register_sink(table_dir))
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    """Wire a file-source event feed into the HLL register sink."""
+    return _start_sink_query(
+        spark, events_dir, schema, checkpoint_dir, hll_register_sink(table_dir)
     )
 
 
@@ -157,17 +165,8 @@ def start_cms_query(
     table_dir: str,
     checkpoint_dir: str,
 ):
-    """Wire a file-source event feed into the CMS counter sink (bounded by
-    availableNow; one file per micro-batch so the SUM-fold and the
-    exactly-once ledger are exercised incrementally)."""
-    feed = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(events_dir)
-    )
-    return (
-        feed.writeStream.foreachBatch(cms_counter_sink(table_dir))
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    """Wire a file-source event feed into the CMS counter sink (the
+    SUM-fold and its exactly-once ledger get exercised batch by batch)."""
+    return _start_sink_query(
+        spark, events_dir, schema, checkpoint_dir, cms_counter_sink(table_dir)
     )

@@ -35,6 +35,10 @@ def _load_queries(path: str) -> dict[str, float]:
 def main() -> None:
     if len(sys.argv) > 2:
         old_path, new_path = sys.argv[1], sys.argv[2]
+    elif len(sys.argv) == 2:
+        # one explicit path = the old side; new defaults to BENCH_FULL
+        old_path = sys.argv[1]
+        new_path = os.path.join(REPO, "BENCH_FULL.json")
     else:
         rounds = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
         if not rounds:
