@@ -331,12 +331,14 @@ def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joins.attribution_join(t(spark, sf_dir, "events_ms"))
 
 
-def _attribution_oracle() -> str:
-    """Interpolates streaming.joins.ATTRIBUTION_WINDOW so the Spark operator
-    and the DuckDB twin can never drift (DuckDB accepts INTERVAL '2 hours'
-    string syntax for the same literal Spark parses)."""
+def _attribution_oracle(window: str | None = None) -> str:
+    """Interpolates streaming.joins.ATTRIBUTION_WINDOW (or the caller's
+    override) so the Spark operator and the DuckDB twin can never drift
+    (DuckDB accepts INTERVAL '2 hours' string syntax for the same literal
+    Spark parses)."""
     from ..streaming.joins import ATTRIBUTION_WINDOW
 
+    window = window or ATTRIBUTION_WINDOW
     return f"""
 SELECT c.user_id,
        c.event_id AS click_id,
@@ -348,15 +350,107 @@ FROM events_ms c
 JOIN events_ms p
   ON c.user_id = p.user_id
  AND p.ts >= c.ts
- AND p.ts <= c.ts + INTERVAL '{ATTRIBUTION_WINDOW}'
+ AND p.ts <= c.ts + INTERVAL '{window}'
 WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 
 ORACLE_CLICK_ATTRIBUTION = _attribution_oracle()
 
+# day-long lookback for the credit model: wide enough that multi-touch
+# paths (>= 3 clicks before a purchase) actually occur in the fixture at
+# every sf, so the U-shape branch is oracle-exercised, never vacuous
+CREDIT_WINDOW = "24 hours"
+
+
+def events_multitouch_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution on top of the
+    click→purchase join: each purchase's value splits across its
+    attributed clicks in EXACT integer milli-weights — 1000 for a single
+    touch, 500/500 for two, else 400 to the first and last touch and the
+    remaining 200 divided among the middles with the integer remainder
+    going to the EARLIEST middles (a deterministic rule both engines
+    compute identically; no floating credit ever). Conservation — weights
+    sum to exactly 1000 and credit_micro to exactly 1000 * value_milli per
+    purchase — is pinned in tests, the property float division can't give.
+
+    The credit lookback is CREDIT_WINDOW (a day) — wider than the 2-hour
+    streaming attribution so multi-touch paths actually occur; the join
+    definition itself is shared (joins.attribution_join parameterized).
+
+    Scale: the interval join is the bounded-state stream-stream operator
+    (joins.py); the credit pass adds one window over purchase_id."""
+    from ..streaming import joins
+
+    touches = joins.attribution_join(
+        t(spark, sf_dir, "events_ms"), window=CREDIT_WINDOW
+    )
+    w = W.partitionBy("purchase_id").orderBy("click_ts", "click_id")
+    sized = touches.withColumn(
+        "touch_rank", F.row_number().over(w).cast("int")
+    ).withColumn(
+        "n_touches", F.count("*").over(W.partitionBy("purchase_id")).cast("int")
+    )
+    weight = F.expr(
+        """
+        CAST(CASE
+          WHEN n_touches = 1 THEN 1000
+          WHEN n_touches = 2 THEN 500
+          WHEN touch_rank = 1 OR touch_rank = n_touches THEN 400
+          ELSE 200 div (n_touches - 2)
+               + (CASE WHEN touch_rank - 1 <= 200 % (n_touches - 2)
+                       THEN 1 ELSE 0 END)
+        END AS INT)
+        """
+    )
+    return sized.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        "touch_rank",
+        "n_touches",
+        weight.alias("weight_milli"),
+        (
+            F.expr("CAST(round(purchase_value * 1000) AS BIGINT)")
+            * weight.cast("bigint")
+        ).alias("credit_micro"),
+    )
+
+
+def _multitouch_oracle() -> str:
+    return f"""
+WITH touches AS ({_attribution_oracle(CREDIT_WINDOW)}),
+sized AS (
+  SELECT *,
+         CAST(row_number() OVER (PARTITION BY purchase_id
+                                 ORDER BY click_ts, click_id) AS INT) AS touch_rank,
+         CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS INT) AS n_touches
+  FROM touches
+)
+SELECT user_id, purchase_id, click_id, touch_rank, n_touches,
+       CAST(CASE
+         WHEN n_touches = 1 THEN 1000
+         WHEN n_touches = 2 THEN 500
+         WHEN touch_rank = 1 OR touch_rank = n_touches THEN 400
+         ELSE 200 // (n_touches - 2)
+              + (CASE WHEN touch_rank - 1 <= 200 % (n_touches - 2)
+                      THEN 1 ELSE 0 END)
+       END AS INTEGER) AS weight_milli,
+       CAST(round(purchase_value * 1000) AS BIGINT)
+         * CAST(CASE
+             WHEN n_touches = 1 THEN 1000
+             WHEN n_touches = 2 THEN 500
+             WHEN touch_rank = 1 OR touch_rank = n_touches THEN 400
+             ELSE 200 // (n_touches - 2)
+                  + (CASE WHEN touch_rank - 1 <= 200 % (n_touches - 2)
+                          THEN 1 ELSE 0 END)
+           END AS BIGINT) AS credit_micro
+FROM sized
+"""
+
 
 QUERIES: dict[str, tuple] = {
+    "events_multitouch_credit": (events_multitouch_credit, _multitouch_oracle()),
     "events_click_attribution": (events_click_attribution, ORACLE_CLICK_ATTRIBUTION),
     "events_recent_topk": (events_recent_topk, ORACLE_RECENT_TOPK),
     "events_rolling_stats": (events_rolling_stats, ORACLE_ROLLING),

@@ -48,11 +48,13 @@ def _sides(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     return clicks, purchases
 
 
-def attribution_join(events: DataFrame) -> DataFrame:
+def attribution_join(events: DataFrame, window: str = ATTRIBUTION_WINDOW) -> DataFrame:
     """Purchases joined to same-user clicks within the attribution window.
     Works identically on a streaming frame (watermarked, bounded state) and
     a batch frame (watermark is a no-op in batch) — which is exactly how
-    the equivalence test pins the semantics."""
+    the equivalence test pins the semantics. ``window`` widens the lookback
+    for batch callers (the multi-touch credit model uses a day); the
+    streaming default stays ATTRIBUTION_WINDOW so join state stays small."""
     clicks, purchases = _sides(events)
     if events.isStreaming:
         clicks = clicks.withWatermark("click_ts", WATERMARK_DELAY)
@@ -63,7 +65,7 @@ def attribution_join(events: DataFrame) -> DataFrame:
             f"""
             c_user = p_user
             AND purchase_ts >= click_ts
-            AND purchase_ts <= click_ts + INTERVAL {ATTRIBUTION_WINDOW}
+            AND purchase_ts <= click_ts + INTERVAL {window}
             """
         ),
     ).select(

@@ -170,3 +170,35 @@ def test_equidepth_buckets_are_balanced_and_ordered(spark):
         # bucket value ranges are non-overlapping and increasing
         for a, b in zip(bs, bs[1:]):
             assert a.lo <= a.hi <= b.lo <= b.hi
+
+
+def test_multitouch_credit_conserves_value(spark):
+    """Position-based attribution must conserve exactly: weights sum to
+    1000 milli per purchase and credit to 1000 * value_milli — the
+    property integer division with deterministic remainder placement
+    guarantees and float splitting cannot. U-shape: with >= 3 touches the
+    first and last get 400 each and every middle weight is within 1 of
+    the others."""
+    from collections import defaultdict
+
+    from kalytical_spark.operators import events as ev_ops
+
+    rows = ev_ops.events_multitouch_credit(spark, SF_ORACLE).collect()
+    assert rows
+    by_purchase = defaultdict(list)
+    for r in rows:
+        by_purchase[r.purchase_id].append(r)
+    multi = [g for g in by_purchase.values() if len(g) >= 3]
+    assert multi, "need at least one >=3-touch purchase for the U-shape check"
+    for grp in by_purchase.values():
+        n = grp[0].n_touches
+        assert len(grp) == n
+        assert sum(r.weight_milli for r in grp) == 1000
+        v_milli = grp[0].credit_micro // grp[0].weight_milli  # purchase value
+        assert sum(r.credit_micro for r in grp) == 1000 * v_milli
+        if n >= 3:
+            srt = sorted(grp, key=lambda r: r.touch_rank)
+            assert srt[0].weight_milli == 400 and srt[-1].weight_milli == 400
+            mids = [r.weight_milli for r in srt[1:-1]]
+            assert max(mids) - min(mids) <= 1
+            assert sum(mids) == 200
