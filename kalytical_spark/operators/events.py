@@ -533,3 +533,60 @@ FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
 
 
 QUERIES["events_funnel_completion"] = (events_funnel_completion, ORACLE_FUNNEL)
+
+
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: how long each funnel transition
+    takes across converting users — the population view the per-user
+    funnel ledger (events_funnel_completion) feeds. Per transition
+    (signup->click, click->purchase): converting-user count and exact
+    interpolated p25/p50/p90 latencies in integer epoch-millisecond space
+    (percentile/quantile_cont parity per events_value_percentiles, rounded
+    to 6 dp against last-ulp interpolation noise).
+
+    Scale: reuses the funnel's chained per-user min-aggregations (O(users)
+    rows after the first aggregate); the distribution is one tiny unpivot +
+    aggregate on top. Latencies stay exact integers until the final
+    interpolation."""
+    funnel = events_funnel_completion(spark, sf_dir)
+    lat = funnel.selectExpr(
+        """
+        stack(2,
+          'signup_to_click', signup_to_click_ms,
+          'click_to_purchase', click_to_purchase_ms
+        ) AS (transition, latency_ms)
+        """
+    ).filter(F.col("latency_ms").isNotNull())
+    return lat.groupBy("transition").agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.round(F.expr("percentile(latency_ms, 0.25)"), 6).alias("p25_ms"),
+        F.round(F.expr("percentile(latency_ms, 0.5)"), 6).alias("p50_ms"),
+        F.round(F.expr("percentile(latency_ms, 0.9)"), 6).alias("p90_ms"),
+        F.max("latency_ms").cast("bigint").alias("max_ms"),
+    )
+
+
+ORACLE_CONVERSION_LATENCY = f"""
+WITH funnel AS ({ORACLE_FUNNEL}),
+lat AS (
+  SELECT 'signup_to_click' AS transition, signup_to_click_ms AS latency_ms
+  FROM funnel WHERE signup_to_click_ms IS NOT NULL
+  UNION ALL
+  SELECT 'click_to_purchase', click_to_purchase_ms
+  FROM funnel WHERE click_to_purchase_ms IS NOT NULL
+)
+SELECT transition,
+       CAST(COUNT(*) AS BIGINT) AS n_converted,
+       round(quantile_cont(latency_ms, 0.25), 6) AS p25_ms,
+       round(quantile_cont(latency_ms, 0.5), 6) AS p50_ms,
+       round(quantile_cont(latency_ms, 0.9), 6) AS p90_ms,
+       CAST(MAX(latency_ms) AS BIGINT) AS max_ms
+FROM lat
+GROUP BY 1
+"""
+
+
+QUERIES["events_conversion_latency"] = (
+    events_conversion_latency,
+    ORACLE_CONVERSION_LATENCY,
+)
