@@ -570,3 +570,75 @@ QUERIES: dict[str, tuple] = {
     "q14_promo_revenue_share": (q14_promo_revenue_share, ORACLE_Q14),
     "q22_dormant_high_balance": (q22_dormant_high_balance, ORACLE_Q22),
 }
+
+
+def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: rank every part by
+    its lifetime revenue, attach the running revenue share in exact milli
+    units, and classify A (first 80% of revenue), B (to 95%), C (tail) —
+    the classic inventory-analysis cut.
+
+    Exactness: per-part revenue is DECIMAL-exact at scale 4 (a 2dp price
+    times a 2dp discount factor — the product NEVER has more than 4 real
+    decimals), so scale-4 integer units need no rounding anywhere; every
+    share is then pure BIGINT arithmetic — 1000 * cum div total — and the
+    class boundaries can never disagree across engines. Ties rank by part
+    key.
+
+    Scale: the global ordered window runs over the PART dimension after
+    the fact table is fully aggregated (map-side combinable groupBy), so
+    the single-partition sort sees |parts| rows, not |lineitem| — the
+    dimension is orders of magnitude smaller than the fact at any sf. For
+    a genuinely unbounded ranked dimension the two-pass range-partitioned
+    cumulative (skew.py notes) replaces the window; not needed here."""
+    li = t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(F.sum(_rev()).alias("rev_dec"))
+    units = (F.col("rev_dec") * 10000).cast("bigint")  # exact: true scale <= 4
+    w_rank = W.orderBy(F.desc("rev_u4"), F.asc("l_partkey"))
+    ranked = (
+        rev.select("l_partkey", units.alias("rev_u4"))
+        .withColumn("rk", F.row_number().over(w_rank).cast("int"))
+        .withColumn(
+            "cum_u4",
+            F.sum("rev_u4").over(w_rank.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .withColumn("total_u4", F.sum("rev_u4").over(W.partitionBy()))
+    )
+    cum_milli = F.expr("CAST(1000 * cum_u4 div total_u4 AS INT)")
+    return ranked.select(
+        "l_partkey",
+        "rev_u4",
+        "rk",
+        cum_milli.alias("cum_milli"),
+        F.when(cum_milli <= 800, "A")
+        .when(cum_milli <= 950, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+ORACLE_ABC = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,4))
+                  * CAST(1 - l_discount AS DECIMAL(22,4))) * 10000 AS BIGINT)
+           AS rev_u4
+  FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT l_partkey, rev_u4,
+         CAST(row_number() OVER w AS INTEGER) AS rk,
+         SUM(rev_u4) OVER (w ROWS UNBOUNDED PRECEDING) AS cum_u4,
+         SUM(rev_u4) OVER () AS total_u4
+  FROM rev
+  WINDOW w AS (ORDER BY rev_u4 DESC, l_partkey)
+)
+SELECT l_partkey, rev_u4, rk,
+       CAST(1000 * cum_u4 // total_u4 AS INTEGER) AS cum_milli,
+       CASE WHEN 1000 * cum_u4 // total_u4 <= 800 THEN 'A'
+            WHEN 1000 * cum_u4 // total_u4 <= 950 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+"""
+
+
+QUERIES["orders_abc_pareto"] = (orders_abc_pareto, ORACLE_ABC)
