@@ -341,3 +341,91 @@ QUERIES: dict[str, tuple] = {
     "dag_critical_path": (dag_critical_path, ORACLE_CRITICAL_PATH),
     "dag_pagerank": (dag_pagerank, ORACLE_PAGERANK),
 }
+
+
+_KCORE_K = 2  # the k in k-core: iteratively peel nodes with degree < k
+_KCORE_ROUNDS = 6  # fixpoint bound: each round removes >= 1 node or stops
+
+
+def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core decomposition of the part co-purchase graph: peel
+    nodes of degree < _KCORE_K for _KCORE_ROUNDS synchronous rounds and
+    report, per surviving node, its residual degree inside the core — the
+    cohesive-subgraph filter that separates structurally-embedded parts
+    from hangers-on (degree alone can't: a degree-5 node whose neighbors
+    all peel is not in the 2-core).
+
+    Both engines run the SAME bounded recurrence (Spark loop vs unrolled
+    CTE chain, the dag_pagerank twin pattern), so the outputs match
+    exactly even if the fixpoint needs fewer rounds; on the fixture the
+    peel converges well within the bound. Synchronous semantics: each
+    round recomputes degrees on the PREVIOUS round's survivor set.
+
+    Scale: each round is one groupBy-degree + one semi-join over the
+    current edge set — the edge set only shrinks; rounds are a fixed
+    constant (deeper cores use the same loop with higher bounds)."""
+    from ..operators.sketches import _copurchase_edges
+
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("u").alias("p"))
+            .unionAll(edges.select(F.col("v").alias("p")))
+            .groupBy("p")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("p")
+        # checkpoint per round: edges feeds the NEXT round's degree count
+        # AND both semi-joins — without truncation the lineage tree
+        # triples every round (the components.py pointer-doubling lesson)
+        edges = (
+            edges.join(keep.withColumnRenamed("p", "u"), "u", "leftsemi")
+            .join(keep.withColumnRenamed("p", "v"), "v", "leftsemi")
+            .localCheckpoint()
+        )
+    return (
+        edges.select(F.col("u").alias("p"))
+        .unionAll(edges.select(F.col("v").alias("p")))
+        .groupBy("p")
+        .agg(F.count("*").cast("bigint").alias("core_degree"))
+    )
+
+
+def _kcore_oracle() -> str:
+    from .sketches import ORACLE_TRIANGLES
+
+    # reuse the exact co-purchase edge CTE the triangle oracle defines
+    und_cte = ORACLE_TRIANGLES.split("), tri AS")[0].strip()
+    assert und_cte.startswith("WITH und AS (")
+    # every CTE is AS MATERIALIZED: each round references the previous one
+    # multiple times, and DuckDB's default inlining would re-expand the
+    # whole chain (and re-open the lineitem scan) exponentially — the
+    # oracle-side twin of the Spark lineage checkpointing above
+    und_body = und_cte[len("WITH und AS (") :]
+    ctes = [
+        "und AS MATERIALIZED (" + und_body + ")",
+        "e0 AS MATERIALIZED (SELECT u, v FROM und)",
+    ]
+    for r in range(_KCORE_ROUNDS):
+        ctes.append(
+            f"""k{r} AS MATERIALIZED (
+  SELECT p FROM (
+    SELECT u AS p FROM e{r} UNION ALL SELECT v FROM e{r}
+  ) GROUP BY 1 HAVING COUNT(*) >= {_KCORE_K}
+), e{r + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r} e
+  JOIN k{r} a ON e.u = a.p
+  JOIN k{r} b ON e.v = b.p
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT p, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM (SELECT u AS p FROM e{_KCORE_ROUNDS} UNION ALL SELECT v FROM e{_KCORE_ROUNDS})
+GROUP BY 1"""
+    )
+
+
+QUERIES["graph_kcore_membership"] = (graph_kcore_membership, _kcore_oracle())
