@@ -10,9 +10,12 @@ applyInPandas grouped by downstream pipeline, each group sorted by
 pure functions in streaming/transitions.py — the streaming layer executes
 the identical logic incrementally.
 
-Not SQL-expressible (sequential trigger-map folds with resets), so these are
-rows-only checks for the driver; golden tests in tests/test_replay.py pin
-the semantics.
+The sequential trigger-map fold (resets included) IS value-oracle-proven:
+ORACLE_REPLAY_DECISIONS re-derives it in DuckDB as a recursive CTE that
+advances every multi-dep pipeline one delivery per iteration, carrying the
+trigger map as a STRUCT(u,e)[] column — cross-engine row-level proof of the
+full fire ledger. Golden tests in tests/test_replay.py additionally pin the
+semantics in isolation.
 """
 
 from __future__ import annotations
@@ -108,7 +111,9 @@ def dag_replay_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dispatcher.py:41-42) — a pure-JVM window computes their seq/sources with
     no Python in the loop. Only multi-dep 'all' pipelines need the sequential
     trigger-map fold, which runs in applyInPandas over that (much smaller)
-    subset. Both paths share the transition semantics pinned by tests.
+    subset. Both paths share the transition semantics pinned by tests, and
+    the WHOLE ledger (fold included) is value-proven against
+    ORACLE_REPLAY_DECISIONS's recursive-CTE twin.
     """
     key = (app_key(spark), sf_dir)
     if key in _DECISIONS_CACHE:
@@ -225,6 +230,58 @@ WHERE e.event_subtype = 'failure'
 """
 
 
+# Full-ledger value oracle: the closed-form simple subset (window row_number)
+# UNION ALL a recursive-CTE fold of the multi-dep 'all' state machine. The
+# recursion advances every pipeline one delivery per iteration (depth = max
+# deliveries per pipeline, ~111 at sf0.01); state is a STRUCT(u,e)[] list
+# with latest-wins slot replacement, reset on fire — exactly
+# transitions.apply_delivery. md is MATERIALIZED (CTE-inlining lesson).
+ORACLE_REPLAY_DECISIONS = f"""
+WITH RECURSIVE {_SQL_DELIVERIES_CTES}, md AS MATERIALIZED (
+  SELECT pipeline_uuid, n_deps, upstream_uuid, exec_uuid, event_time,
+         CAST(row_number() OVER (PARTITION BY pipeline_uuid
+                                 ORDER BY event_time, exec_uuid) AS INT) AS rn
+  FROM deliveries WHERE trigger_operator = 'all' AND n_deps > 1
+), fold AS (
+  SELECT pipeline_uuid, n_deps, 0 AS rn,
+         CAST([] AS STRUCT(u VARCHAR, e VARCHAR)[]) AS seen,
+         CAST(NULL AS TIMESTAMP) AS fired_at,
+         CAST(NULL AS VARCHAR) AS sources
+  FROM (SELECT DISTINCT pipeline_uuid, n_deps FROM md)
+  UNION ALL
+  SELECT m.pipeline_uuid, m.n_deps, m.rn,
+         CASE WHEN len(list_append(list_filter(f.seen, x -> x.u <> m.upstream_uuid),
+                                   {{'u': m.upstream_uuid, 'e': m.exec_uuid}})) >= m.n_deps
+              THEN CAST([] AS STRUCT(u VARCHAR, e VARCHAR)[])
+              ELSE list_append(list_filter(f.seen, x -> x.u <> m.upstream_uuid),
+                               {{'u': m.upstream_uuid, 'e': m.exec_uuid}}) END,
+         CASE WHEN len(list_append(list_filter(f.seen, x -> x.u <> m.upstream_uuid),
+                                   {{'u': m.upstream_uuid, 'e': m.exec_uuid}})) >= m.n_deps
+              THEN m.event_time END,
+         CASE WHEN len(list_append(list_filter(f.seen, x -> x.u <> m.upstream_uuid),
+                                   {{'u': m.upstream_uuid, 'e': m.exec_uuid}})) >= m.n_deps
+              THEN array_to_string(
+                     list_transform(
+                       list_sort(list_append(list_filter(f.seen, x -> x.u <> m.upstream_uuid),
+                                             {{'u': m.upstream_uuid, 'e': m.exec_uuid}})),
+                       x -> x.u || '=' || x.e), ',') END
+  FROM fold f JOIN md m ON m.pipeline_uuid = f.pipeline_uuid AND m.rn = f.rn + 1
+)
+SELECT pipeline_uuid,
+       CAST(row_number() OVER (PARTITION BY pipeline_uuid
+                               ORDER BY event_time, exec_uuid) AS INT) AS seq,
+       event_time AS fired_at, trigger_operator, n_deps,
+       upstream_uuid || '=' || exec_uuid AS sources
+FROM deliveries
+WHERE trigger_operator = 'any' OR n_deps = 1
+UNION ALL
+SELECT pipeline_uuid,
+       CAST(row_number() OVER (PARTITION BY pipeline_uuid ORDER BY rn) AS INT) AS seq,
+       fired_at, 'all' AS trigger_operator, n_deps, sources
+FROM fold WHERE fired_at IS NOT NULL
+"""
+
+
 def dag_replay_fires_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROW-LEVEL fire ledger for the closed-form subset ('any' operator or
     single-dep 'all'): every delivery fires (dispatcher.py:41-42), so each
@@ -253,7 +310,7 @@ WHERE trigger_operator = 'any' OR n_deps = 1
 
 
 QUERIES: dict[str, tuple] = {
-    "dag_replay_decisions": (dag_replay_decisions, None),
+    "dag_replay_decisions": (dag_replay_decisions, ORACLE_REPLAY_DECISIONS),
     "dag_replay_summary": (dag_replay_summary, ORACLE_REPLAY_SUMMARY),
     "dag_replay_fires_simple": (dag_replay_fires_simple, ORACLE_FIRES_SIMPLE),
     "retry_ledger": (retry_ledger, ORACLE_RETRY_LEDGER),

@@ -158,7 +158,10 @@ def _learned_recall_report(
     hash-check: the DuckDB twin recomputes n_queries/k_total from the
     exact top-k and emits TRUE — a recall regression flips the boolean
     and fails the gate (same bounded-oracle trick as events_approx_stats)."""
-    hit = approx.select("query_id", "vec_id").withColumn("hit", F.lit(1))
+    # distinct: a duplicate (query_id, vec_id) in the approx top-k would
+    # multiply exact rows through the left join and silently inflate both
+    # k_total and n_hit (thus recall)
+    hit = approx.select("query_id", "vec_id").distinct().withColumn("hit", F.lit(1))
     return (
         exact.select("query_id", "vec_id")
         .join(hit, ["query_id", "vec_id"], "left")
@@ -181,7 +184,7 @@ def _learned_recall_report(
 
 def sim_kmeans_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the learned-cell kmeans-IVF path vs the exact baseline,
-    floor-asserted (>= {KMEANS_IVF_RECALL_FLOOR_MILLI} milli)."""
+    floor-asserted at KMEANS_IVF_RECALL_FLOOR_MILLI."""
     from .kmeans_ivf import sim_topk_kmeans_ivf
 
     return _learned_recall_report(
@@ -193,7 +196,7 @@ def sim_kmeans_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sim_ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the IVF-PQ (ADC + exact re-rank) path vs the exact
-    baseline, floor-asserted (>= {IVFPQ_RECALL_FLOOR_MILLI} milli)."""
+    baseline, floor-asserted at IVFPQ_RECALL_FLOOR_MILLI."""
     from .pq import sim_topk_ivfpq
 
     return _learned_recall_report(

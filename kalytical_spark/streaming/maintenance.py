@@ -62,6 +62,20 @@ def _applied_batches(table_dir: str) -> set[int]:
         ) from exc
 
 
+def _has_ledger(version_dir: str) -> bool:
+    """Adoption validator for ledgered sinks (versioned.adopt_orphan): a
+    pointerless complete snapshot is only adoptable if it carries a
+    readable applied-batch ledger — proof it was committed by this commit
+    protocol, so the per-batch replay check keeps the fold exactly-once
+    after adoption. Anything else is foreign data and adopt_orphan raises."""
+    try:
+        with open(os.path.join(version_dir, _LEDGER)) as fh:
+            ledger = json.load(fh)
+        return isinstance(ledger, list) and all(isinstance(b, int) for b in ledger)
+    except (OSError, ValueError):
+        return False
+
+
 def seed_ledger(table_dir: str) -> None:
     """Attach an empty applied-batch ledger to the current snapshot of a
     table seeded by a plain ``write_version`` (e.g. an initial aggregate
@@ -88,6 +102,10 @@ def maintenance_sink(table_dir: str, group_cols: list[str], value_col: str):
     sum_dec), exactly once per batch_id."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # crashed-in-the-commit-window recovery: adopt a pointerless
+        # complete snapshot ONLY if it carries this sink's applied-batch
+        # ledger; the replay check below then keeps the fold exactly-once
+        versioned.adopt_orphan(table_dir, validate=_has_ledger)
         applied = _applied_batches(table_dir)
         if batch_id in applied:
             return  # replay of an already-folded batch: no-op

@@ -36,6 +36,10 @@ def hll_register_sink(table_dir: str):
     commit machinery required."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # crashed-in-the-commit-window recovery: a pointerless complete
+        # snapshot is adopted blindly — MAX-merge is idempotent, so
+        # re-folding this batch on top reaches the same fixpoint
+        versioned.adopt_orphan(table_dir)
         spark = batch_df.sparkSession
         delta = batch_registers(batch_df)
         cur = versioned.current_version(table_dir)
@@ -105,7 +109,7 @@ def start_hll_query(
 # pin the two sketch-maintenance regimes a streaming engine needs.
 
 from ..operators.sketches import cms_counters_for  # noqa: E402
-from .maintenance import _LEDGER, _applied_batches  # noqa: E402
+from .maintenance import _LEDGER, _applied_batches, _has_ledger  # noqa: E402
 
 # one definition shared with the batch operator — stream and batch can
 # never drift (same contract as batch_registers above)
@@ -119,6 +123,10 @@ def cms_counter_sink(table_dir: str):
     import os
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # crashed-in-the-commit-window recovery: adopt a pointerless
+        # complete snapshot ONLY if it carries this sink's applied-batch
+        # ledger — its replay check below then keeps the fold exactly-once
+        versioned.adopt_orphan(table_dir, validate=_has_ledger)
         applied = _applied_batches(table_dir)
         if batch_id in applied:
             return  # replay of an already-folded batch: no-op

@@ -56,6 +56,57 @@ def _uncommitted_versions(table_dir: str, cur: int | None) -> list[int]:
     ]
 
 
+def _commit_pointer(table_dir: str, version: int) -> None:
+    """Atomically swap the pointer to ``version`` (write-then-rename)."""
+    tmp = os.path.join(table_dir, f"{_POINTER}.tmp.{version}")
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, os.path.join(table_dir, _POINTER))
+
+
+def adopt_orphan(table_dir: str, validate=None) -> int | None:
+    """Pointer-missing auto-recovery for sinks that can prove a
+    committed-looking orphan is safely adoptable: when the pointer is
+    unreadable but a complete snapshot (``_SUCCESS`` present) exists —
+    a commit that crashed in the window between the parquet write and the
+    pointer rename — commit the pointer to the HIGHEST complete orphan and
+    return its version (incomplete orphans above it are left for
+    ``write_version``'s normal sweep). Returns None when there is nothing
+    to adopt (pointer readable, or no complete orphan).
+
+    ``validate(version_dir)`` must return True for the orphan to be
+    adopted; on False this raises (foreign data — wiping OR adopting could
+    both be wrong, a human decides). Pass validate=None ONLY for sinks
+    whose fold is idempotent (e.g. the HLL MAX-merge): re-folding the
+    replayed batch on top of the adopted snapshot reaches the same
+    fixpoint, so blind adoption cannot double-count. Non-idempotent sinks
+    pass a validator proving the orphan carries their own commit protocol
+    (e.g. the applied-batch ledger sidecar), whose replay check then
+    supplies exactly-once.
+    """
+    if current_version(table_dir) is not None:
+        return None
+    complete = sorted(
+        v
+        for v in _uncommitted_versions(table_dir, None)
+        if os.path.exists(os.path.join(_version_dir(table_dir, v), "_SUCCESS"))
+    )
+    if not complete:
+        return None
+    v = complete[-1]
+    vdir = _version_dir(table_dir, v)
+    if validate is not None and not validate(vdir):
+        raise RuntimeError(
+            f"{table_dir} has a committed-looking orphan v{v} that failed "
+            "the sink's adoption check; refusing to adopt or wipe — recover "
+            f"manually (inspect {vdir}, then write the version number to "
+            f"{os.path.join(table_dir, _POINTER)} to adopt, or delete the "
+            "directory to replay)"
+        )
+    _commit_pointer(table_dir, v)
+    return v
+
+
 def write_version(df: DataFrame, table_dir: str, pre_commit=None) -> int:
     """Write ``df`` as the next snapshot and atomically swap the pointer.
     Returns the new version number.
@@ -110,7 +161,10 @@ def write_version(df: DataFrame, table_dir: str, pre_commit=None) -> int:
                 f"{table_dir} has complete snapshot directories "
                 f"(v{sorted(complete)}) but no readable {_POINTER} pointer; "
                 "refusing to write (recover the pointer from the highest "
-                "complete version instead of wiping history)"
+                "complete version instead of wiping history: "
+                "adopt_orphan(table_dir) if the fold is idempotent or the "
+                f"orphan passes your sink's validator, or write the version "
+                f"number to {os.path.join(table_dir, _POINTER)} manually)"
             )
         for v in orphans:  # crashed first write(s): no complete snapshot exists
             shutil.rmtree(_version_dir(table_dir, v), ignore_errors=True)
@@ -127,10 +181,7 @@ def write_version(df: DataFrame, table_dir: str, pre_commit=None) -> int:
         )
     if pre_commit is not None:
         pre_commit(vdir)
-    tmp = os.path.join(table_dir, f"{_POINTER}.tmp.{nxt}")
-    with open(tmp, "w") as fh:
-        fh.write(str(nxt))
-    os.replace(tmp, os.path.join(table_dir, _POINTER))  # atomic commit
+    _commit_pointer(table_dir, nxt)  # atomic commit
     return nxt
 
 

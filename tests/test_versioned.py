@@ -110,6 +110,74 @@ def test_complete_snapshot_without_pointer_raises(spark, tmp_path):
     assert versioned.read_version(spark, tbl, 1).count() == 5
 
 
+def test_adopt_orphan_recovers_commit_window_crash(spark, tmp_path):
+    """A commit that crashed AFTER the parquet write completed (_SUCCESS
+    present) but BEFORE the pointer rename leaves a committed-looking
+    orphan; adopt_orphan commits the pointer to it instead of wedging."""
+    import os
+
+    tbl = str(tmp_path / "tbl")
+    versioned.write_version(spark.range(0, 5).select("id"), tbl)
+    os.remove(os.path.join(tbl, "_latest"))  # crash in the commit window
+    assert versioned.adopt_orphan(tbl) == 1
+    assert versioned.current_version(tbl) == 1
+    assert versioned.read_version(spark, tbl).count() == 5
+    # idempotent: nothing left to adopt, normal writes continue
+    assert versioned.adopt_orphan(tbl) is None
+    assert versioned.write_version(spark.range(0, 7).select("id"), tbl) == 2
+
+
+def test_adopt_orphan_validator_gate(spark, tmp_path):
+    """A validator that rejects the orphan turns adoption into an explicit
+    raise (foreign data: neither adopt nor wipe silently); a passing
+    validator adopts. Pointer present or no complete orphan -> no-op."""
+    import os
+
+    import pytest
+
+    assert versioned.adopt_orphan(str(tmp_path / "nope")) is None
+    tbl = str(tmp_path / "tbl")
+    versioned.write_version(spark.range(0, 5).select("id"), tbl)
+    assert versioned.adopt_orphan(tbl) is None  # pointer readable: no-op
+    os.remove(os.path.join(tbl, "_latest"))
+    with pytest.raises(RuntimeError, match="adoption check"):
+        versioned.adopt_orphan(tbl, validate=lambda vdir: False)
+    assert versioned.adopt_orphan(tbl, validate=os.path.isdir) == 1
+
+
+def test_ledgered_sink_adopts_own_orphan(spark, tmp_path):
+    """The maintenance-sink recovery path end-to-end: the CMS/maintenance
+    commit protocol's ledger sidecar makes its own crashed commit
+    adoptable, and the adopted ledger then dedupes the replayed batch
+    (exactly-once survives the crash window)."""
+    import os
+
+    from kalytical_spark.streaming.maintenance import (
+        _applied_batches,
+        _has_ledger,
+    )
+    from kalytical_spark.streaming.sketches import cms_counter_sink
+
+    tbl = str(tmp_path / "cms")
+    sink = cms_counter_sink(tbl)
+    batch = spark.range(0, 50).select((F.col("id") % 7).alias("user_id"))
+    sink(batch, 0)
+    committed = {
+        (r.d, r.bucket): r.counter
+        for r in versioned.read_version(spark, tbl).collect()
+    }
+    os.remove(os.path.join(tbl, "_latest"))  # crash in the commit window
+    assert _has_ledger(os.path.join(tbl, "v1"))
+    sink(batch, 0)  # at-least-once replay of the same batch
+    assert versioned.current_version(tbl) == 1  # adopted, not re-folded
+    assert _applied_batches(tbl) == {0}
+    after = {
+        (r.d, r.bucket): r.counter
+        for r in versioned.read_version(spark, tbl).collect()
+    }
+    assert after == committed  # no double-count
+
+
 def test_compact_preserves_rows_and_shrinks_files(spark, tmp_path):
     import glob
 
