@@ -1,0 +1,120 @@
+"""Plan-fingerprint regression gate (PLANS.md, promoted to CI): the
+operator MULTISET of each headline query's executed physical plan, pinned
+to tests/plan_fingerprints.json. An unintended new Exchange (someone adds a
+repartition(), a join flips broadcast->sort-merge, a codegen expression
+falls back to Python eval) changes the multiset and fails the test — cheap
+insurance across a 180-query registry where a single plan regression would
+otherwise hide inside total wall time.
+
+The fingerprint counts only load-bearing operator classes (shuffles,
+broadcasts, join strategies, aggregates, Python-eval nodes, windows) —
+not expression details — so refactors that keep the execution shape are
+fingerprint-stable, while anything that changes shuffle/join/Python
+structure is not.
+
+Usage:
+    python tools/plan_fingerprint.py            # print current fingerprints
+    python tools/plan_fingerprint.py --update   # re-pin the JSON baseline
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Load-bearing operator classes, counted from the AQE FINAL plan. Order
+# matters: earlier patterns shadow later ones (e.g. "BroadcastExchange"
+# must not also count as a plain shuffle "Exchange").
+_OPS: list[tuple[str, str]] = [
+    ("shuffle_hash_exchange", r"Exchange hashpartitioning"),
+    ("shuffle_range_exchange", r"Exchange rangepartitioning"),
+    ("shuffle_single_exchange", r"Exchange SinglePartition"),
+    ("shuffle_roundrobin_exchange", r"Exchange RoundRobinPartitioning"),
+    ("broadcast_exchange", r"BroadcastExchange"),
+    ("broadcast_hash_join", r"BroadcastHashJoin"),
+    ("shuffled_hash_join", r"ShuffledHashJoin"),
+    ("sort_merge_join", r"SortMergeJoin"),
+    ("broadcast_nested_loop_join", r"BroadcastNestedLoopJoin"),
+    ("cartesian_product", r"CartesianProduct"),
+    ("hash_aggregate", r"HashAggregate"),
+    ("object_hash_aggregate", r"ObjectHashAggregate"),
+    ("sort_aggregate", r"SortAggregate"),
+    ("take_ordered", r"TakeOrderedAndProject"),
+    ("window", r"\bWindow\b"),
+    ("expand", r"\bExpand\b"),
+    ("generate", r"\bGenerate\b"),
+    ("python_batch_eval", r"BatchEvalPython"),
+    ("python_arrow_eval", r"ArrowEvalPython"),
+    ("python_grouped_map", r"FlatMapGroupsInPandas"),
+    ("python_map_in_arrow", r"MapInPandas|PythonMapInArrow|MapInArrow"),
+]
+
+
+def fingerprint(df) -> dict[str, int]:
+    """Execute ``df`` and count load-bearing operators in the final plan."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    out: dict[str, int] = {}
+    for name, pat in _OPS:
+        n = len(re.findall(pat, plan))
+        if n:
+            out[name] = n
+    return out
+
+
+# Headline set: the plan shapes SURVEY.md section 4 designed for, one per
+# load-bearing family (star join, vocab join, LSH mine, top-k, codegen agg,
+# grouped-map fold, window prefix-sum, sketch partial-agg).
+def headline_queries() -> dict[str, object]:
+    from kalytical_spark.registry import all_queries
+
+    qs = all_queries()
+    names = [
+        "q1_pricing_summary",       # codegen-heavy scan+agg, zero joins
+        "q9_product_type_profit",   # star join: single fact shuffle
+        "q19_disjunctive_revenue",  # disjunction folded into ONE join
+        "dag_fire_decisions",       # flagship: explode + broadcast joins
+        "events_recent_topk",       # TakeOrderedAndProject
+        "text_tfidf_topk",          # shuffle_hash vocab join (never broadcast)
+        "dedup_minhash_lsh",        # banded LSH mine
+        "sketch_hll_registers",     # partial-agg register table
+        "events_cumulative_users",  # two-level prefix-sum window
+        "dag_replay_decisions",     # hybrid window + grouped-map fold
+    ]
+    return {n: qs[n][0] for n in names if n in qs}
+
+
+_PIN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "plan_fingerprints.json",
+)
+
+
+def compute_all(spark, sf_dir: str) -> dict[str, dict[str, int]]:
+    return {
+        name: fingerprint(fn(spark, sf_dir))
+        for name, fn in headline_queries().items()
+    }
+
+
+def main() -> None:
+    from kalytical_spark.session import get_spark
+    from tests.conftest import SF_ORACLE
+
+    spark = get_spark("plan_fingerprint", cpus=8)
+    fps = compute_all(spark, SF_ORACLE)
+    print(json.dumps(fps, indent=1, sort_keys=True))
+    if "--update" in sys.argv:
+        with open(_PIN, "w") as fh:
+            json.dump(fps, fh, indent=1, sort_keys=True)
+        print(f"pinned -> {_PIN}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
