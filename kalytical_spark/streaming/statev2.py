@@ -17,18 +17,17 @@ must be RocksDBStateStoreProvider — the API refuses the HDFS-backed
 default); emission is one row per touched key per batch, so output volume
 tracks change volume, not corpus size.
 
-ENVIRONMENT GATE: the transformWithState state-server protocol speaks
-protobuf between the JVM and the Python driver worker; this container's
-``google.protobuf`` lacks its compiled descriptor module, so the query
-crashes at init here (verified: StreamingPythonRunner init fails with
-``ImportError: cannot import name 'descriptor' from 'google.protobuf'``).
-The implementation is complete; the end-to-end equivalence test runs
-wherever protobuf is intact, and the PROCESSOR TRANSITION LOGIC is proven
-in every container regardless — tests/test_statev2.py drives
-PipelineLedgerProcessor through a faithful fake of the handle/ValueState
-contract across arbitrary micro-batch split points and compares against
-the batch recompute (the same shared-transitions trick incubation.py
-uses). Only the protobuf state-server wire itself stays gated.
+ENVIRONMENT NOTE: the transformWithState state-server protocol speaks
+protobuf between the JVM and the Python worker. This container ships no
+pip ``protobuf``, so tests/conftest.py bridges in the container's bundled
+pure-python runtime via ``tools/protobuf_shim`` (sys.path + PYTHONPATH for
+the workers, with the gencode/runtime minor-version gate relaxed — see the
+shim's docstrings). With the shim the END-TO-END equivalence test runs and
+passes here; the PROCESSOR TRANSITION LOGIC is additionally proven without
+any protobuf — tests/test_statev2.py drives PipelineLedgerProcessor
+through a faithful fake of the handle/ValueState contract across arbitrary
+micro-batch split points and compares against the batch recompute (the
+same shared-transitions trick incubation.py uses).
 """
 
 from __future__ import annotations

@@ -9,10 +9,11 @@ Two proof layers:
   and compares the final emissions against the batch groupBy recompute.
   This runs in EVERY container (no protobuf state server needed), so the
   transition logic is never unverified here.
-* ``test_ledger_state_matches_batch`` is the end-to-end streaming run,
-  gated on google.protobuf (the transformWithState JVM<->Python state
-  server speaks protobuf, absent in this container — statev2.py docstring),
-  exactly like the broker-less Kafka contract tests.
+* ``test_ledger_state_matches_batch`` is the end-to-end streaming run
+  through the real protobuf state server — conftest.py bridges in the
+  container's bundled pure-python protobuf via tools/protobuf_shim (driver
+  sys.path + worker PYTHONPATH), so this runs here too; the skip guard
+  remains only for a container with no protobuf source at all.
 """
 
 from __future__ import annotations
