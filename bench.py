@@ -162,12 +162,28 @@ def main() -> None:
             payload["scale_sweep"] = json.load(fh)
     except (OSError, ValueError):
         pass
+    # fold in the persisted streaming throughput bench (tools/stream_bench.py):
+    # events/sec through the incubation state machine + HLL/CMS maintenance
+    # sinks, with per-batch state-store size curves. Full detail rides in
+    # BENCH_FULL; the stdout line carries only the three events/sec numbers.
+    try:
+        with open(os.path.join(repo, "STREAM_BENCH.json")) as fh:
+            stream = json.load(fh)
+        payload["streaming"] = stream
+        payload["streaming_eps"] = {
+            k: stream[k]["events_per_sec"]
+            for k in ("incubation", "hll_sink", "cms_sink")
+            if k in stream
+        }
+    except (OSError, ValueError, KeyError):
+        pass
     with open(os.path.join(repo, "BENCH_FULL.json"), "w") as fh:
         json.dump(payload, fh, indent=1)
     # the sweep rides only in BENCH_FULL: leaving it in the stdout line
     # would eat most of the driver's 1900-byte parse budget and force the
     # per-query map to be dropped
     payload.pop("scale_sweep", None)
+    payload.pop("streaming", None)
     payload.pop("cold", None)
     budget = 1900
     line = json.dumps(payload, separators=(",", ":"))

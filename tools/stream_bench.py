@@ -1,0 +1,150 @@
+"""Streaming throughput bench (VERDICT r4 task 6): sustained events/sec
+through the three stateful streaming paths at a given SF, with the
+state-store size curve per micro-batch, persisted to STREAM_BENCH.json
+(folded into BENCH_FULL.json by bench.py, like SCALE_SWEEP.json).
+
+Benches:
+* ``incubation`` — the applyInPandasWithState dependency-trigger state
+  machine (streaming/incubation.py) draining the full lifecycle event log
+  as a multi-batch file stream. State rows/bytes per batch come from the
+  query's own progress telemetry (stateOperators), so the "does keyed
+  state stay bounded" claim is a recorded measurement.
+* ``hll_sink`` — the MAX-merge HLL register maintenance sink
+  (streaming/sketches.py): events/sec through foreachBatch + versioned
+  commits; state size = the register table itself (rows per version).
+* ``cms_sink`` — the SUM-fold count-min sink with its exactly-once
+  applied-batch ledger; state size = counter table rows per version.
+
+Usage: python tools/stream_bench.py [sf_dir] [n_files]
+Defaults: sf_dir=$SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1, n_files=8.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRATCH = "/tmp/kalytical_stream_bench"
+
+
+def _progress_points(q) -> list[dict]:
+    """Per-batch telemetry: input rows, duration, and state-store size."""
+    points = []
+    for p in q.recentProgress:
+        if isinstance(p, str):
+            p = json.loads(p)
+        state = (p.get("stateOperators") or [{}])[0]
+        points.append(
+            {
+                "batch_id": p.get("batchId"),
+                "input_rows": p.get("numInputRows"),
+                "batch_ms": (p.get("durationMs") or {}).get("triggerExecution"),
+                "state_rows": state.get("numRowsTotal"),
+                "state_bytes": state.get("memoryUsedBytes"),
+            }
+        )
+    return points
+
+
+def bench_incubation(spark, sf_dir: str, n_files: int) -> dict:
+    from kalytical_spark.streaming.incubation import start_incubation_query
+
+    src = os.path.join(SCRATCH, "lifecycle_events")
+    ckpt = os.path.join(SCRATCH, "ckpt_incubation")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    ev = spark.table("lifecycle_events")
+    ev.repartition(n_files).write.parquet(src)
+    n_events = spark.read.parquet(src).count()
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    t0 = time.time()
+    q = start_incubation_query(
+        spark, stream, sf_dir, query_name="stream_bench_incubation"
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    n_fires = spark.sql("SELECT COUNT(*) FROM stream_bench_incubation").collect()[0][0]
+    return {
+        "events_total": n_events,
+        "fires_total": n_fires,
+        "wall_sec": round(wall, 3),
+        "events_per_sec": round(n_events / wall, 1),
+        "batches": _progress_points(q),
+    }
+
+
+def _bench_sink(spark, kind: str, n_files: int) -> dict:
+    from kalytical_spark import versioned
+    from kalytical_spark.streaming.sketches import start_cms_query, start_hll_query
+
+    src = os.path.join(SCRATCH, f"events_{kind}")
+    ckpt = os.path.join(SCRATCH, f"ckpt_{kind}")
+    table = os.path.join(SCRATCH, f"table_{kind}")
+    for d in (src, ckpt, table):
+        shutil.rmtree(d, ignore_errors=True)
+    ev = spark.table("events_ms").select("event_id", "user_id", "event_type")
+    ev.repartition(n_files).write.parquet(src)
+    n_events = spark.read.parquet(src).count()
+    schema = spark.read.parquet(src).schema
+    start = start_hll_query if kind == "hll" else start_cms_query
+    t0 = time.time()
+    q = start(spark, src, schema, table, ckpt)
+    q.awaitTermination()
+    wall = time.time() - t0
+    versions = versioned.current_version(table) or 0
+    table_rows = (
+        versioned.read_version(spark, table).count() if versions else 0
+    )
+    # rows per committed version: the maintained-state growth curve
+    curve = [
+        versioned.read_version(spark, table, v).count()
+        for v in range(1, versions + 1)
+    ]
+    return {
+        "events_total": n_events,
+        "wall_sec": round(wall, 3),
+        "events_per_sec": round(n_events / wall, 1),
+        "versions_committed": versions,
+        "final_table_rows": table_rows,
+        "table_rows_per_version": curve,
+        "batches": _progress_points(q),
+    }
+
+
+def main() -> None:
+    from kalytical_spark import catalog
+    from kalytical_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    spark = get_spark("kalytical_stream_bench")
+    catalog.register(spark, sf_dir)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    payload = {
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_microbatches": n_files,
+        "incubation": bench_incubation(spark, sf_dir, n_files),
+        "hll_sink": _bench_sink(spark, "hll", n_files),
+        "cms_sink": _bench_sink(spark, "cms", n_files),
+    }
+    out = os.path.join(REPO, "STREAM_BENCH.json")
+    with open(out, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()
