@@ -103,15 +103,86 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+# --- Pluggable decoder registry (the real-deployment seam) -----------------
+#
+# A deployment with media libraries registers its decoder here
+# (register_decoder("pil", fn)) and selects it per query; the default
+# "stub" keeps the oracle-proven hash-arithmetic path. A registered
+# decoder sees (payload_bytes, mime_type) and returns (width, height,
+# n_frames, feature_norm); it is pickled to executors, so it must live in
+# a module importable there (pickled by reference) or be a closure
+# (cloudpickle ships those by value). A real decoder's output is not
+# SQL-recomputable, so
+# non-stub runs are rows-only — the stub twin remains the CORRECTNESS
+# proof of the surrounding Arrow plumbing. Seam doc: DEPLOY.md.
+DECODERS: dict = {}
+
+
+def register_decoder(name: str, fn) -> None:
+    """Register fn(payload: bytes, mime_type: str) -> (width, height,
+    n_frames, feature_norm) under ``name`` for mm_decode_features."""
+    DECODERS[name] = fn
+
+
+def _stub_decode(payload: bytes, mime_type: str) -> tuple[int, int, int, float]:
+    """Per-row form of the stub decoder — same hash arithmetic as
+    _decode_batch (pinned equal in tests), usable as a registry entry."""
+    h = hashlib.sha256(payload).hexdigest()
+    return (
+        64 + int(h[:4], 16) % 1984,
+        64 + int(h[4:8], 16) % 1984,
+        1 + int(h[8:10], 16) % 64,
+        (int(h[10:18], 16) * 10**6 // 0xFFFFFFFF) / 1e6,
+    )
+
+
+register_decoder("stub", _stub_decode)
+
+
+def mm_decode_features(
+    spark: SparkSession, sf_dir: str, decoder: str = "stub"
+) -> DataFrame:
     """Decode/feature-extract over binary payloads via Arrow-batched
-    mapInPandas. Oracle-backed DESPITE the Python path: the stub decoder
-    is pure hash arithmetic, so the DuckDB twin re-derives every field
-    from sha256 hex nibbles — the value-hash gate then proves the Arrow
-    batch plumbing byte-identical to the declarative reference. (A real
-    media decoder would drop back to rows-only.)"""
+    mapInPandas. Oracle-backed DESPITE the Python path: the default stub
+    decoder is pure hash arithmetic, so the DuckDB twin re-derives every
+    field from sha256 hex nibbles — the value-hash gate then proves the
+    Arrow batch plumbing byte-identical to the declarative reference.
+
+    ``decoder`` selects a registered decoder (register_decoder); non-stub
+    decoders run the same plumbing with real (non-SQL-recomputable) decode
+    and are rows-only by nature. Unknown names raise at plan time, on the
+    driver, not per-task."""
     payloads = _with_payload(spark, sf_dir)
-    return payloads.mapInPandas(_decode_batch, schema=_FEATURE_SCHEMA)
+    if decoder == "stub":
+        # vectorized stub path (hash series math) — the benched default
+        return payloads.mapInPandas(_decode_batch, schema=_FEATURE_SCHEMA)
+    if decoder not in DECODERS:
+        raise KeyError(
+            f"unknown decoder {decoder!r}; registered: {sorted(DECODERS)}"
+        )
+    fn = DECODERS[decoder]
+
+    def _decode_via_registry(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload)
+                width, height, n_frames, feature_norm = fn(payload, r.mime_type)
+                rows.append(
+                    {
+                        "doc_id": r.doc_id,
+                        "source": r.source,
+                        "n_bytes": len(payload),
+                        "content_hash": hashlib.sha256(payload).hexdigest(),
+                        "width": width,
+                        "height": height,
+                        "n_frames": n_frames,
+                        "feature_norm": feature_norm,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _FEATURE_SCHEMA.fields])
+
+    return payloads.mapInPandas(_decode_via_registry, schema=_FEATURE_SCHEMA)
 
 
 def _hexval(col: str, off: int, n: int) -> str:
