@@ -1,0 +1,176 @@
+"""Mergeable quantile sketch: a decimal-decade x leading-digit log
+histogram — the quantile member of the sketch family (HLL = distinct,
+CMS = frequency, Bloom = membership, bitmaps = sets; sketches.py).
+
+State is one bigint counter per (n_digits, leading_digit) bin over the
+positive-integer measure — at most 9 bins per decade, ~170 bins for the
+full bigint range — constant-size, SUM-mergeable (the same replay regime
+as the CMS counters: streaming folds or per-executor partials merge by
+addition), map-side combinable, and the estimate math is pure integer
+arithmetic. Relative error is bounded by the bin width: the true value
+lies in [d*10^(k-1), (d+1)*10^(k-1)), so an estimate-at-bin-floor is
+never more than one part in d below the truth (<= ~11% in the worst bin,
+d=9 tightens it to ~1.2%).
+
+Unlike t-digest/KLL the bin layout is FIXED, so the whole sketch — build,
+merge, and quantile readout — is deterministic integer arithmetic that
+the DuckDB twin recomputes exactly: the report carries the sketch
+estimate AND the exact rank value side by side, both value-hash-proven
+(no bounded-oracle trick needed).
+
+Scale: the sketch path is one groupBy over <=170 bins. The exact column
+is the correctness anchor, not the scale path — it cumulates a per-value
+histogram with an unpartitioned window over DISTINCT measure values
+(bounded by value cardinality, fine at report time; the quadratic-Jaccard
+baseline stance, dedup.py). Production reads quantiles from the sketch
+alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .common import t
+
+# quantiles reported, in milli (500 = median)
+_QS = [500, 900, 990]
+
+
+def _cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured column: l_extendedprice in exact integer cents
+    (decimal(12,4) carry, common.py conventions — the double holds a true
+    2-dp value, so the rescale is exact)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_extendedprice").cast("decimal(12,4)") * 100)
+        .cast("bigint")
+        .alias("v")
+    )
+
+
+def _histogram(vals: DataFrame) -> DataFrame:
+    """The sketch build: one map-side-combinable groupBy into the fixed
+    (n_digits, leading_digit) bin grid."""
+    s = F.col("v").cast("string")
+    return (
+        vals.select(
+            F.length(s).cast("int").alias("k"),
+            F.substring(s, 1, 1).cast("int").alias("d"),
+        )
+        .groupBy("k", "d")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def sketch_quantile_decades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile report from the decade-histogram sketch, with the exact
+    rank value alongside: per quantile q, the bin floor/ceiling the sketch
+    reads out, the exact q-th value, and whether the truth landed inside
+    the claimed bin (always true unless the sketch is broken — and the
+    column is genuinely computed on both engines, not asserted)."""
+    vals = _cents(spark, sf_dir)
+    hist = _histogram(vals)
+
+    n_total = vals.count()  # scalar; the oracle recomputes it
+    targets = spark.createDataFrame(
+        [(q, (q * n_total + 999) // 1000) for q in _QS],
+        "q_milli INT, target_rank BIGINT",
+    )
+
+    wcum = W.orderBy("k", "d").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.select(
+        "k",
+        "d",
+        F.sum("n").over(wcum).alias("cum"),
+        # bin bounds: [d * 10^(k-1), (d+1) * 10^(k-1))
+        (F.col("d") * F.pow(F.lit(10), F.col("k") - 1).cast("bigint"))
+        .cast("bigint")
+        .alias("lo"),
+        ((F.col("d") + 1) * F.pow(F.lit(10), F.col("k") - 1).cast("bigint"))
+        .cast("bigint")
+        .alias("hi"),
+    )
+    # sketch readout: first bin whose cumulative count reaches the target
+    est = (
+        targets.join(F.broadcast(cum), F.col("cum") >= F.col("target_rank"))
+        .groupBy("q_milli", "target_rank")
+        .agg(
+            # bin order key: k*10 + d (d < 10, so this is (k, d) order)
+            F.min_by(F.col("lo"), F.col("k") * 10 + F.col("d")).alias("est_lo"),
+            F.min_by(F.col("hi"), F.col("k") * 10 + F.col("d")).alias("est_hi"),
+        )
+    )
+    # exact anchor: smallest v whose value-level cumulative count reaches
+    # the target (percentile_disc), via a per-value histogram
+    byval = vals.groupBy("v").agg(F.count("*").alias("cnt"))
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    vcum = byval.select("v", F.sum("cnt").over(wv).alias("vcum"))
+    exact = (
+        targets.join(F.broadcast(vcum), F.col("vcum") >= F.col("target_rank"))
+        .groupBy(F.col("q_milli").alias("qm"))
+        .agg(F.min("v").alias("exact_cents"))
+    )
+    return (
+        est.join(exact, est.q_milli == exact.qm)
+        .select(
+            "q_milli",
+            F.lit(n_total).cast("bigint").alias("n_total"),
+            "target_rank",
+            "est_lo",
+            "est_hi",
+            "exact_cents",
+            (
+                (F.col("exact_cents") >= F.col("est_lo"))
+                & (F.col("exact_cents") < F.col("est_hi"))
+            ).alias("exact_in_bin"),
+        )
+    )
+
+
+ORACLE_QUANTILE_DECADES = f"""
+WITH vals AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 100 AS BIGINT) AS v
+  FROM lineitem
+), hist AS (
+  SELECT length(CAST(v AS VARCHAR)) AS k,
+         CAST(substring(CAST(v AS VARCHAR), 1, 1) AS INT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM vals GROUP BY 1, 2
+), cum AS (
+  SELECT k, d,
+         SUM(n) OVER (ORDER BY k, d ROWS UNBOUNDED PRECEDING) AS cum,
+         CAST(d * CAST(power(10, k - 1) AS BIGINT) AS BIGINT) AS lo,
+         CAST((d + 1) * CAST(power(10, k - 1) AS BIGINT) AS BIGINT) AS hi
+  FROM hist
+), targets AS (
+  SELECT q_milli,
+         (q_milli * (SELECT COUNT(*) FROM vals) + 999) // 1000 AS target_rank
+  FROM (VALUES {', '.join(f'({q})' for q in _QS)}) AS t(q_milli)
+), est AS (
+  SELECT t.q_milli, t.target_rank,
+         min_by(c.lo, c.k * 10 + c.d) AS est_lo,
+         min_by(c.hi, c.k * 10 + c.d) AS est_hi
+  FROM targets t JOIN cum c ON c.cum >= t.target_rank
+  GROUP BY 1, 2
+), vcum AS (
+  SELECT v, SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS vcum
+  FROM (SELECT v, COUNT(*) AS cnt FROM vals GROUP BY 1)
+), exact AS (
+  SELECT t.q_milli, MIN(c.v) AS exact_cents
+  FROM targets t JOIN vcum c ON c.vcum >= t.target_rank
+  GROUP BY 1
+)
+SELECT e.q_milli,
+       CAST((SELECT COUNT(*) FROM vals) AS BIGINT) AS n_total,
+       CAST(e.target_rank AS BIGINT) AS target_rank,
+       e.est_lo, e.est_hi, x.exact_cents,
+       x.exact_cents >= e.est_lo AND x.exact_cents < e.est_hi AS exact_in_bin
+FROM est e JOIN exact x USING (q_milli)
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "sketch_quantile_decades": (sketch_quantile_decades, ORACLE_QUANTILE_DECADES),
+}

@@ -58,6 +58,7 @@ def _load_optional():
         # the total never-gated count <= 50 when adding queries so one
         # driver window can prove them all
         "sketches",
+        "quantiles",
         "audio",
         "olap",
         "bitmaps",

@@ -156,3 +156,29 @@ def test_cms_never_undercounts_and_counters_merge(keys):
         assert est >= n
     half = len(keys) // 2
     assert counters(keys[:half]) + counters(keys[half:]) == tab
+
+
+def test_quantile_decade_histogram_merges_by_sum(spark):
+    """The decade-histogram quantile sketch is SUM-mergeable: the sketch of
+    a union equals the bin-wise sum of the parts' sketches (the property
+    executor partials and streaming folds rely on), and the bin readout
+    brackets the exact quantile."""
+    from kalytical_spark.operators import quantiles
+    from tests.conftest import SF_SMALL
+
+    vals = quantiles._cents(spark, SF_SMALL)
+    whole = {
+        (r.k, r.d): r.n for r in quantiles._histogram(vals).collect()
+    }
+    a = quantiles._histogram(vals.filter("v % 2 = 0")).collect()
+    b = quantiles._histogram(vals.filter("v % 2 = 1")).collect()
+    merged: dict = {}
+    for r in [*a, *b]:
+        merged[(r.k, r.d)] = merged.get((r.k, r.d), 0) + r.n
+    assert merged == whole
+
+    report = quantiles.sketch_quantile_decades(spark, SF_SMALL).collect()
+    assert {r.q_milli for r in report} == set(quantiles._QS)
+    for r in report:
+        assert r.est_lo <= r.exact_cents < r.est_hi
+        assert r.exact_in_bin
