@@ -188,7 +188,76 @@ FROM (
 """
 
 
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search: per-document occurrence counts of an
+    exact 2-token phrase — the positional-inverted-index primitive
+    (lexical retrieval's phrase/proximity operator). The probe phrase is
+    the corpus's own most frequent bigram (deterministic tie-break), so
+    the query is self-contained; a production search passes the phrase as
+    a parameter into the identical plan.
+
+    Scale shape: token adjacency comes from arrays_zip over the token
+    array — PARTITION-LOCAL, no positional self-join and no shuffle of
+    positions; the phrase-frequency table is vocabulary-sized
+    (map-side-combinable groupBy); the probe phrase is ONE broadcast row;
+    the only corpus-keyed shuffle is the final per-doc count."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    ts = F.split(F.col("text"), " ")
+    bg = (
+        docs.filter(F.size(ts) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(ts, 1, F.size(ts) - 1).alias("w1"),
+                    F.slice(ts, 2, F.size(ts) - 1).alias("w2"),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    top1 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_corpus"))
+        .orderBy(F.desc("n_corpus"), "w1", "w2")
+        .limit(1)
+    )
+    return (
+        bg.join(F.broadcast(top1), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(" ", F.first("w1"), F.first("w2")).alias("phrase"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.first("n_corpus").cast("bigint").alias("n_corpus"),
+        )
+    )
+
+
+ORACLE_PHRASE = """
+WITH splits AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), bg2 AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM (SELECT doc_id, ts,
+               unnest(generate_series(1, len(ts) - 1)) AS i
+        FROM splits
+        WHERE len(ts) >= 2)
+), top1 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_corpus
+  FROM bg2 GROUP BY 1, 2
+  ORDER BY COUNT(*) DESC, w1, w2 LIMIT 1
+)
+SELECT b.doc_id,
+       t.w1 || ' ' || t.w2 AS phrase,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       t.n_corpus
+FROM bg2 b JOIN top1 t ON b.w1 = t.w1 AND b.w2 = t.w2
+GROUP BY 1, 2, 4
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_tfidf_topk": (text_tfidf_topk, ORACLE_TFIDF),
     "text_bm25_topk": (text_bm25_topk, ORACLE_BM25),
+    "text_phrase_search": (text_phrase_search, ORACLE_PHRASE),
 }
