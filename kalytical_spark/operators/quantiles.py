@@ -171,6 +171,19 @@ FROM est e JOIN exact x USING (q_milli)
 """
 
 
+def event_value_cents_histogram(events: DataFrame) -> DataFrame:
+    """(k, d, n) decade-histogram of any frame with a positive 2-dp
+    ``value`` column, in exact integer cents — the ONE definition shared
+    by batch use and the streaming SUM-fold sink
+    (streaming/sketches.quantile_histogram_sink), so the two can never
+    drift (the cms_counters_for contract)."""
+    return _histogram(
+        events.select(
+            (F.col("value").cast("decimal(12,4)") * 100).cast("bigint").alias("v")
+        )
+    )
+
+
 QUERIES: dict[str, tuple] = {
     "sketch_quantile_decades": (sketch_quantile_decades, ORACLE_QUANTILE_DECADES),
 }

@@ -178,3 +178,75 @@ def start_cms_query(
     return _start_sink_query(
         spark, events_dir, schema, checkpoint_dir, cms_counter_sink(table_dir)
     )
+
+
+# --- Quantile-histogram maintenance: the second SUM-fold sketch ------------
+#
+# The decade-histogram quantile sketch (operators/quantiles.py) merges by
+# SUM exactly like the count-min counters, so it rides the SAME ledgered
+# commit protocol — one more member of the non-idempotent maintenance
+# regime, with quantile readout available from the maintained table at any
+# commit point.
+
+from ..operators.quantiles import event_value_cents_histogram  # noqa: E402
+
+# one definition shared with the batch operator (cms_counters_for contract)
+batch_value_histogram = event_value_cents_histogram
+
+
+def quantile_histogram_sink(table_dir: str):
+    """foreachBatch fold: SUM-merge the micro-batch's (k, d) decade bins
+    into the versioned histogram table, exactly once per batch_id."""
+    import json
+    import os
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        versioned.adopt_orphan(table_dir, validate=_has_ledger)
+        applied = _applied_batches(table_dir)
+        if batch_id in applied:
+            return  # replay of an already-folded batch: no-op
+        spark = batch_df.sparkSession
+        delta = batch_value_histogram(batch_df)
+        cur = versioned.current_version(table_dir)
+        if cur is None:
+            merged = delta
+        else:
+            old = versioned.read_version(spark, table_dir, cur).withColumnRenamed(
+                "n", "n_old"
+            )
+            merged = (
+                old.join(
+                    delta.withColumnRenamed("n", "n_new"), ["k", "d"], "full_outer"
+                )
+                .select(
+                    "k",
+                    "d",
+                    (
+                        F.coalesce("n_old", F.lit(0)) + F.coalesce("n_new", F.lit(0))
+                    )
+                    .cast("bigint")
+                    .alias("n"),
+                )
+            )
+
+        def commit_ledger(vdir: str) -> None:
+            with open(os.path.join(vdir, _LEDGER), "w") as fh:
+                json.dump(sorted(applied | {batch_id}), fh)
+
+        versioned.write_version(merged, table_dir, pre_commit=commit_ledger)
+
+    return sink
+
+
+def start_quantile_histogram_query(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    table_dir: str,
+    checkpoint_dir: str,
+):
+    """Wire an event feed (with a ``value`` column) into the quantile
+    histogram sink."""
+    return _start_sink_query(
+        spark, events_dir, schema, checkpoint_dir, quantile_histogram_sink(table_dir)
+    )

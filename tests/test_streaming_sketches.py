@@ -111,3 +111,60 @@ def test_streamed_cms_counters_equal_batch_and_replay_noop(spark):
             ).collect()
         }
         assert doubled == {k: 2 * c for k, c in batch.items()}
+
+
+def test_streamed_quantile_histogram_equals_batch_and_readout(spark):
+    """Quantile-histogram maintenance (the second SUM-fold): micro-batch
+    folds converge to the batch decade histogram exactly, a replayed
+    batch_id is a no-op, and the quantile readout from the MAINTAINED
+    table brackets the exact percentile of the full feed."""
+    import os
+    import tempfile
+
+    ev = sketches.t(spark, SF_ORACLE, "events_ms").select("value")
+    batch = {(r.k, r.d): r.n for r in ssk.batch_value_histogram(ev).collect()}
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "feed")
+        tbl = os.path.join(tmp, "qh_table")
+        ev.repartition(4).write.parquet(src)
+        q = ssk.start_quantile_histogram_query(
+            spark, src, ev.schema, tbl, os.path.join(tmp, "ckpt")
+        )
+        q.awaitTermination(120)
+        v = versioned.current_version(tbl)
+        assert v is not None and v >= 4
+        streamed = {
+            (r.k, r.d): r.n
+            for r in versioned.read_version(spark, tbl, v).collect()
+        }
+        assert streamed == batch
+
+        # replayed batch_id: ledger makes the SUM-fold a no-op
+        sink = ssk.quantile_histogram_sink(tbl)
+        sink(spark.read.parquet(src), batch_id=0)
+        assert {
+            (r.k, r.d): r.n
+            for r in versioned.read_version(
+                spark, tbl, versioned.current_version(tbl)
+            ).collect()
+        } == batch
+
+        # quantile readout from the maintained table: the median bin must
+        # bracket the exact median of the feed (integer cents)
+        n_total = sum(batch.values())
+        target = (500 * n_total + 999) // 1000
+        cum = 0
+        est_lo = est_hi = None
+        for (k, d) in sorted(batch):
+            cum += batch[(k, d)]
+            if cum >= target:
+                est_lo, est_hi = d * 10 ** (k - 1), (d + 1) * 10 ** (k - 1)
+                break
+        cents = sorted(
+            r.v
+            for r in ev.selectExpr(
+                "CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT) AS v"
+            ).collect()
+        )
+        exact = cents[target - 1]
+        assert est_lo <= exact < est_hi
