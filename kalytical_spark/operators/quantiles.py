@@ -171,6 +171,128 @@ FROM est e JOIN exact x USING (q_milli)
 """
 
 
+def sketch_quantile_group_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group median from per-group decade histograms — the sketch
+    composed with a group dimension: state is |groups| x <=170 bins, the
+    build is still ONE map-side-combinable groupBy, and each group reads
+    its median out of its own bin prefix-sum. The exact per-group rank
+    value rides along as the anchor (same stance as the global report)."""
+    li = t(spark, sf_dir, "lineitem")
+    vals = li.select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(12,4)") * 100)
+        .cast("bigint")
+        .alias("v"),
+    )
+    s = F.col("v").cast("string")
+    hist = (
+        vals.select(
+            "l_returnflag",
+            F.length(s).cast("int").alias("k"),
+            F.substring(s, 1, 1).cast("int").alias("d"),
+        )
+        .groupBy("l_returnflag", "k", "d")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    wg = W.partitionBy("l_returnflag")
+    wcum = wg.orderBy("k", "d").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.select(
+        "l_returnflag",
+        "k",
+        "d",
+        F.sum("n").over(wcum).alias("cum"),
+        F.sum("n").over(wg).alias("n_total"),
+        (F.col("d") * F.pow(F.lit(10), F.col("k") - 1).cast("bigint"))
+        .cast("bigint")
+        .alias("lo"),
+        ((F.col("d") + 1) * F.pow(F.lit(10), F.col("k") - 1).cast("bigint"))
+        .cast("bigint")
+        .alias("hi"),
+    ).withColumn("target_rank", F.expr("(n_total * 500 + 999) div 1000"))
+    est = (
+        cum.filter(F.col("cum") >= F.col("target_rank"))
+        .groupBy("l_returnflag", "n_total", "target_rank")
+        .agg(
+            F.min_by(F.col("lo"), F.col("k") * 10 + F.col("d")).alias("est_lo"),
+            F.min_by(F.col("hi"), F.col("k") * 10 + F.col("d")).alias("est_hi"),
+        )
+    )
+    byval = vals.groupBy("l_returnflag", "v").agg(F.count("*").alias("cnt"))
+    wv = wg.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    vcum = byval.select(
+        "l_returnflag",
+        "v",
+        F.sum("cnt").over(wv).alias("vcum"),
+        F.sum("cnt").over(wg).alias("nt"),
+    )
+    exact = (
+        vcum.filter(F.col("vcum") >= F.expr("(nt * 500 + 999) div 1000"))
+        .groupBy(F.col("l_returnflag").alias("rf"))
+        .agg(F.min("v").alias("exact_cents"))
+    )
+    return (
+        est.join(exact, est.l_returnflag == exact.rf)
+        .select(
+            "l_returnflag",
+            "n_total",
+            "target_rank",
+            "est_lo",
+            "est_hi",
+            "exact_cents",
+            (
+                (F.col("exact_cents") >= F.col("est_lo"))
+                & (F.col("exact_cents") < F.col("est_hi"))
+            ).alias("exact_in_bin"),
+        )
+    )
+
+
+ORACLE_GROUP_MEDIANS = """
+WITH vals AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 100 AS BIGINT) AS v
+  FROM lineitem
+), hist AS (
+  SELECT l_returnflag,
+         length(CAST(v AS VARCHAR)) AS k,
+         CAST(substring(CAST(v AS VARCHAR), 1, 1) AS INT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM vals GROUP BY 1, 2, 3
+), cum AS (
+  SELECT l_returnflag, k, d,
+         SUM(n) OVER (PARTITION BY l_returnflag ORDER BY k, d
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(n) OVER (PARTITION BY l_returnflag) AS n_total,
+         CAST(d * CAST(power(10, k - 1) AS BIGINT) AS BIGINT) AS lo,
+         CAST((d + 1) * CAST(power(10, k - 1) AS BIGINT) AS BIGINT) AS hi
+  FROM hist
+), est AS (
+  SELECT l_returnflag, n_total,
+         (n_total * 500 + 999) // 1000 AS target_rank,
+         min_by(lo, k * 10 + d) AS est_lo,
+         min_by(hi, k * 10 + d) AS est_hi
+  FROM cum WHERE cum >= (n_total * 500 + 999) // 1000
+  GROUP BY 1, 2, 3
+), vcum AS (
+  SELECT l_returnflag, v,
+         SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS vcum,
+         SUM(cnt) OVER (PARTITION BY l_returnflag) AS nt
+  FROM (SELECT l_returnflag, v, COUNT(*) AS cnt FROM vals GROUP BY 1, 2)
+), exact AS (
+  SELECT l_returnflag, MIN(v) AS exact_cents
+  FROM vcum WHERE vcum >= (nt * 500 + 999) // 1000
+  GROUP BY 1
+)
+SELECT e.l_returnflag,
+       CAST(e.n_total AS BIGINT) AS n_total,
+       CAST(e.target_rank AS BIGINT) AS target_rank,
+       e.est_lo, e.est_hi, x.exact_cents,
+       x.exact_cents >= e.est_lo AND x.exact_cents < e.est_hi AS exact_in_bin
+FROM est e JOIN exact x USING (l_returnflag)
+"""
+
+
 def event_value_cents_histogram(events: DataFrame) -> DataFrame:
     """(k, d, n) decade-histogram of any frame with a positive 2-dp
     ``value`` column, in exact integer cents — the ONE definition shared
@@ -186,4 +308,8 @@ def event_value_cents_histogram(events: DataFrame) -> DataFrame:
 
 QUERIES: dict[str, tuple] = {
     "sketch_quantile_decades": (sketch_quantile_decades, ORACLE_QUANTILE_DECADES),
+    "sketch_quantile_group_medians": (
+        sketch_quantile_group_medians,
+        ORACLE_GROUP_MEDIANS,
+    ),
 }
