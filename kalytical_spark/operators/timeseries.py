@@ -506,8 +506,82 @@ WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
 """
 
 
+CUSUM_H_MILLI = 100  # flag when 1000*|S_t| exceeds this x total count
+
+
+def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM changepoint scan per event-type daily series: the
+    cumulative deviation of daily counts from the series' own mean, kept
+    EXACT by working in n_days-scaled integer units — S_t = n_days *
+    cumsum_t - t * total is the cumulative excess times n_days, so no
+    rational mean ever materializes. A day flags when the scaled |S_t|
+    exceeds CUSUM_H_MILLI/1000 of the series total (drift alarm).
+
+    Scale: the log reduces to one daily rollup (map-side combinable);
+    every window runs per event_type over |days| rows — series length,
+    not event count. The exact-integer statistic is the reason the twin
+    matches bit-for-bit (the float CUSUM of textbooks would drift in the
+    last ulp)."""
+    ev = t(spark, sf_dir, "events_ms")
+    daily = (
+        ev.select(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("bigint").alias("daily_n"))
+    )
+    wt = W.partitionBy("event_type")
+    wcum = wt.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    scan = daily.select(
+        "event_type",
+        "day",
+        "daily_n",
+        F.sum("daily_n").over(wcum).alias("cum_n"),
+        F.row_number().over(wt.orderBy("day")).alias("t_idx"),
+        F.sum("daily_n").over(wt).alias("total"),
+        F.count("*").over(wt).alias("n_days"),
+    )
+    s = (F.col("n_days") * F.col("cum_n") - F.col("t_idx") * F.col("total")).cast(
+        "bigint"
+    )
+    return scan.select(
+        "event_type",
+        "day",
+        "daily_n",
+        F.col("cum_n").cast("bigint").alias("cum_n"),
+        s.alias("s_scaled"),
+        (F.abs(s) * 1000 > F.lit(CUSUM_H_MILLI) * F.col("total")).alias(
+            "is_changepoint"
+        ),
+    )
+
+
+ORACLE_CUSUM = f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS daily_n
+  FROM events_ms GROUP BY 1, 2
+), scan AS (
+  SELECT event_type, day, daily_n,
+         SUM(daily_n) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS cum_n,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t_idx,
+         SUM(daily_n) OVER (PARTITION BY event_type) AS total,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_days
+  FROM daily
+)
+SELECT event_type, day, daily_n,
+       CAST(cum_n AS BIGINT) AS cum_n,
+       CAST(n_days * cum_n - t_idx * total AS BIGINT) AS s_scaled,
+       abs(n_days * cum_n - t_idx * total) * 1000 > {CUSUM_H_MILLI} * total
+         AS is_changepoint
+FROM scan
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "events_gap_fill_resample": (events_gap_fill_resample, ORACLE_GAP_FILL),
+    "events_cusum_changepoints": (events_cusum_changepoints, ORACLE_CUSUM),
     "events_cohort_retention": (events_cohort_retention, ORACLE_COHORT),
     "events_rate_anomaly": (events_rate_anomaly, ORACLE_RATE_ANOMALY),
     "events_equidepth_histogram": (events_equidepth_histogram, ORACLE_EQUIDEPTH),
