@@ -172,7 +172,7 @@ def main() -> None:
         payload["streaming"] = stream
         payload["streaming_eps"] = {
             k: stream[k]["events_per_sec"]
-            for k in ("incubation", "hll_sink", "cms_sink")
+            for k in ("incubation", "hll_sink", "cms_sink", "quantile_sink")
             if k in stream
         }
     except (OSError, ValueError, KeyError):

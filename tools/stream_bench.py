@@ -87,16 +87,22 @@ def _bench_sink(spark, kind: str, n_files: int) -> dict:
     from kalytical_spark import versioned
     from kalytical_spark.streaming.sketches import start_cms_query, start_hll_query
 
+    from kalytical_spark.streaming.sketches import start_quantile_histogram_query
+
     src = os.path.join(SCRATCH, f"events_{kind}")
     ckpt = os.path.join(SCRATCH, f"ckpt_{kind}")
     table = os.path.join(SCRATCH, f"table_{kind}")
     for d in (src, ckpt, table):
         shutil.rmtree(d, ignore_errors=True)
-    ev = spark.table("events_ms").select("event_id", "user_id", "event_type")
+    ev = spark.table("events_ms").select("event_id", "user_id", "event_type", "value")
     ev.repartition(n_files).write.parquet(src)
     n_events = spark.read.parquet(src).count()
     schema = spark.read.parquet(src).schema
-    start = start_hll_query if kind == "hll" else start_cms_query
+    start = {
+        "hll": start_hll_query,
+        "cms": start_cms_query,
+        "qh": start_quantile_histogram_query,
+    }[kind]
     t0 = time.time()
     q = start(spark, src, schema, table, ckpt)
     q.awaitTermination()
@@ -139,6 +145,7 @@ def main() -> None:
         "incubation": bench_incubation(spark, sf_dir, n_files),
         "hll_sink": _bench_sink(spark, "hll", n_files),
         "cms_sink": _bench_sink(spark, "cms", n_files),
+        "quantile_sink": _bench_sink(spark, "qh", n_files),
     }
     out = os.path.join(REPO, "STREAM_BENCH.json")
     with open(out, "w") as fh:
