@@ -630,8 +630,107 @@ GROUP BY 1
 """
 
 
+def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation via the count-min inner product — the
+    planner-side use of the CMS: |A join_k B| is estimated as
+    min_d sum_bucket cmsA[d][b] * cmsB[d][b], an upper bound that needs
+    only the two D x W sketches, never the relations. Probed here on the
+    genuinely many-to-many self-join click x purchase on user_id, with the
+    exact join size computed alongside (two per-user count frames joined
+    once — the anchor, not the scale path: at planning time only the
+    sketches exist). overcount >= 0 by construction; all integer
+    arithmetic, so the twin recomputes sketches, estimate, AND truth
+    value-exactly."""
+    ev = t(spark, sf_dir, "events_ms")
+    a = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ca = _counters_from_per_user(a).withColumnRenamed("counter", "c_a")
+    cb = _counters_from_per_user(b).withColumnRenamed("counter", "c_b")
+    est = (
+        ca.join(cb, ["d", "bucket"])  # missing buckets contribute 0 anyway
+        .groupBy("d")
+        .agg(F.sum(F.col("c_a") * F.col("c_b")).cast("bigint").alias("dot"))
+        .agg(F.min("dot").cast("bigint").alias("est_join_size"))
+    )
+    truth = (
+        a.withColumnRenamed("cnt", "cnt_a")
+        .join(b.withColumnRenamed("cnt", "cnt_b"), "user_id")
+        .agg(
+            F.coalesce(F.sum(F.col("cnt_a") * F.col("cnt_b")), F.lit(0))
+            .cast("bigint")
+            .alias("true_join_size")
+        )
+    )
+    n_a = a.agg(F.sum("cnt").cast("bigint").alias("n_a"))
+    n_b = b.agg(F.sum("cnt").cast("bigint").alias("n_b"))
+    return (
+        est.crossJoin(F.broadcast(truth))
+        .crossJoin(F.broadcast(n_a))
+        .crossJoin(F.broadcast(n_b))
+        .select(
+            "n_a",
+            "n_b",
+            "true_join_size",
+            "est_join_size",
+            (F.col("est_join_size") - F.col("true_join_size"))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+    )
+
+
+_CMS_SIDE = """
+  SELECT d, bucket, CAST(SUM(cnt) AS BIGINT) AS counter
+  FROM (
+    SELECT cnt, d.d AS d,
+           {bucket} AS bucket
+    FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM events_ms WHERE event_type = '{etype}' GROUP BY 1) p
+    CROSS JOIN (SELECT unnest(generate_series(0, {dmax})) AS d) d
+  ) GROUP BY 1, 2
+"""
+
+
+def _cms_join_oracle() -> str:
+    h = _cms_hash("d.d", "p.user_id", "STRING")
+    side = lambda et: _CMS_SIDE.format(  # noqa: E731
+        bucket=_cms_bucket_sql(h), etype=et, dmax=_CMS_D - 1
+    )
+    return f"""
+WITH ca AS ({side('click')}), cb AS ({side('purchase')}),
+est AS (
+  SELECT CAST(MIN(dot) AS BIGINT) AS est_join_size
+  FROM (SELECT a.d, SUM(a.counter * b.counter) AS dot
+        FROM ca a JOIN cb b ON a.d = b.d AND a.bucket = b.bucket
+        GROUP BY 1)
+),
+pa AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM events_ms WHERE event_type = 'click' GROUP BY 1),
+pb AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM events_ms WHERE event_type = 'purchase' GROUP BY 1),
+truth AS (
+  SELECT CAST(COALESCE(SUM(pa.cnt * pb.cnt), 0) AS BIGINT) AS true_join_size
+  FROM pa JOIN pb USING (user_id)
+)
+SELECT (SELECT CAST(SUM(cnt) AS BIGINT) FROM pa) AS n_a,
+       (SELECT CAST(SUM(cnt) AS BIGINT) FROM pb) AS n_b,
+       t.true_join_size, e.est_join_size,
+       CAST(e.est_join_size - t.true_join_size AS BIGINT) AS overcount
+FROM est e CROSS JOIN truth t
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "sketch_hll_registers": (sketch_hll_registers, ORACLE_HLL_REGISTERS),
+    "sketch_cms_join_size": (sketch_cms_join_size, _cms_join_oracle()),
     "sketch_hll_estimate": (sketch_hll_estimate, ORACLE_HLL_ESTIMATE),
     "sketch_kmv_distinct": (sketch_kmv_distinct, ORACLE_KMV),
     "sketch_cms_heavy_hitters": (sketch_cms_heavy_hitters, ORACLE_CMS),
