@@ -150,7 +150,106 @@ WHERE p.n > 1
 """
 
 
+_JL_K = 16  # projected dimensionality (64 -> 16: 4x fewer FLOPs downstream)
+_JL_SAMPLE = 16  # quality-report sample: vec_id < 16 -> 120 pairs
+
+# deterministic +-1 sign per (input pos, output dim) from md5 — the random
+# projection matrix both engines regenerate bit-identically (first hex
+# nibble < '8' -> +1; lowercase hex and ASCII compare in both engines)
+_JL_SIGN_SQL = (
+    "CASE WHEN substring(md5(concat('jl', CAST(pos AS STRING), ':', "
+    "CAST(j AS STRING))), 1, 1) < '8' THEN 1 ELSE -1 END"
+)
+
+
+def emb_jl_projection_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (+-1 signs) of the
+    quantized embeddings from 64 to _JL_K dims, with the distance-
+    preservation report on a bounded pair sample: for +-1 sign matrices
+    E[||Px - Py||^2] = k * ||x - y||^2, so ratio_milli =
+    1000 * proj_d2 / (k * orig_d2) concentrates around 1000.
+
+    Scale: the projection is a partition-local explode (dim x k rows per
+    vector) into one map-side-combinable hash aggregate — linear, no
+    shuffle of vectors, and the ANN that consumes it runs in k dims. The
+    pairwise report is the quality anchor on a FIXED sample (pairs of the
+    _JL_SAMPLE lowest vec_ids), not the scale path. All integer: the
+    quantized components, signs, projections, and both squared distances
+    are exact, so the twin recomputes the whole chain value-exactly."""
+    q = _quantized(spark, sf_dir).filter(F.col("vec_id") < _JL_SAMPLE)
+    proj = (
+        q.select(
+            "vec_id",
+            "pos",
+            "q",
+            F.explode(F.sequence(F.lit(0), F.lit(_JL_K - 1))).alias("j"),
+        )
+        .selectExpr("vec_id", "j", f"q * ({_JL_SIGN_SQL}) AS sq")
+        .groupBy("vec_id", "j")
+        .agg(F.sum("sq").cast("bigint").alias("p"))
+    )
+
+    def _d2(frame: DataFrame, comp: str, val: str) -> DataFrame:
+        a = frame.select(
+            F.col("vec_id").alias("vec_a"), F.col(comp).alias("c"), F.col(val).alias("va")
+        )
+        b = frame.select(
+            F.col("vec_id").alias("vec_b"), F.col(comp).alias("c"), F.col(val).alias("vb")
+        )
+        return (
+            a.join(b, "c")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .groupBy("vec_a", "vec_b")
+            .agg(
+                F.sum((F.col("va") - F.col("vb")) * (F.col("va") - F.col("vb")))
+                .cast("bigint")
+                .alias("d2")
+            )
+        )
+
+    orig = _d2(q, "pos", "q").withColumnRenamed("d2", "orig_d2")
+    pd2 = _d2(proj, "j", "p").withColumnRenamed("d2", "proj_d2")
+    return (
+        orig.join(pd2, ["vec_a", "vec_b"])
+        .select(
+            "vec_a",
+            "vec_b",
+            "orig_d2",
+            "proj_d2",
+            F.expr(f"(1000 * proj_d2) div ({_JL_K} * orig_d2)")
+            .cast("bigint")
+            .alias("ratio_milli"),
+        )
+    )
+
+
+ORACLE_JL = f"""
+WITH q AS (
+  SELECT * FROM ({_SQL_QUANTIZED}) WHERE vec_id < {_JL_SAMPLE}
+), proj AS (
+  SELECT vec_id, j, CAST(SUM(q * ({_JL_SIGN_SQL})) AS BIGINT) AS p
+  FROM q CROSS JOIN (SELECT unnest(generate_series(0, {_JL_K - 1})) AS j)
+  GROUP BY 1, 2
+), orig AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS orig_d2
+  FROM q a JOIN q b ON a.pos = b.pos AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+), pd2 AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(SUM((a.p - b.p) * (a.p - b.p)) AS BIGINT) AS proj_d2
+  FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT o.vec_a, o.vec_b, o.orig_d2, p.proj_d2,
+       CAST((1000 * p.proj_d2) // ({_JL_K} * o.orig_d2) AS BIGINT)
+         AS ratio_milli
+FROM orig o JOIN pd2 p ON o.vec_a = p.vec_a AND o.vec_b = p.vec_b
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "emb_label_centroids": (emb_label_centroids, ORACLE_CENTROIDS),
     "emb_label_coherence": (emb_label_coherence, ORACLE_COHERENCE),
+    "emb_jl_projection_quality": (emb_jl_projection_quality, ORACLE_JL),
 }
