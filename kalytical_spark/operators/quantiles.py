@@ -19,11 +19,11 @@ estimate AND the exact rank value side by side, both value-hash-proven
 (no bounded-oracle trick needed).
 
 Scale: the sketch path is one groupBy over <=170 bins. The exact column
-is the correctness anchor, not the scale path — it cumulates a per-value
-histogram with an unpartitioned window over DISTINCT measure values
-(bounded by value cardinality, fine at report time; the quadratic-Jaccard
-baseline stance, dedup.py). Production reads quantiles from the sketch
-alone.
+is the correctness anchor, not the scale path — and even it avoids any
+unpartitioned window: the per-value cumulative count is a two-level
+prefix sum partitioned by digit-count (value order == (k, v) order), the
+same decomposition the histogram itself uses. Production reads quantiles
+from the sketch alone.
 """
 
 from __future__ import annotations
@@ -103,10 +103,26 @@ def sketch_quantile_decades(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # exact anchor: smallest v whose value-level cumulative count reaches
-    # the target (percentile_disc), via a per-value histogram
-    byval = vals.groupBy("v").agg(F.count("*").alias("cnt"))
-    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
-    vcum = byval.select("v", F.sum("cnt").over(wv).alias("vcum"))
+    # the target (percentile_disc). Two-level prefix sum so NO
+    # unpartitioned window ever plans: running sum within each
+    # digit-count partition (value order == (k, v) order), plus each
+    # partition's offset from the tiny per-k totals — the histogram's own
+    # decomposition reused for the exact path.
+    byval = vals.groupBy("v").agg(F.count("*").alias("cnt")).withColumn(
+        "k", F.length(F.col("v").cast("string"))
+    )
+    wk = W.partitionBy("k").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    within = byval.withColumn("cum_in_k", F.sum("cnt").over(wk))
+    k_tot = byval.groupBy("k").agg(F.sum("cnt").alias("ktot"))
+    ka, kb = k_tot.alias("ka"), k_tot.alias("kb")
+    offsets = (
+        ka.join(kb, F.col("kb.k") < F.col("ka.k"), "left")
+        .groupBy(F.col("ka.k").alias("k"))
+        .agg(F.coalesce(F.sum("kb.ktot"), F.lit(0)).alias("offset"))
+    )
+    vcum = within.join(F.broadcast(offsets), "k").select(
+        "v", (F.col("cum_in_k") + F.col("offset")).alias("vcum")
+    )
     exact = (
         targets.join(F.broadcast(vcum), F.col("vcum") >= F.col("target_rank"))
         .groupBy(F.col("q_milli").alias("qm"))
@@ -217,13 +233,43 @@ def sketch_quantile_group_medians(spark: SparkSession, sf_dir: str) -> DataFrame
             F.min_by(F.col("hi"), F.col("k") * 10 + F.col("d")).alias("est_hi"),
         )
     )
-    byval = vals.groupBy("l_returnflag", "v").agg(F.count("*").alias("cnt"))
-    wv = wg.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
-    vcum = byval.select(
-        "l_returnflag",
-        "v",
-        F.sum("cnt").over(wv).alias("vcum"),
-        F.sum("cnt").over(wg).alias("nt"),
+    # exact anchor with the same two-level prefix sum as the global
+    # report, partitioned by (group, digit-count)
+    byval = (
+        vals.groupBy("l_returnflag", "v")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("k", F.length(F.col("v").cast("string")))
+    )
+    wgk = (
+        W.partitionBy("l_returnflag", "k")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    within = byval.withColumn("cum_in_k", F.sum("cnt").over(wgk))
+    k_tot = byval.groupBy("l_returnflag", "k").agg(F.sum("cnt").alias("ktot"))
+    ka, kb = k_tot.alias("ka"), k_tot.alias("kb")
+    offsets = (
+        ka.join(
+            kb,
+            (F.col("kb.l_returnflag") == F.col("ka.l_returnflag"))
+            & (F.col("kb.k") < F.col("ka.k")),
+            "left",
+        )
+        .groupBy(
+            F.col("ka.l_returnflag").alias("l_returnflag"), F.col("ka.k").alias("k")
+        )
+        .agg(F.coalesce(F.sum("kb.ktot"), F.lit(0)).alias("offset"))
+    )
+    nt = vals.groupBy("l_returnflag").agg(F.count("*").alias("nt"))
+    vcum = (
+        within.join(F.broadcast(offsets), ["l_returnflag", "k"])
+        .join(F.broadcast(nt), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "v",
+            (F.col("cum_in_k") + F.col("offset")).alias("vcum"),
+            "nt",
+        )
     )
     exact = (
         vcum.filter(F.col("vcum") >= F.expr("(nt * 500 + 999) div 1000"))
