@@ -85,6 +85,8 @@ def headline_queries() -> dict[str, object]:
         "sketch_hll_registers",     # partial-agg register table
         "events_cumulative_users",  # two-level prefix-sum window
         "dag_replay_decisions",     # hybrid window + grouped-map fold
+        "sketch_quantile_decades",  # histogram sketch + partitioned exact anchor
+        "sketch_cms_join_size",     # sketch inner-product join estimate
     ]
     return {n: qs[n][0] for n in names if n in qs}
 
