@@ -211,6 +211,46 @@ SHOWCASE = [
         "not raw events; the counter table is a constant D x W mergeable\n"
         "state and the top-k probe joins against it broadcast.",
     ),
+    (
+        "sketch_quantile_decades",
+        lambda s: _quantiles().sketch_quantile_decades(s, SF),
+        "Quantile sketch: one map-side-combinable groupBy into a fixed\n"
+        "<=170-bin grid; the readout windows run over the bin table, and\n"
+        "even the exact-rank anchor uses a two-level prefix sum\n"
+        "partitioned by digit-count — no unpartitioned Window anywhere.",
+    ),
+    (
+        "sketch_cms_join_size",
+        lambda s: _sketches().sketch_cms_join_size(s, SF),
+        "Join-size estimation from sketches alone: two D x W counter\n"
+        "tables inner-product on (d, bucket) — the relations never meet;\n"
+        "the exact join rides per-user count frames (one key shuffle) as\n"
+        "the correctness anchor.",
+    ),
+    (
+        "text_phrase_search",
+        lambda s: _ranking().text_phrase_search(s, SF),
+        "Phrase search without a positional self-join: token adjacency is\n"
+        "a partition-local arrays_zip explode, the phrase-frequency table\n"
+        "is vocabulary-sized, and the probe phrase is ONE broadcast row —\n"
+        "the only corpus-keyed shuffle is the final per-doc count.",
+    ),
+    (
+        "events_cusum_changepoints",
+        lambda s: _timeseries().events_cusum_changepoints(s, SF),
+        "CUSUM changepoints: the log reduces to a daily rollup (map-side\n"
+        "combinable) and every window partitions by event_type over\n"
+        "series-length rows; the n-scaled integer statistic keeps the\n"
+        "cross-engine comparison bit-exact.",
+    ),
+    (
+        "mm_audio_wav_roundtrip",
+        lambda s: _audio().mm_audio_wav_roundtrip(s, SF),
+        "The real-codec path: one Arrow map node encodes each payload\n"
+        "into an actual RIFF/WAVE container and chunk-walks it back — no\n"
+        "Exchange at all; the exact 8/16-bit round-trip is what lets a\n"
+        "REAL format parser stay value-oracle-proven.",
+    ),
 ]
 
 
@@ -218,6 +258,18 @@ def _curation():
     from kalytical_spark.operators import curation
 
     return curation
+
+
+def _quantiles():
+    from kalytical_spark.operators import quantiles
+
+    return quantiles
+
+
+def _timeseries():
+    from kalytical_spark.operators import timeseries
+
+    return timeseries
 
 
 def _ranking():
