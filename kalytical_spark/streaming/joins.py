@@ -78,6 +78,42 @@ def attribution_join(events: DataFrame, window: str = ATTRIBUTION_WINDOW) -> Dat
     )
 
 
+def attribution_join_outer(
+    events: DataFrame, window: str = ATTRIBUTION_WINDOW
+) -> DataFrame:
+    """LEFT OUTER stream-stream variant: every click emits, matched to its
+    in-window purchases or null-padded — the funnel's "no conversion"
+    detector. The emission semantics differ fundamentally from inner:
+    Spark can only declare a click unmatched once the WATERMARK has passed
+    the end of its attribution window (until then a matching purchase may
+    still arrive), so null-padded rows trail the data by watermark delay +
+    window. State stays watermark-bounded exactly like the inner join;
+    tests push a sentinel through to flush the tail and pin
+    streamed == batch left join."""
+    clicks, purchases = _sides(events)
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", WATERMARK_DELAY)
+        purchases = purchases.withWatermark("purchase_ts", WATERMARK_DELAY)
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            c_user = p_user
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + INTERVAL {window}
+            """
+        ),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def stream_static_enrichment(events_stream: DataFrame, defs: DataFrame) -> DataFrame:
     """Stream-static equi-join (the third join mode, completing
     stream-stream above and the foreachBatch folds in maintenance.py):
