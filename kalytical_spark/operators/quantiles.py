@@ -352,10 +352,70 @@ def event_value_cents_histogram(events: DataFrame) -> DataFrame:
     )
 
 
+def events_value_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exact lower median of value-cents via a GROUPED_AGG
+    pandas UDF — the one Arrow UDF flavor the rest of the engine doesn't
+    exercise (scalar pandas_udf: simhash; grouped map: replay fold; map:
+    multimodal; cogrouped: adherence; state: incubation). The aggregation
+    itself is deliberately integer-exact (sorted[ceil(n/2) - 1]), so the
+    DuckDB twin re-derives it with the explicit rank definition and the
+    value gate proves the Arrow GROUPED_AGG path, not just its plumbing.
+
+    Scale: GROUPED_AGG ships each group's column slice through Arrow —
+    right for bounded per-group cardinality (per-type daily slices,
+    per-entity series); corpus-wide exact medians belong to the decade
+    sketch + anchor above."""
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events_ms")
+    cents = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(12,4)") * 100).cast("bigint").alias("v"),
+    )
+
+    def _lower_median(v: pd.Series) -> int:
+        s = v.sort_values().reset_index(drop=True)
+        return int(s[(len(s) + 1) // 2 - 1])
+
+    def _n(v: pd.Series) -> int:
+        return int(len(v))
+
+    # built lazily: decorating at import time needs a live session. Both
+    # aggregates are pandas UDAFs — Spark refuses to mix GROUPED_AGG with
+    # JVM aggregate functions in one agg (INVALID_PANDAS_UDF_PLACEMENT).
+    median_udaf = F.pandas_udf(_lower_median, "bigint", F.PandasUDFType.GROUPED_AGG)
+    n_udaf = F.pandas_udf(_n, "bigint", F.PandasUDFType.GROUPED_AGG)
+    return cents.groupBy("event_type").agg(
+        median_udaf(F.col("v")).alias("median_cents"),
+        n_udaf(F.col("v")).alias("n"),
+    )
+
+
+ORACLE_VALUE_MEDIAN = """
+WITH vals AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT) AS v
+  FROM events_ms
+), ranked AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM vals
+)
+SELECT event_type,
+       CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN v END) AS BIGINT)
+         AS median_cents,
+       CAST(MIN(n) AS BIGINT) AS n
+FROM ranked
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "sketch_quantile_decades": (sketch_quantile_decades, ORACLE_QUANTILE_DECADES),
     "sketch_quantile_group_medians": (
         sketch_quantile_group_medians,
         ORACLE_GROUP_MEDIANS,
     ),
+    "events_value_median_udaf": (events_value_median_udaf, ORACLE_VALUE_MEDIAN),
 }
