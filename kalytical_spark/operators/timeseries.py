@@ -579,9 +579,58 @@ FROM scan
 """
 
 
+def events_range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE-frame rolling sum: per user, the exact cents spent
+    in the trailing hour of each event — a RANGE BETWEEN frame over epoch
+    seconds, which plans as a genuinely different WindowExec than the ROWS
+    frames used elsewhere (the frame bound is a VALUE offset, so ties and
+    gaps are handled by time, not row position). Deterministic slice
+    (user_id % 37 = 0) keeps the report bounded; sums are exact integer
+    cents.
+
+    Scale: partitioned by user — per-key series windows, no global sort;
+    the slice predicate pushes to the scan."""
+    ev = t(spark, sf_dir, "events_ms").filter(F.col("user_id") % 37 == 0)
+    cents = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("ts").cast("long").alias("epoch_s"),
+        (F.col("value").cast("decimal(12,4)") * 100).cast("bigint").alias("v"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, W.currentRow)
+    )
+    return cents.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("v").over(w).cast("bigint").alias("trailing_hour_cents"),
+        F.count("*").over(w).cast("bigint").alias("trailing_hour_events"),
+    )
+
+
+ORACLE_RANGE_FRAME = """
+SELECT user_id, event_id, ts,
+       CAST(SUM(v) OVER w AS BIGINT) AS trailing_hour_cents,
+       CAST(COUNT(*) OVER w AS BIGINT) AS trailing_hour_events
+FROM (
+  SELECT user_id, event_id, ts,
+         CAST(epoch(ts) AS BIGINT) AS epoch_s,
+         CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT) AS v
+  FROM events_ms WHERE user_id % 37 = 0
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "events_gap_fill_resample": (events_gap_fill_resample, ORACLE_GAP_FILL),
     "events_cusum_changepoints": (events_cusum_changepoints, ORACLE_CUSUM),
+    "events_range_frame_rolling": (events_range_frame_rolling, ORACLE_RANGE_FRAME),
     "events_cohort_retention": (events_cohort_retention, ORACLE_COHORT),
     "events_rate_anomaly": (events_rate_anomaly, ORACLE_RATE_ANOMALY),
     "events_equidepth_histogram": (events_equidepth_histogram, ORACLE_EQUIDEPTH),
