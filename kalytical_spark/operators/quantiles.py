@@ -123,8 +123,11 @@ def sketch_quantile_decades(spark: SparkSession, sf_dir: str) -> DataFrame:
     vcum = within.join(F.broadcast(offsets), "k").select(
         "v", (F.col("cum_in_k") + F.col("offset")).alias("vcum")
     )
+    # broadcast the 3-row TARGET side, never the value-cardinality vcum
+    # frame (a vocab-sized broadcast is exactly the scale-killer the
+    # TF-IDF join rule exists for)
     exact = (
-        targets.join(F.broadcast(vcum), F.col("vcum") >= F.col("target_rank"))
+        vcum.join(F.broadcast(targets), F.col("vcum") >= F.col("target_rank"))
         .groupBy(F.col("q_milli").alias("qm"))
         .agg(F.min("v").alias("exact_cents"))
     )
@@ -260,7 +263,9 @@ def sketch_quantile_group_medians(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .agg(F.coalesce(F.sum("kb.ktot"), F.lit(0)).alias("offset"))
     )
-    nt = vals.groupBy("l_returnflag").agg(F.count("*").alias("nt"))
+    # per-group totals derived from the tiny per-(group, k) frame — no
+    # extra scan of the fact table
+    nt = k_tot.groupBy("l_returnflag").agg(F.sum("ktot").alias("nt"))
     vcum = (
         within.join(F.broadcast(offsets), ["l_returnflag", "k"])
         .join(F.broadcast(nt), "l_returnflag")
