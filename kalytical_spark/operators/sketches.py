@@ -630,6 +630,135 @@ GROUP BY 1
 """
 
 
+def sketch_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra: union via element-wise MAX of two register tables
+    (the merge that makes HLL distributed) and intersection via
+    inclusion-exclusion on the integer estimates — |A ∩ B| ~ est(A) +
+    est(B) - est(A ∪ B). Probed on two genuinely partial-overlap cohorts
+    (high-value clickers vs high-value purchasers — every user has every
+    event TYPE in this fixture, so type-based sets would be degenerate)
+    with the exact intersection computed alongside as the anchor. Every quantity
+    is the same md5-register integer arithmetic as sketch_hll_estimate,
+    so the twin recomputes the full algebra value-exactly. (Inclusion-
+    exclusion inherits both sketches' error — the audit row shows exactly
+    how much; signed on purpose, small intersections can estimate
+    negative.)"""
+    ev = t(spark, sf_dir, "events_ms").select("event_type", "user_id", "value")
+    cohorts = ev.filter(
+        ((F.col("event_type") == "click") & (F.col("value") >= 150))
+        | ((F.col("event_type") == "purchase") & (F.col("value") >= 150))
+    )
+    regs = hll_registers_for(cohorts)
+    a = regs.filter(F.col("event_type") == "click").select("bucket", F.col("r").alias("r_a"))
+    b = regs.filter(F.col("event_type") == "purchase").select("bucket", F.col("r").alias("r_b"))
+    union_regs = (
+        a.join(b, "bucket", "full_outer")
+        .select(
+            F.greatest(
+                F.coalesce("r_a", F.lit(0)), F.coalesce("r_b", F.lit(0))
+            ).alias("r")
+        )
+    )
+
+    def _est(frame: DataFrame, rcol: str, out: str) -> DataFrame:
+        """One-row integer HLL estimate of a register frame (absent
+        buckets contribute rho = 0) — the sketch_hll_estimate formula."""
+        return frame.agg(
+            F.count("*").cast("bigint").alias("hit"),
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), {_RHO_CAP} - LEAST({rcol}, {_RHO_CAP}))"
+                )
+            )
+            .cast("bigint")
+            .alias("s_present"),
+        ).select(
+            F.expr(
+                f"CAST({_EST_NUM} AS BIGINT) div "
+                f"(s_present + ({_HLL_M} - hit) * CAST({_POW2_CAP} AS BIGINT))"
+            ).alias(out)
+        )
+
+    est_a = _est(a, "r_a", "est_a_milli")
+    est_b = _est(b, "r_b", "est_b_milli")
+    est_u = _est(union_regs, "r", "est_union_milli")
+    users_a = (
+        ev.filter((F.col("event_type") == "click") & (F.col("value") >= 150))
+        .select("user_id")
+        .distinct()
+    )
+    users_b = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") >= 150))
+        .select("user_id")
+        .distinct()
+    )
+    exact = (
+        users_a.join(users_b, "user_id")
+        .agg(F.count("*").cast("bigint").alias("exact_intersection"))
+    )
+    return (
+        est_a.crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(est_u))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "est_a_milli",
+            "est_b_milli",
+            "est_union_milli",
+            (
+                F.col("est_a_milli") + F.col("est_b_milli") - F.col("est_union_milli")
+            )
+            .cast("bigint")
+            .alias("est_intersection_milli"),
+            "exact_intersection",
+        )
+    )
+
+
+ORACLE_HLL_SET_ALGEBRA = f"""
+WITH regs AS (
+  SELECT event_type,
+         {_hll_bucket_sql(_H_USER_DUCK)} AS bucket,
+         CAST(MAX({_hll_rho_sql(_H_USER_DUCK)}) AS INTEGER) AS r
+  FROM events_ms
+  WHERE (event_type = 'click' AND value >= 150)
+     OR (event_type = 'purchase' AND value >= 150)
+  GROUP BY 1, 2
+), a AS (SELECT bucket, r AS r_a FROM regs WHERE event_type = 'click'),
+b AS (SELECT bucket, r AS r_b FROM regs WHERE event_type = 'purchase'),
+u AS (
+  SELECT GREATEST(COALESCE(r_a, 0), COALESCE(r_b, 0)) AS r
+  FROM a FULL OUTER JOIN b USING (bucket)
+), est AS (
+  SELECT
+    (SELECT CAST({_EST_NUM} AS BIGINT)
+            // (SUM(CAST(1 AS BIGINT) << ({_RHO_CAP} - LEAST(r_a, {_RHO_CAP})))
+               + ({_HLL_M} - COUNT(*)) * CAST({_POW2_CAP} AS BIGINT))
+     FROM a) AS est_a_milli,
+    (SELECT CAST({_EST_NUM} AS BIGINT)
+            // (SUM(CAST(1 AS BIGINT) << ({_RHO_CAP} - LEAST(r_b, {_RHO_CAP})))
+               + ({_HLL_M} - COUNT(*)) * CAST({_POW2_CAP} AS BIGINT))
+     FROM b) AS est_b_milli,
+    (SELECT CAST({_EST_NUM} AS BIGINT)
+            // (SUM(CAST(1 AS BIGINT) << ({_RHO_CAP} - LEAST(r, {_RHO_CAP})))
+               + ({_HLL_M} - COUNT(*)) * CAST({_POW2_CAP} AS BIGINT))
+     FROM u) AS est_union_milli
+)
+SELECT CAST(est_a_milli AS BIGINT) AS est_a_milli,
+       CAST(est_b_milli AS BIGINT) AS est_b_milli,
+       CAST(est_union_milli AS BIGINT) AS est_union_milli,
+       CAST(est_a_milli + est_b_milli - est_union_milli AS BIGINT)
+         AS est_intersection_milli,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+          (SELECT DISTINCT user_id FROM events_ms
+           WHERE event_type = 'click' AND value >= 150)
+          JOIN
+          (SELECT DISTINCT user_id FROM events_ms
+           WHERE event_type = 'purchase' AND value >= 150)
+          USING (user_id)) AS exact_intersection
+FROM est
+"""
+
+
 def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-cardinality estimation via the count-min inner product — the
     planner-side use of the CMS: |A join_k B| is estimated as
@@ -731,6 +860,7 @@ FROM est e CROSS JOIN truth t
 QUERIES: dict[str, tuple] = {
     "sketch_hll_registers": (sketch_hll_registers, ORACLE_HLL_REGISTERS),
     "sketch_cms_join_size": (sketch_cms_join_size, _cms_join_oracle()),
+    "sketch_hll_set_algebra": (sketch_hll_set_algebra, ORACLE_HLL_SET_ALGEBRA),
     "sketch_hll_estimate": (sketch_hll_estimate, ORACLE_HLL_ESTIMATE),
     "sketch_kmv_distinct": (sketch_kmv_distinct, ORACLE_KMV),
     "sketch_cms_heavy_hitters": (sketch_cms_heavy_hitters, ORACLE_CMS),
