@@ -73,7 +73,17 @@ def _events_chain():
     ]
 
 
-CHAINS = {"docs": _docs_chain, "events": _events_chain}
+def _facts_chain():
+    from kalytical_spark.operators import quantiles, relational, warehouse
+
+    return [
+        ("q1_pricing_summary", relational.q1_pricing_summary),
+        ("q9_product_type_profit", warehouse.q9_product_type_profit),
+        ("sketch_quantile_decades", quantiles.sketch_quantile_decades),
+    ]
+
+
+CHAINS = {"docs": _docs_chain, "events": _events_chain, "facts": _facts_chain}
 
 
 def _replicate_docs(spark, base_path: str, k: int):
@@ -113,8 +123,29 @@ def _replicate_events(spark, base_path: str, k: int):
     return reps
 
 
-_SCALED_TABLE = {"docs": "documents.parquet", "events": "events.parquet"}
-_REPLICATE = {"docs": _replicate_docs, "events": _replicate_events}
+def _replicate_lineitem(spark, base_path: str, k: int):
+    """Replicas shift l_orderkey into disjoint ranges (same part/supplier
+    keys, so dim joins fan out k x — the honest shape of a k x bigger fact
+    table against fixed dims)."""
+    li = spark.read.parquet(base_path)
+    off = int(li.agg(F.max("l_orderkey")).collect()[0][0]) + 1
+    reps = None
+    for r in range(k):
+        part = li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(r * off))
+        reps = part if reps is None else reps.unionByName(part)
+    return reps
+
+
+_SCALED_TABLE = {
+    "docs": "documents.parquet",
+    "events": "events.parquet",
+    "facts": "lineitem.parquet",
+}
+_REPLICATE = {
+    "docs": _replicate_docs,
+    "events": _replicate_events,
+    "facts": _replicate_lineitem,
+}
 
 
 def build_scaled_dir(spark, chain: str, k: int) -> str:
