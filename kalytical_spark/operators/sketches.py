@@ -759,6 +759,148 @@ FROM est
 """
 
 
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-style KMV set intersection: Jaccard from the k-minimum-values
+    samples — the industry answer to HLL's error-amplifying
+    inclusion-exclusion (sketch_hll_set_algebra shows that failure mode on
+    the same cohorts; this estimator replaces it). The union sketch is the
+    k smallest of the two samples' union; Jaccard_est = (union-sample keys
+    present in BOTH side samples) / |union sample|; intersection_est =
+    jaccard * union estimate. Exact Jaccard rides alongside as the anchor.
+    Deterministic 48-bit integer keys end to end — the twin recomputes the
+    full sample algebra value-exactly.
+
+    Scale: per-side state is k keys (mergeable: min-k of unioned samples);
+    the cohort scans reduce to distinct user sets before the tiny top-k
+    windows."""
+    ev = t(spark, sf_dir, "events_ms").select("event_type", "user_id", "value")
+    sides = (
+        ev.filter(
+            ((F.col("event_type") == "click") & (F.col("value") >= 150))
+            | ((F.col("event_type") == "purchase") & (F.col("value") >= 150))
+        )
+        .select(
+            F.when(F.col("event_type") == "click", "a").otherwise("b").alias("side"),
+            "user_id",
+        )
+        .distinct()
+        .withColumn(
+            "h",
+            F.substring(
+                F.md5(F.concat(F.lit("u:"), F.col("user_id").cast("string"))),
+                1,
+                _KMV_HEX,
+            ),
+        )
+    )
+    wside = W.partitionBy("side").orderBy("h", "user_id")
+    samples = (
+        sides.withColumn("rk", F.row_number().over(wside))
+        .filter(F.col("rk") <= _KMV_K)
+        .select("side", "h")
+    )
+    wu = W.orderBy("h")  # union sample: <= 2k rows — bounded, not corpus-sized
+    union_sample = (
+        samples.select("h")
+        .distinct()
+        .withColumn("rk", F.row_number().over(wu))
+        .filter(F.col("rk") <= _KMV_K)
+        .select("h")
+    )
+    in_a = samples.filter(F.col("side") == "a").select("h").withColumn("ia", F.lit(1))
+    in_b = samples.filter(F.col("side") == "b").select("h").withColumn("ib", F.lit(1))
+    est = (
+        union_sample.join(in_a, "h", "left")
+        .join(in_b, "h", "left")
+        .agg(
+            F.count("*").cast("bigint").alias("k_used"),
+            F.sum(
+                F.when((F.col("ia") == 1) & (F.col("ib") == 1), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("matches"),
+        )
+    )
+    exact = (
+        sides.groupBy("h", "user_id")
+        .agg(
+            F.max(F.when(F.col("side") == "a", 1).otherwise(0)).alias("ia"),
+            F.max(F.when(F.col("side") == "b", 1).otherwise(0)).alias("ib"),
+        )
+        .agg(
+            F.sum("ia").cast("bigint").alias("n_a_exact"),
+            F.sum("ib").cast("bigint").alias("n_b_exact"),
+            F.sum(F.col("ia") * F.col("ib")).cast("bigint").alias("n_inter_exact"),
+            F.count("*").cast("bigint").alias("n_union_exact"),
+        )
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "n_a_exact",
+            "n_b_exact",
+            "n_inter_exact",
+            "n_union_exact",
+            F.expr("CAST(1000 * n_inter_exact div n_union_exact AS BIGINT)").alias(
+                "exact_jaccard_milli"
+            ),
+            "k_used",
+            "matches",
+            F.expr("CAST(1000 * matches div k_used AS BIGINT)").alias(
+                "est_jaccard_milli"
+            ),
+        )
+    )
+
+
+ORACLE_KMV_JACCARD = f"""
+WITH sides AS (
+  SELECT DISTINCT
+         CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS side,
+         user_id,
+         substring(md5('u:' || CAST(user_id AS VARCHAR)), 1, {_KMV_HEX}) AS h
+  FROM events_ms
+  WHERE (event_type = 'click' AND value >= 150)
+     OR (event_type = 'purchase' AND value >= 150)
+), samples AS (
+  SELECT side, h FROM (
+    SELECT side, h,
+           row_number() OVER (PARTITION BY side ORDER BY h, user_id) AS rk
+    FROM sides
+  ) WHERE rk <= {_KMV_K}
+), union_sample AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rk
+    FROM (SELECT DISTINCT h FROM samples)
+  ) WHERE rk <= {_KMV_K}
+), est AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+         CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS matches
+  FROM union_sample u
+  LEFT JOIN (SELECT h FROM samples WHERE side = 'a') a ON u.h = a.h
+  LEFT JOIN (SELECT h FROM samples WHERE side = 'b') b ON u.h = b.h
+), exact AS (
+  SELECT CAST(SUM(ia) AS BIGINT) AS n_a_exact,
+         CAST(SUM(ib) AS BIGINT) AS n_b_exact,
+         CAST(SUM(ia * ib) AS BIGINT) AS n_inter_exact,
+         CAST(COUNT(*) AS BIGINT) AS n_union_exact
+  FROM (
+    SELECT user_id,
+           MAX(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS ia,
+           MAX(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS ib
+    FROM sides GROUP BY 1
+  )
+)
+SELECT x.n_a_exact, x.n_b_exact, x.n_inter_exact, x.n_union_exact,
+       CAST(1000 * x.n_inter_exact // x.n_union_exact AS BIGINT)
+         AS exact_jaccard_milli,
+       e.k_used, e.matches,
+       CAST(1000 * e.matches // e.k_used AS BIGINT) AS est_jaccard_milli
+FROM est e CROSS JOIN exact x
+"""
+
+
 def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-cardinality estimation via the count-min inner product — the
     planner-side use of the CMS: |A join_k B| is estimated as
@@ -861,6 +1003,7 @@ QUERIES: dict[str, tuple] = {
     "sketch_hll_registers": (sketch_hll_registers, ORACLE_HLL_REGISTERS),
     "sketch_cms_join_size": (sketch_cms_join_size, _cms_join_oracle()),
     "sketch_hll_set_algebra": (sketch_hll_set_algebra, ORACLE_HLL_SET_ALGEBRA),
+    "sketch_kmv_jaccard": (sketch_kmv_jaccard, ORACLE_KMV_JACCARD),
     "sketch_hll_estimate": (sketch_hll_estimate, ORACLE_HLL_ESTIMATE),
     "sketch_kmv_distinct": (sketch_kmv_distinct, ORACLE_KMV),
     "sketch_cms_heavy_hitters": (sketch_cms_heavy_hitters, ORACLE_CMS),
