@@ -759,6 +759,120 @@ FROM est
 """
 
 
+_SLIDE_DAYS = 7
+
+
+def sketch_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct users via daily HLL registers: one register
+    table per day (precomputed once), any trailing window answered by
+    MAX-merging the window's registers — the mergeability-over-TIME
+    property that lets a warehouse keep 365 daily sketches and answer any
+    date-range distinct in O(window x m) without touching raw data. The
+    7-day estimate per day rides next to the exact count (computed by the
+    bounded-explode rolling-WAU rewrite) as its anchor.
+
+    Scale: daily registers are |days| x 64 rows; the window merge joins
+    only the register table against a |days|-row window map. The exact
+    twin explodes each user-day into <= 7 window assignments — linear,
+    map-side combinable."""
+    ev = t(spark, sf_dir, "events_ms").select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    )
+    h = _H_USER
+    daily_regs = (
+        ev.selectExpr(
+            "day",
+            f"{_hll_bucket_sql(h)} AS bucket",
+            f"{_hll_rho_sql(h)} AS rho",
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").cast("int").alias("r"))
+    )
+    days = ev.select("day").distinct()
+    # window map: (report day, contributing day) pairs — |days| x <= 7 rows
+    win = days.select(F.col("day").alias("rday")).join(
+        F.broadcast(days.select(F.col("day").alias("cday"))),
+        F.expr(f"cday BETWEEN rday - INTERVAL {_SLIDE_DAYS - 1} DAYS AND rday"),
+    )
+    merged = (
+        win.join(F.broadcast(daily_regs), F.col("cday") == F.col("day"))
+        .groupBy("rday", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    est = merged.groupBy("rday").agg(
+        F.count("*").cast("bigint").alias("hit"),
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), {_RHO_CAP} - LEAST(r, {_RHO_CAP}))"
+            )
+        )
+        .cast("bigint")
+        .alias("s_present"),
+    ).select(
+        "rday",
+        F.expr(
+            f"CAST({_EST_NUM} AS BIGINT) div "
+            f"(s_present + ({_HLL_M} - hit) * CAST({_POW2_CAP} AS BIGINT))"
+        ).alias("est_milli"),
+    )
+    # exact anchor: each active (user, day) contributes to <= 7 report days
+    contrib = ev.distinct().select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), _SLIDE_DAYS - 1),
+            )
+        ).alias("rday"),
+    )
+    exact = (
+        contrib.join(F.broadcast(days.withColumnRenamed("day", "rday")), "rday")
+        .groupBy("rday")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+    )
+    return est.join(exact, "rday").select(
+        F.col("rday").alias("day"), "est_milli", "n_exact"
+    )
+
+
+ORACLE_HLL_SLIDING = f"""
+WITH ev AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events_ms
+), daily_regs AS (
+  SELECT day, {_hll_bucket_sql(_H_USER_DUCK)} AS bucket,
+         CAST(MAX({_hll_rho_sql(_H_USER_DUCK)}) AS INTEGER) AS r
+  FROM ev GROUP BY 1, 2
+), days AS (SELECT DISTINCT day FROM ev),
+win AS (
+  SELECT a.day AS rday, b.day AS cday
+  FROM days a JOIN days b
+    ON b.day BETWEEN a.day - INTERVAL {_SLIDE_DAYS - 1} DAY AND a.day
+), merged AS (
+  SELECT w.rday, d.bucket, MAX(d.r) AS r
+  FROM win w JOIN daily_regs d ON w.cday = d.day
+  GROUP BY 1, 2
+), est AS (
+  SELECT rday,
+         CAST({_EST_NUM} AS BIGINT)
+           // (SUM(CAST(1 AS BIGINT) << ({_RHO_CAP} - LEAST(r, {_RHO_CAP})))
+              + ({_HLL_M} - COUNT(*)) * CAST({_POW2_CAP} AS BIGINT)) AS est_milli
+  FROM merged GROUP BY 1
+), exact AS (
+  SELECT c.rday, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS n_exact
+  FROM (
+    SELECT DISTINCT e.user_id,
+           e.day + INTERVAL 1 DAY * u.i AS rday
+    FROM (SELECT DISTINCT day, user_id FROM ev) e,
+         (SELECT unnest(generate_series(0, {_SLIDE_DAYS - 1})) AS i) u
+  ) c JOIN days d ON c.rday = d.day
+  GROUP BY 1
+)
+SELECT CAST(e.rday AS DATE) AS day,
+       CAST(e.est_milli AS BIGINT) AS est_milli, x.n_exact
+FROM est e JOIN exact x ON e.rday = x.rday
+"""
+
+
 def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-style KMV set intersection: Jaccard from the k-minimum-values
     samples — the industry answer to HLL's error-amplifying
@@ -1004,6 +1118,7 @@ QUERIES: dict[str, tuple] = {
     "sketch_cms_join_size": (sketch_cms_join_size, _cms_join_oracle()),
     "sketch_hll_set_algebra": (sketch_hll_set_algebra, ORACLE_HLL_SET_ALGEBRA),
     "sketch_kmv_jaccard": (sketch_kmv_jaccard, ORACLE_KMV_JACCARD),
+    "sketch_hll_sliding_distinct": (sketch_hll_sliding_distinct, ORACLE_HLL_SLIDING),
     "sketch_hll_estimate": (sketch_hll_estimate, ORACLE_HLL_ESTIMATE),
     "sketch_kmv_distinct": (sketch_kmv_distinct, ORACLE_KMV),
     "sketch_cms_heavy_hitters": (sketch_cms_heavy_hitters, ORACLE_CMS),
