@@ -59,6 +59,7 @@ def _load_optional():
         # driver window can prove them all
         "sketches",
         "quantiles",
+        "fuzzy",
         "audio",
         "olap",
         "bitmaps",
