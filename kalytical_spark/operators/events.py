@@ -149,17 +149,26 @@ GROUP BY 1, 2
 """
 
 
+def with_session_ids(ev: DataFrame) -> DataFrame:
+    """Attach per-user session ids (30-minute inactivity gap split) — the
+    ONE definition of sessionization, shared by the session summary below
+    and the journey-path miners (journeys.py), so session boundaries can
+    never drift between consumers."""
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = W.partitionBy("user_id").orderBy(*order)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return ev.withColumn(
+        "new_sess", (gap.isNull() | (gap > 1800)).cast("int")
+    ).withColumn(
+        "sess_id", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+
+
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: per-user sessions split on 30-minute inactivity gaps
     (lag + cumulative-sum pattern; streaming twin is session_window)."""
     ev = t(spark, sf_dir, "events_ms")
-    order = [F.col("ts").asc(), F.col("event_id").asc()]
-    w = W.partitionBy("user_id").orderBy(*order)
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    with_sess = (
-        ev.withColumn("new_sess", (gap.isNull() | (gap > 1800)).cast("int"))
-        .withColumn("sess_id", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)))
-    )
+    with_sess = with_session_ids(ev)
     per_sess = with_sess.groupBy("user_id", "sess_id").agg(
         F.count("*").alias("n_events"),
         (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("dur_s"),

@@ -60,6 +60,7 @@ def _load_optional():
         "sketches",
         "quantiles",
         "fuzzy",
+        "journeys",
         "audio",
         "olap",
         "bitmaps",
