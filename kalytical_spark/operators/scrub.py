@@ -223,7 +223,57 @@ GROUP BY source, lang
 """
 
 
+_K_ANON = 5  # minimum group size: quasi-identifier groups below this flag
+
+
+def events_k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit over the event log's quasi-identifier tuple
+    (event_type, day, value decade): per equivalence class, its size and
+    whether it violates k — the re-identification screen a privacy review
+    runs BEFORE release, completing the PII family (pii_scrub_docs removes
+    direct identifiers; this catches indirect ones). The summary row set
+    is per-class (bounded by |types| x |days| x |decades|, not corpus
+    size); at 100 TB the class rollup is one map-side-combinable groupBy.
+    The value decade reuses the quantile sketch's digit-count bucket — a
+    coarsening a real release would tune per attribute."""
+    from pyspark.sql import functions as F
+
+    from .common import t
+
+    ev = t(spark, sf_dir, "events_ms")
+    cents = (F.col("value").cast("decimal(12,4)") * 100).cast("bigint")
+    classes = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.length(cents.cast("string")).cast("int").alias("value_decade"),
+        )
+        .groupBy("event_type", "day", "value_decade")
+        .agg(F.count("*").cast("bigint").alias("class_size"))
+    )
+    return classes.select(
+        "event_type",
+        "day",
+        "value_decade",
+        "class_size",
+        (F.col("class_size") < _K_ANON).alias("violates_k"),
+    )
+
+
+ORACLE_K_ANON = f"""
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS DATE) AS day,
+       CAST(length(CAST(CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT)
+                        AS VARCHAR)) AS INTEGER) AS value_decade,
+       CAST(COUNT(*) AS BIGINT) AS class_size,
+       COUNT(*) < {_K_ANON} AS violates_k
+FROM events_ms
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "pii_scrub_docs": (pii_scrub_docs, ORACLE_PII),
     "mix_temperature_sample": (mix_temperature_sample, ORACLE_MIX),
+    "events_k_anonymity_audit": (events_k_anonymity_audit, ORACLE_K_ANON),
 }
