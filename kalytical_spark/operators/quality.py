@@ -144,6 +144,70 @@ FROM ord2 WHERE o_orderdate > TIMESTAMP '{DATE_MAX} 00:00:00'
 """
 
 
+# Benford first-digit expectations in integer milli: 1000*log10(1 + 1/d).
+# Precomputed constants (no float log in either engine's query).
+_BENFORD_MILLI = {1: 301, 2: 176, 3: 125, 4: 97, 5: 79, 6: 67, 7: 58, 8: 51, 9: 46}
+
+
+def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of lineitem prices — the classic
+    fabricated-data screen: per leading digit, the observed share (milli)
+    vs the Benford expectation and the absolute deviation. Natural
+    multi-decade positive data tracks Benford; injected or truncated data
+    doesn't. One map-side-combinable groupBy over 9 digits; expectations
+    are precomputed integer constants, so the report is exact in both
+    engines. (TPC-H prices are NOT Benford-distributed — the audit's value
+    here is that the deviation column faithfully shows it; the operator is
+    the screen, the fixture is just its input.)"""
+    li = t(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(12,4)") * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = li.select(digit.alias("d")).groupBy("d").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    expect = spark.createDataFrame(
+        [(d, m) for d, m in _BENFORD_MILLI.items()], "d INT, expected_milli INT"
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    return (
+        expect.join(counts, "d", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "d",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.expr("CAST(1000 * coalesce(n, 0) div total AS BIGINT)").alias(
+                "observed_milli"
+            ),
+            F.col("expected_milli").cast("bigint").alias("expected_milli"),
+            F.expr(
+                "CAST(abs(1000 * coalesce(n, 0) div total - expected_milli) AS BIGINT)"
+            ).alias("abs_dev_milli"),
+        )
+    )
+
+
+ORACLE_BENFORD = f"""
+WITH counts AS (
+  SELECT CAST(substring(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 100
+                             AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+), expect AS (
+  SELECT * FROM (VALUES
+    {', '.join(f'({d}, {m})' for d, m in _BENFORD_MILLI.items())}
+  ) AS t(d, expected_milli)
+), total AS (SELECT SUM(n) AS total FROM counts)
+SELECT e.d,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+       CAST(1000 * COALESCE(c.n, 0) // t.total AS BIGINT) AS observed_milli,
+       CAST(e.expected_milli AS BIGINT) AS expected_milli,
+       CAST(abs(1000 * COALESCE(c.n, 0) // t.total - e.expected_milli) AS BIGINT)
+         AS abs_dev_milli
+FROM expect e LEFT JOIN counts c ON e.d = c.d CROSS JOIN total t
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dq_constraint_report": (dq_constraint_report, ORACLE_DQ),
+    "dq_benford_audit": (dq_benford_audit, ORACLE_BENFORD),
 }

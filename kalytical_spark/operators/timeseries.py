@@ -627,9 +627,88 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
 """
 
 
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event-type daily series: the (lower)
+    median of all pairwise slopes — the estimator that shrugs off the
+    outlier days that wreck least squares. Slopes are integer milli
+    (1000 * delta_count div delta_days, day distance from exact date
+    arithmetic), the median is the explicit-rank lower median, so the twin
+    matches value-exactly.
+
+    Scale: the pair fan-out is |days|^2 per series (~450 rows here) — the
+    series-length square, NOT corpus-sized; the daily rollup before it is
+    the only corpus-touching aggregate (map-side combinable)."""
+    ev = t(spark, sf_dir, "events_ms")
+    daily = (
+        ev.select(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("day_i"), F.col("n").alias("n_i")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et"),
+        F.col("day").alias("day_j"),
+        F.col("n").alias("n_j"),
+    )
+    slopes = (
+        a.join(b, (a.event_type == b.et) & (F.col("day_i") < F.col("day_j")))
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(1000 * (n_j - n_i) div datediff(day_j, day_i) AS BIGINT)"
+            ).alias("slope_milli"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("slope_milli")
+    ranked = slopes.select(
+        "event_type",
+        "slope_milli",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("event_type")).alias("n_pairs"),
+    )
+    return (
+        ranked.filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .groupBy("event_type")
+        .agg(
+            F.min("slope_milli").cast("bigint").alias("trend_milli_per_day"),
+            F.min("n_pairs").cast("bigint").alias("n_pairs"),
+        )
+    )
+
+
+ORACLE_THEIL_SEN = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events_ms GROUP BY 1, 2
+), slopes AS (
+  SELECT a.event_type,
+         CAST(1000 * (b.n - a.n) // date_diff('day', a.day, b.day) AS BIGINT)
+           AS slope_milli
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+), ranked AS (
+  SELECT event_type, slope_milli,
+         row_number() OVER (PARTITION BY event_type ORDER BY slope_milli) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+  FROM slopes
+)
+SELECT event_type,
+       CAST(MIN(slope_milli) AS BIGINT) AS trend_milli_per_day,
+       CAST(MIN(n_pairs) AS BIGINT) AS n_pairs
+FROM ranked WHERE rn = (n_pairs + 1) // 2
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "events_gap_fill_resample": (events_gap_fill_resample, ORACLE_GAP_FILL),
     "events_cusum_changepoints": (events_cusum_changepoints, ORACLE_CUSUM),
+    "events_theil_sen_trend": (events_theil_sen_trend, ORACLE_THEIL_SEN),
     "events_range_frame_rolling": (events_range_frame_rolling, ORACLE_RANGE_FRAME),
     "events_cohort_retention": (events_cohort_retention, ORACLE_COHORT),
     "events_rate_anomaly": (events_rate_anomaly, ORACLE_RATE_ANOMALY),
