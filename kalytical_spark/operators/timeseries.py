@@ -705,10 +705,72 @@ GROUP BY 1
 """
 
 
+def events_chisq_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen for event_type x day-of-week: per
+    contingency cell, the observed count and the micro-scaled chi-square
+    contribution 10^6 * (o*T - r*c)^2 div (r*c*T) — the statistic kept
+    EXACT by cross-multiplying instead of dividing by the rational
+    expected count (o*T ~ 1e7, squared 1e14, x1e6 < 2^63 at these scales;
+    a larger corpus would drop the micro factor). The per-cell detail is
+    what an analyst actually reads (which cells drive the dependence);
+    the total is one more aggregate away.
+
+    Scale: the contingency table is |types| x 7 cells from one map-side-
+    combinable groupBy; everything after is arithmetic on that tiny
+    frame."""
+    ev = t(spark, sf_dir, "events_ms")
+    cells = (
+        ev.select(
+            "event_type", F.dayofweek("ts").cast("int").alias("dow")
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count("*").cast("bigint").alias("o"))
+    )
+    r = cells.groupBy("event_type").agg(F.sum("o").alias("r_tot"))
+    c = cells.groupBy("dow").agg(F.sum("o").alias("c_tot"))
+    tot = cells.agg(F.sum("o").alias("t_tot"))
+    return (
+        cells.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "dow",
+            "o",
+            F.expr(
+                "CAST(1000000 * (o * t_tot - r_tot * c_tot) "
+                "* (o * t_tot - r_tot * c_tot) "
+                "div (r_tot * c_tot * t_tot) AS BIGINT)"
+            ).alias("chisq_contrib_micro"),
+        )
+    )
+
+
+ORACLE_CHISQ = """
+WITH cells AS (
+  -- DuckDB dayofweek is 0(Sun)-6; Spark is 1(Sun)-7 — shift to match
+  SELECT event_type, CAST(1 + dayofweek(ts) AS INT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events_ms GROUP BY 1, 2
+), r AS (SELECT event_type, SUM(o) AS r_tot FROM cells GROUP BY 1),
+c AS (SELECT dow, SUM(o) AS c_tot FROM cells GROUP BY 1),
+tot AS (SELECT SUM(o) AS t_tot FROM cells)
+SELECT x.event_type, x.dow, x.o,
+       CAST(1000000 * (x.o * t.t_tot - r.r_tot * c.c_tot)
+            * (x.o * t.t_tot - r.r_tot * c.c_tot)
+            // (r.r_tot * c.c_tot * t.t_tot) AS BIGINT) AS chisq_contrib_micro
+FROM cells x
+JOIN r ON x.event_type = r.event_type
+JOIN c ON x.dow = c.dow
+CROSS JOIN tot t
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "events_gap_fill_resample": (events_gap_fill_resample, ORACLE_GAP_FILL),
     "events_cusum_changepoints": (events_cusum_changepoints, ORACLE_CUSUM),
     "events_theil_sen_trend": (events_theil_sen_trend, ORACLE_THEIL_SEN),
+    "events_chisq_type_dow": (events_chisq_type_dow, ORACLE_CHISQ),
     "events_range_frame_rolling": (events_range_frame_rolling, ORACLE_RANGE_FRAME),
     "events_cohort_retention": (events_cohort_retention, ORACLE_COHORT),
     "events_rate_anomaly": (events_rate_anomaly, ORACLE_RATE_ANOMALY),
