@@ -766,11 +766,97 @@ CROSS JOIN tot t
 """
 
 
+def events_mannwhitney_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney rank-sum screen: do weekend purchases differ from
+    weekday purchases in value? Nonparametric (rank-based — the Theil-Sen
+    of location tests), computed EXACTLY: values rank over the pooled
+    integer cents with ties carrying DOUBLED average ranks (2*avg-rank =
+    rank_min + rank_max is always an integer), so U2 = 2*U =
+    sum(2*ranks_weekend) - n_w*(n_w+1) is exact in both engines. The row
+    reports both cohort sizes, U2, and its midpoint 2*E[U] = n_w*n_d for
+    direction reading.
+
+    Scale: one pooled rank over the purchase slice — per-value tie groups
+    come from a groupBy, cumulative ranks from the digit-count two-level
+    prefix sum (no unpartitioned window, same decomposition as the
+    quantile anchor)."""
+    ev = t(spark, sf_dir, "events_ms").filter(F.col("event_type") == "purchase")
+    vals = ev.select(
+        (F.col("value").cast("decimal(12,4)") * 100).cast("bigint").alias("v"),
+        F.dayofweek("ts").isin(1, 7).cast("int").alias("is_weekend"),
+    )
+    # per distinct value: total count, weekend count, digit-count partition
+    byval = (
+        vals.groupBy("v")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("is_weekend").alias("cnt_w"),
+        )
+        .withColumn("k", F.length(F.col("v").cast("string")))
+    )
+    wk = W.partitionBy("k").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    within = byval.withColumn("cum_in_k", F.sum("cnt").over(wk))
+    k_tot = byval.groupBy("k").agg(F.sum("cnt").alias("ktot"))
+    ka, kb = k_tot.alias("ka"), k_tot.alias("kb")
+    offsets = (
+        ka.join(kb, F.col("kb.k") < F.col("ka.k"), "left")
+        .groupBy(F.col("ka.k").alias("k"))
+        .agg(F.coalesce(F.sum("kb.ktot"), F.lit(0)).alias("offset"))
+    )
+    ranked = within.join(F.broadcast(offsets), "k").select(
+        "v",
+        "cnt",
+        "cnt_w",
+        (F.col("cum_in_k") + F.col("offset")).alias("cum"),  # rank_max
+    )
+    # doubled average rank of a tie group = rank_min + rank_max
+    #   = (cum - cnt + 1) + cum
+    stats = ranked.agg(
+        F.sum("cnt").cast("bigint").alias("n_total"),
+        F.sum("cnt_w").cast("bigint").alias("n_w"),
+        F.sum(F.col("cnt_w") * (2 * F.col("cum") - F.col("cnt") + 1))
+        .cast("bigint")
+        .alias("rank2_sum_w"),
+    )
+    return stats.select(
+        "n_w",
+        (F.col("n_total") - F.col("n_w")).cast("bigint").alias("n_d"),
+        F.expr("CAST(rank2_sum_w - n_w * (n_w + 1) AS BIGINT)").alias("u2_weekend"),
+        F.expr("CAST(n_w * (n_total - n_w) AS BIGINT)").alias("u2_midpoint"),
+    )
+
+
+ORACLE_MANNWHITNEY = """
+WITH vals AS (
+  SELECT CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT) AS v,
+         CASE WHEN (1 + dayofweek(ts)) IN (1, 7) THEN 1 ELSE 0 END AS is_weekend
+  FROM events_ms WHERE event_type = 'purchase'
+), byval AS (
+  SELECT v, COUNT(*) AS cnt, SUM(is_weekend) AS cnt_w FROM vals GROUP BY 1
+), ranked AS (
+  SELECT v, cnt, cnt_w,
+         SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+  FROM byval
+), stats AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+         CAST(SUM(cnt_w) AS BIGINT) AS n_w,
+         CAST(SUM(cnt_w * (2 * cum - cnt + 1)) AS BIGINT) AS rank2_sum_w
+  FROM ranked
+)
+SELECT n_w,
+       CAST(n_total - n_w AS BIGINT) AS n_d,
+       CAST(rank2_sum_w - n_w * (n_w + 1) AS BIGINT) AS u2_weekend,
+       CAST(n_w * (n_total - n_w) AS BIGINT) AS u2_midpoint
+FROM stats
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "events_gap_fill_resample": (events_gap_fill_resample, ORACLE_GAP_FILL),
     "events_cusum_changepoints": (events_cusum_changepoints, ORACLE_CUSUM),
     "events_theil_sen_trend": (events_theil_sen_trend, ORACLE_THEIL_SEN),
     "events_chisq_type_dow": (events_chisq_type_dow, ORACLE_CHISQ),
+    "events_mannwhitney_weekend": (events_mannwhitney_weekend, ORACLE_MANNWHITNEY),
     "events_range_frame_rolling": (events_range_frame_rolling, ORACLE_RANGE_FRAME),
     "events_cohort_retention": (events_cohort_retention, ORACLE_COHORT),
     "events_rate_anomaly": (events_rate_anomaly, ORACLE_RATE_ANOMALY),
