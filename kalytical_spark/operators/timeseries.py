@@ -707,13 +707,14 @@ GROUP BY 1
 
 def events_chisq_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence screen for event_type x day-of-week: per
-    contingency cell, the observed count and the micro-scaled chi-square
-    contribution 10^6 * (o*T - r*c)^2 div (r*c*T) — the statistic kept
-    EXACT by cross-multiplying instead of dividing by the rational
-    expected count (o*T ~ 1e7, squared 1e14, x1e6 < 2^63 at these scales;
-    a larger corpus would drop the micro factor). The per-cell detail is
-    what an analyst actually reads (which cells drive the dependence);
-    the total is one more aggregate away.
+    contingency cell, the observed count and the milli-scaled chi-square
+    contribution (1000*o - e_milli)^2 div e_milli with e_milli =
+    1000*r*c div T — expectation-first integer form whose magnitudes stay
+    under 2^63 through sf10 (1000*o squared; the naive cross-multiplied
+    (o*T - r*c)^2 form overflowed bigint already at sf0.1). Identical
+    floor spelling in both engines, so the twin matches value-exactly.
+    The per-cell detail is what an analyst actually reads (which cells
+    drive the dependence); the total is one more aggregate away.
 
     Scale: the contingency table is |types| x 7 cells from one map-side-
     combinable groupBy; everything after is arithmetic on that tiny
@@ -738,10 +739,10 @@ def events_chisq_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dow",
             "o",
             F.expr(
-                "CAST(1000000 * (o * t_tot - r_tot * c_tot) "
-                "* (o * t_tot - r_tot * c_tot) "
-                "div (r_tot * c_tot * t_tot) AS BIGINT)"
-            ).alias("chisq_contrib_micro"),
+                "CAST((1000 * o - 1000 * r_tot * c_tot div t_tot) "
+                "* (1000 * o - 1000 * r_tot * c_tot div t_tot) "
+                "div (1000 * r_tot * c_tot div t_tot) AS BIGINT)"
+            ).alias("chisq_contrib_milli"),
         )
     )
 
@@ -756,9 +757,10 @@ WITH cells AS (
 c AS (SELECT dow, SUM(o) AS c_tot FROM cells GROUP BY 1),
 tot AS (SELECT SUM(o) AS t_tot FROM cells)
 SELECT x.event_type, x.dow, x.o,
-       CAST(1000000 * (x.o * t.t_tot - r.r_tot * c.c_tot)
-            * (x.o * t.t_tot - r.r_tot * c.c_tot)
-            // (r.r_tot * c.c_tot * t.t_tot) AS BIGINT) AS chisq_contrib_micro
+       CAST((1000 * x.o - 1000 * r.r_tot * c.c_tot // t.t_tot)
+            * (1000 * x.o - 1000 * r.r_tot * c.c_tot // t.t_tot)
+            // (1000 * r.r_tot * c.c_tot // t.t_tot) AS BIGINT)
+         AS chisq_contrib_milli
 FROM cells x
 JOIN r ON x.event_type = r.event_type
 JOIN c ON x.dow = c.dow
