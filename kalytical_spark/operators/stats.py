@@ -1,0 +1,295 @@
+"""Distribution-comparison and regression screens over the event log:
+two-sample Kolmogorov-Smirnov, per-series ordinary-least-squares trend,
+and autocorrelation — the remaining members of the exact-integer
+statistics family started in timeseries.py (chi-square, Mann-Whitney,
+Theil-Sen, CUSUM).
+
+All three follow the family's exactness convention: every reported
+statistic is integer arithmetic on exact counts/cents with identical
+truncating-division spelling in both engines, so the DuckDB twin matches
+value-exactly (no float tolerance anywhere). Magnitudes are bounded
+through sf100 (see per-query notes).
+
+Scale: each query is one map-side-combinable groupBy over the fact table
+followed by arithmetic on a tiny aggregated frame (distinct purchase
+values, or |types| x |days| rows). Nothing corpus-sized is joined,
+windowed, or collected; the KS prefix sum reuses the digit-count
+two-level decomposition (no unpartitioned windows).
+
+The reference has no statistics surface at all (its closest analog is
+run counting, ``data_provider.py:189-199``); this family exists for the
+warehouse/DQ side of the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .common import t
+
+
+def events_ks_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov screen on purchase values, weekend
+    vs weekday: D = max_v |F_w(v) - F_d(v)|, reported EXACTLY as the
+    cross-multiplied integer numerator ks_num = max_v |cum_w(v)*n_d -
+    cum_d(v)*n_w| (D = ks_num / (n_w*n_d)), plus the smallest value
+    attaining the max (where the distributions diverge most). Complements
+    the Mann-Whitney screen: MW sees location shifts, KS sees any shape
+    difference.
+
+    Exactness: cum_w*n_d <= n_w*n_d (~1.6e15 at sf100) — bigint-safe.
+    Ties between cohorts collapse onto distinct values first, so both
+    engines evaluate the ECDF at identical support points.
+
+    Scale: one groupBy onto distinct cents values, then the digit-count
+    two-level prefix sum (same decomposition as the quantile anchor and
+    Mann-Whitney — no unpartitioned window)."""
+    ev = t(spark, sf_dir, "events_ms").filter(F.col("event_type") == "purchase")
+    vals = ev.select(
+        (F.col("value").cast("decimal(12,4)") * 100).cast("bigint").alias("v"),
+        F.dayofweek("ts").isin(1, 7).cast("int").alias("is_weekend"),
+    )
+    byval = (
+        vals.groupBy("v")
+        .agg(F.count("*").alias("cnt"), F.sum("is_weekend").alias("cnt_w"))
+        .withColumn("k", F.length(F.col("v").cast("string")))
+    )
+    wk = W.partitionBy("k").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    within = byval.select(
+        "v",
+        "k",
+        F.sum("cnt").over(wk).alias("cum_in_k"),
+        F.sum("cnt_w").over(wk).alias("cum_w_in_k"),
+    )
+    k_tot = byval.groupBy("k").agg(
+        F.sum("cnt").alias("ktot"), F.sum("cnt_w").alias("ktot_w")
+    )
+    ka, kb = k_tot.alias("ka"), k_tot.alias("kb")
+    offsets = (
+        ka.join(kb, F.col("kb.k") < F.col("ka.k"), "left")
+        .groupBy(F.col("ka.k").alias("k"))
+        .agg(
+            F.coalesce(F.sum("kb.ktot"), F.lit(0)).alias("off"),
+            F.coalesce(F.sum("kb.ktot_w"), F.lit(0)).alias("off_w"),
+        )
+    )
+    tot = byval.agg(
+        F.sum("cnt").cast("bigint").alias("n_total"),
+        F.sum("cnt_w").cast("bigint").alias("n_w"),
+    )
+    diffs = (
+        within.join(F.broadcast(offsets), "k")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            "n_w",
+            (F.col("n_total") - F.col("n_w")).alias("n_d"),
+            F.expr(
+                "abs((cum_w_in_k + off_w) * (n_total - n_w) "
+                "- (cum_in_k + off - cum_w_in_k - off_w) * n_w)"
+            ).alias("d_num"),
+        )
+    )
+    mx = diffs.agg(F.max("d_num").alias("mx"))
+    return (
+        diffs.crossJoin(F.broadcast(mx))
+        .filter(F.col("d_num") == F.col("mx"))
+        .groupBy("n_w", "n_d")
+        .agg(
+            F.max("d_num").cast("bigint").alias("ks_num"),
+            F.min("v").cast("bigint").alias("ks_at_cents"),
+        )
+    )
+
+
+ORACLE_KS = """
+WITH vals AS (
+  SELECT CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT) AS v,
+         CASE WHEN (1 + dayofweek(ts)) IN (1, 7) THEN 1 ELSE 0 END AS is_weekend
+  FROM events_ms WHERE event_type = 'purchase'
+), byval AS (
+  SELECT v, COUNT(*) AS cnt, SUM(is_weekend) AS cnt_w FROM vals GROUP BY 1
+), cums AS (
+  SELECT v,
+         SUM(cnt)   OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt_w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_w
+  FROM byval
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_total, CAST(SUM(cnt_w) AS BIGINT) AS n_w
+  FROM byval
+), diffs AS (
+  SELECT c.v, t.n_w, t.n_total - t.n_w AS n_d,
+         abs(c.cum_w * (t.n_total - t.n_w) - (c.cum - c.cum_w) * t.n_w) AS d_num
+  FROM cums c CROSS JOIN tot t
+)
+SELECT n_w, CAST(n_d AS BIGINT) AS n_d,
+       CAST(MAX(d_num) AS BIGINT) AS ks_num,
+       CAST(MIN(CASE WHEN d_num = (SELECT MAX(d_num) FROM diffs) THEN v END)
+            AS BIGINT) AS ks_at_cents
+FROM diffs
+GROUP BY n_w, n_d
+"""
+
+
+def events_ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS slope over the daily-count series — the
+    classical least-squares companion to the Theil-Sen robust trend
+    (timeseries.py): slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), reported
+    as slope_milli = 1000*cov_num div var_num plus both exact integer
+    sums so an analyst can re-derive intercept/fit. x is days since the
+    global first day (shared origin so slopes are comparable across
+    types).
+
+    Exactness: x <= ~370, daily counts <= ~1e6 at sf100 -> n*Sxy <=
+    ~5e13, 1000x ~5e16 — bigint-safe. Truncating div agrees across
+    engines for negative covariances (both truncate toward zero).
+
+    Scale: daily rollup is the only corpus-touching aggregate (map-side
+    combinable); the regression sums are a second tiny groupBy — fully
+    map-side, no windows, no joins except the broadcast scalar origin."""
+    ev = t(spark, sf_dir, "events_ms")
+    origin = ev.agg(F.min(F.date_trunc("day", "ts").cast("date")).alias("d0"))
+    daily = (
+        ev.select("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("bigint").alias("y"))
+        .crossJoin(F.broadcast(origin))
+        .select(
+            "event_type", F.datediff("day", "d0").cast("bigint").alias("x"), "y"
+        )
+    )
+    sums = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return sums.select(
+        "event_type",
+        "n_days",
+        F.expr("CAST(n_days * sxy - sx * sy AS BIGINT)").alias("cov_num"),
+        F.expr("CAST(n_days * sxx - sx * sx AS BIGINT)").alias("var_num"),
+        F.expr(
+            "CAST(1000 * (n_days * sxy - sx * sy) div (n_days * sxx - sx * sx) AS BIGINT)"
+        ).alias("slope_milli_per_day"),
+    )
+
+
+ORACLE_OLS = """
+WITH origin AS (
+  SELECT MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0 FROM events_ms
+), daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', o.d0, CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events_ms CROSS JOIN origin o
+  GROUP BY 1, 2
+), sums AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n_days,
+       CAST(n_days * sxy - sx * sy AS BIGINT) AS cov_num,
+       CAST(n_days * sxx - sx * sx AS BIGINT) AS var_num,
+       CAST(1000 * (n_days * sxy - sx * sy) // (n_days * sxx - sx * sx) AS BIGINT)
+         AS slope_milli_per_day
+FROM sums
+"""
+
+
+ACF_MAX_LAG = 7
+
+
+def events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of each event-type daily-count series at calendar
+    lags 1..7 — the weekly-seasonality detector (lag-7 spikes =
+    day-of-week cycle). Deviations are from the FLOORED per-type mean
+    (m = S div n, identical truncation both engines), so r_milli(k) =
+    1000 * sum(d_t * d_{t+k}) div sum(d_t^2) is exact integer end to end.
+
+    Exactness: |d| <= daily-count range (~1e6 at sf100), d^2 sums ~1e12
+    over ~370 days, 1000x ~1e15 — bigint-safe (this floored-mean form is
+    why; n-scaled deviations would overflow at 1000x).
+
+    Scale: lag pairs come from an equi-join of the tiny daily frame to
+    itself on (type, day+k) — |types| x |days| x 7 rows, never
+    corpus-sized. Missing days simply drop pairs, identically in both
+    engines; n_pairs is reported so the reader sees the support."""
+    ev = t(spark, sf_dir, "events_ms")
+    daily = (
+        ev.select("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    means = daily.groupBy("event_type").agg(
+        F.expr("CAST(sum(y) div count(*) AS BIGINT)").alias("m")
+    )
+    dev = (
+        daily.join(F.broadcast(means), "event_type")
+        .select("event_type", "day", (F.col("y") - F.col("m")).alias("d"))
+    )
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("den")
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
+    a = dev.crossJoin(F.broadcast(lags))
+    b = dev.select(
+        F.col("event_type").alias("et"),
+        F.col("day").alias("day_b"),
+        F.col("d").alias("d_b"),
+    )
+    pairs = a.join(
+        b,
+        (a.event_type == b.et) & (F.expr("date_add(day, lag)") == F.col("day_b")),
+    )
+    num = pairs.groupBy("event_type", "lag").agg(
+        F.sum(F.col("d") * F.col("d_b")).cast("bigint").alias("num"),
+        F.count("*").cast("bigint").alias("n_pairs"),
+    )
+    return num.join(F.broadcast(den), "event_type").select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        F.expr("CAST(1000 * num div den AS BIGINT)").alias("acf_milli"),
+    )
+
+
+ORACLE_ACF = f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events_ms GROUP BY 1, 2
+), means AS (
+  SELECT event_type, CAST(SUM(y) // COUNT(*) AS BIGINT) AS m
+  FROM daily GROUP BY 1
+), dev AS (
+  SELECT d.event_type, d.day, d.y - m.m AS d
+  FROM daily d JOIN means m ON d.event_type = m.event_type
+), den AS (
+  SELECT event_type, CAST(SUM(d * d) AS BIGINT) AS den FROM dev GROUP BY 1
+), lags AS (
+  SELECT CAST(range AS INT) AS lag FROM range(1, {ACF_MAX_LAG + 1})
+), num AS (
+  SELECT a.event_type, l.lag,
+         CAST(SUM(a.d * b.d) AS BIGINT) AS num,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM dev a
+  CROSS JOIN lags l
+  JOIN dev b ON a.event_type = b.event_type AND a.day + l.lag = b.day
+  GROUP BY 1, 2
+)
+SELECT n.event_type, n.lag, n.n_pairs,
+       CAST(1000 * n.num // d.den AS BIGINT) AS acf_milli
+FROM num n JOIN den d ON n.event_type = d.event_type
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "events_ks_weekend": (events_ks_weekend, ORACLE_KS),
+    "events_ols_daily_trend": (events_ols_daily_trend, ORACLE_OLS),
+    "events_acf_daily": (events_acf_daily, ORACLE_ACF),
+}

@@ -69,6 +69,7 @@ def _load_optional():
         "adherence",
         "simeval",
         "weighted",
+        "stats",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
