@@ -70,6 +70,7 @@ def _load_optional():
         "simeval",
         "weighted",
         "stats",
+        "skyline",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
