@@ -1,0 +1,139 @@
+"""Prefix-filtered exact set-similarity join (PPJoin-style) over document
+shingle sets — the third leg of the near-dup stool alongside the
+exhaustive inverted-index miner (dedup.py dedup_ngram_jaccard) and the
+probabilistic MinHash+LSH path (dedup_minhash_lsh):
+
+- exhaustive: exact answer, indexes EVERY shingle (fan-out = every
+  shared token);
+- LSH: sub-quadratic but probabilistic (banding can miss pairs);
+- prefix filter (here): EXACT answer with sub-quadratic candidate
+  generation — only each set's PREFIX (its rarest ``|s| - ceil(t*|s|) +
+  1`` tokens under one global token order) is indexed, and the prefix
+  filtering theorem guarantees any pair with Jaccard >= t shares a
+  prefix token, so pruning loses nothing.
+
+The global order is (document frequency asc, shingle asc) — rarest
+first, deterministically tie-broken — which makes prefix postings lists
+short exactly where the corpus is dense: a stopword shingle shared by
+half the corpus lands in almost no prefixes, killing the quadratic
+bucket the exhaustive join would build. The PPJoin length filter
+(t*|larger| <= |smaller|, integer cross-multiplied) prunes candidates
+before verification.
+
+Scale: df counting and prefix ranking are one groupBy + per-doc window;
+the candidate join runs over prefix postings only; verification touches
+candidate pairs times their shingles. The df dim is vocabulary-sized, so
+it rides a shuffle_hash join (never broadcast — repo convention).
+
+Proof: the DuckDB twin is the exhaustive inverted-index join at the same
+threshold — prefix pruning is exact, so the outputs must match
+value-for-value (this is the strongest kind of correctness check for a
+pruning technique: the oracle does NOT implement the pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .dedup import _SQL_SHINGLES, signature_tables
+
+SETSIM_T_MILLI = 500  # Jaccard threshold 0.5, integer cross-multiplied
+
+
+def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.5 near-dup pairs via prefix-filtered candidate
+    generation. Output contract matches the exhaustive miner (doc_a <
+    doc_b, intersection/size counts, double jaccard); only the plan
+    differs — prefix postings instead of full postings."""
+    sh, _long = signature_tables(spark, sf_dir)
+    df = sh.groupBy("shingle").agg(F.count("*").cast("bigint").alias("sh_df"))
+    wdoc = W.partitionBy("doc_id").orderBy("sh_df", "shingle")
+    ranked = sh.join(df.hint("shuffle_hash"), "shingle").select(
+        "doc_id",
+        "shingle",
+        F.row_number().over(wdoc).alias("rn"),
+        F.count("*").over(W.partitionBy("doc_id")).alias("n_sh"),
+    )
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("n_sh")
+        - F.expr(f"({SETSIM_T_MILLI} * n_sh + 999) div 1000")
+        + 1
+    ).select("doc_id", "shingle", "n_sh")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # PPJoin length filter: J >= t requires t*|larger| <= |smaller|
+            & (
+                1000 * F.least("a.n_sh", "b.n_sh")
+                >= SETSIM_T_MILLI * F.greatest("a.n_sh", "b.n_sh")
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_b"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_sh"))
+    jac = (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"),
+            "doc_b",
+        )
+        .filter(
+            1000 * F.col("n_inter")
+            >= SETSIM_T_MILLI * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        )
+    )
+    return jac.select(
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        "n_a",
+        "n_b",
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+        ).alias("jaccard"),
+    )
+
+
+ORACLE_SETSIM_PREFIX = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE 1000 * n_inter >= {SETSIM_T_MILLI} * (sa.n_sh + sb.n_sh - n_inter)
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "dedup_setsim_prefix": (dedup_setsim_prefix, ORACLE_SETSIM_PREFIX),
+}

@@ -71,6 +71,7 @@ def _load_optional():
         "weighted",
         "stats",
         "skyline",
+        "setsim",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
