@@ -72,6 +72,7 @@ def _load_optional():
         "stats",
         "skyline",
         "setsim",
+        "spans",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
