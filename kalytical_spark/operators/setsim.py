@@ -61,8 +61,19 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         <= F.col("n_sh")
         - F.expr(f"({SETSIM_T_MILLI} * n_sh + 999) div 1000")
         + 1
-    ).select("doc_id", "shingle", "n_sh")
+    ).select("doc_id", "shingle", "n_sh", "rn")
     a, b = prefix.alias("a"), prefix.alias("b")
+    # prefix rows carry each doc's set size and the token's per-doc rank,
+    # so candidate pairs get (n_a, n_b) and the POSITIONAL filter for
+    # free — no separate sizes aggregate, no size joins. Positional
+    # filter (the second PPJoin theorem): the globally-rarest shared
+    # token sits at ranks (i, j) = (min rn_a, min rn_b) — both minima
+    # are achieved by the same token because per-doc ranks restrict one
+    # global order — and every other shared token ranks after it in BOTH
+    # docs, so overlap <= 1 + min(n_a - i, n_b - j). J >= t needs
+    # overlap * (1000 + t_milli) >= t_milli * (n_a + n_b). Random pairs
+    # share only COMMON tokens, which rank late under rarest-first order,
+    # so this is the filter that kills the accidental candidate mass.
     cand = (
         a.join(
             b,
@@ -74,30 +85,37 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 >= SETSIM_T_MILLI * F.greatest("a.n_sh", "b.n_sh")
             ),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").cast("bigint").alias("n_a"),
+            F.col("b.n_sh").cast("bigint").alias("n_b"),
         )
-        .distinct()
+        .agg(
+            F.min("a.rn").alias("first_i"),
+            F.min("b.rn").alias("first_j"),
+        )
+        .filter(
+            (1000 + SETSIM_T_MILLI)
+            * (
+                1
+                + F.least(
+                    F.col("n_a") - F.col("first_i"),
+                    F.col("n_b") - F.col("first_j"),
+                )
+            )
+            >= SETSIM_T_MILLI * (F.col("n_a") + F.col("n_b"))
+        )
+        .select("doc_a", "doc_b", "n_a", "n_b")
     )
-    inter = (
+    jac = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(
             sh.withColumnRenamed("doc_id", "doc_b"),
             ["doc_b", "shingle"],
         )
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count("*").cast("bigint").alias("n_inter"))
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_sh"))
-    jac = (
-        inter.join(
-            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"),
-            "doc_a",
-        )
-        .join(
-            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"),
-            "doc_b",
-        )
         .filter(
             1000 * F.col("n_inter")
             >= SETSIM_T_MILLI * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
