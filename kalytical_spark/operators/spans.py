@@ -209,7 +209,95 @@ GROUP BY s.source
 """
 
 
+def dedup_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The family's consumer: the corpus with every duplicated span
+    excised (the conservative excise-all variant — text seen twice is
+    dropped EVERYWHERE; keeping one canonical occurrence is ill-posed at
+    the maximal-span level because overlapping sharing patterns give each
+    doc a differently-extended maximal span). Per doc: token accounting
+    plus `clean_fp`, the md5 of the surviving tokens in order — a
+    value-level proof that both engines reconstruct the SAME cleaned
+    text, not just the same counts.
+
+    Plan: tokens posexplode (O(total tokens)); covered-position test is a
+    left join on doc_id with a disjoint-interval containment predicate
+    (spans within a doc are disjoint, so the join cannot multiply rows);
+    reconstruction is one per-doc sort_array(collect_list(struct(pos,
+    tok))) — bounded by document length, partitioned by doc."""
+    pos = _dup_positions(spark, sf_dir)
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    isl = pos.withColumn("isl", F.col("pos") - F.row_number().over(wdoc))
+    spans = isl.groupBy("doc_id", "isl").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(SPAN_L - 1)).alias("span_end"),
+    )
+    toks = _corpus(spark, sf_dir).select(
+        "doc_id",
+        F.size("ts").cast("bigint").alias("n_toks"),
+        F.posexplode("ts").alias("pos0", "tok"),
+    ).select("doc_id", "n_toks", (F.col("pos0") + 1).alias("pos"), "tok")
+    s = spans.select(F.col("doc_id").alias("s_doc"), "span_start", "span_end")
+    marked = toks.join(
+        s,
+        (F.col("doc_id") == F.col("s_doc"))
+        & (F.col("pos") >= F.col("span_start"))
+        & (F.col("pos") <= F.col("span_end")),
+        "left",
+    ).select(
+        "doc_id",
+        "n_toks",
+        "pos",
+        "tok",
+        F.col("span_start").isNotNull().alias("covered"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.min("n_toks").alias("n_toks"),
+        F.sum(F.col("covered").cast("bigint")).alias("dup_toks"),
+        (F.min("n_toks") - F.sum(F.col("covered").cast("bigint"))).alias(
+            "clean_n_toks"
+        ),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(sort_array(collect_list(CASE WHEN NOT covered "
+                    "THEN struct(pos, tok) END)), x -> x.tok)"
+                ),
+            )
+        ).alias("clean_fp"),
+    )
+
+
+ORACLE_EXCISE = f"""
+WITH {_SQL_DUP_POS},
+spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {SPAN_L} - 1 AS span_end
+  FROM isl GROUP BY doc_id, isl
+),
+toks AS (
+  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_toks, i AS pos, ts[i] AS tok
+  FROM corpus, unnest(range(1, len(ts) + 1)) AS u(i)
+),
+marked AS (
+  SELECT t.doc_id, t.n_toks, t.pos, t.tok,
+         (s.span_start IS NOT NULL) AS covered
+  FROM toks t LEFT JOIN spans s
+    ON t.doc_id = s.doc_id AND t.pos >= s.span_start AND t.pos <= s.span_end
+)
+SELECT doc_id,
+       CAST(MIN(n_toks) AS BIGINT) AS n_toks,
+       CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS dup_toks,
+       CAST(MIN(n_toks) - SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+         AS clean_n_toks,
+       md5(COALESCE(string_agg(CASE WHEN NOT covered THEN tok END, ' '
+                               ORDER BY pos), '')) AS clean_fp
+FROM marked
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_substring_spans": (dedup_substring_spans, ORACLE_SPANS),
     "dedup_substring_rate": (dedup_substring_rate, ORACLE_RATE),
+    "dedup_substring_excise": (dedup_substring_excise, ORACLE_EXCISE),
 }

@@ -86,6 +86,35 @@ def test_rate_accounting(spark):
         assert r.dup_rate_milli == (1000 * r.dup_toks) // r.total_toks
 
 
+def test_excise_consistency(spark):
+    """Excise output must agree with the span table: dup_toks = sum of
+    span lengths per doc, and an untouched doc's clean_fp is the md5 of
+    its original text."""
+    import hashlib
+
+    span_rows = spans.dedup_substring_spans(spark, SF_ORACLE).collect()
+    dup_by_doc = defaultdict(int)
+    for r in span_rows:
+        dup_by_doc[r.doc_id] += r.span_ntoks
+    texts = {
+        r.doc_id: r.text
+        for r in t(spark, SF_ORACLE, "documents").select("doc_id", "text").collect()
+    }
+    rows = spans.dedup_substring_excise(spark, SF_ORACLE).collect()
+    seen_untouched = 0
+    for r in rows:
+        assert r.dup_toks == dup_by_doc.get(r.doc_id, 0), r
+        assert r.clean_n_toks == r.n_toks - r.dup_toks
+        if r.dup_toks == 0 and r.doc_id in texts:
+            want = hashlib.md5(texts[r.doc_id].encode()).hexdigest()
+            assert r.clean_fp == want, r
+            seen_untouched += 1
+    assert seen_untouched >= 1
+    # corpus rows (docs + plants) are all present
+    n_corpus = spans._corpus(spark, SF_ORACLE).count()
+    assert len(rows) == n_corpus
+
+
 def test_spans_dup_join_is_shuffle_hash(spark):
     """The duplicated-gram dim is corpus-vocabulary-sized: must ride a
     ShuffledHashJoin, never a broadcast (repo convention)."""
