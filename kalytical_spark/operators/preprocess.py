@@ -399,8 +399,101 @@ FROM common JOIN sizes USING (bench_id)
 """
 
 
+def decontam_longest_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination SEVERITY: for each (corpus doc, benchmark prompt)
+    pair that shares any NGRAM-token gram, the length in tokens of the
+    LONGEST CONTIGUOUS shared run — the signal that separates "one
+    boilerplate phrase in common" (8-token run) from "the whole prompt is
+    embedded verbatim" (full-prompt run). decontam_ngram_overlap counts
+    hits; this reports their geometry, which is what an actual
+    decontamination triage sorts by.
+
+    Plan: POSITIONAL corpus grams (no distinct — position matters), the
+    kilobyte-scale bench gram set broadcast, then the gaps-and-islands
+    merge from the substring-span family (spans.py) partitioned by
+    (doc_id, bench_id): a run of w consecutive matching windows is a
+    contiguous overlap of w + NGRAM - 1 tokens. Non-vacuity: every
+    planted re-crawl (doc_id % 82 == 0, re-keyed + DECONTAM_PLANT_OFFSET)
+    is a copy of a benchmark source doc (82 = 2 x 41), so its prefix
+    contains that prompt verbatim — the full BENCH_PROMPT_TOKENS run must
+    surface for those pairs."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    ts = _toks()
+    leaked = (
+        docs.filter(F.col("doc_id") % 82 == 0)
+        .withColumn("doc_id", F.col("doc_id") + DECONTAM_PLANT_OFFSET)
+    )
+    corpus = docs.unionByName(leaked).filter(F.size(ts) >= NGRAM)
+    pos_grams = corpus.select(
+        "doc_id",
+        F.posexplode(_grams(ts, NGRAM)).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    bench_grams = _decontam_bench_grams(spark, sf_dir)
+    hits = pos_grams.join(F.broadcast(bench_grams), "gram").select(
+        "doc_id", "bench_id", "pos"
+    )
+    wpair = Window.partitionBy("doc_id", "bench_id").orderBy("pos")
+    isl = hits.withColumn("isl", F.col("pos") - F.row_number().over(wpair))
+    runs = isl.groupBy("doc_id", "bench_id", "isl").agg(
+        (F.max("pos") - F.min("pos") + F.lit(NGRAM)).alias("run_toks"),
+        F.count("*").alias("n_windows"),
+    )
+    return runs.groupBy("doc_id", "bench_id").agg(
+        F.max("run_toks").cast("bigint").alias("longest_run_toks"),
+        F.sum("n_windows").cast("bigint").alias("n_hit_windows"),
+        F.count("*").cast("bigint").alias("n_runs"),
+    )
+
+
+ORACLE_LONGEST_RUN = f"""
+WITH corpus AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+  UNION ALL
+  SELECT doc_id + {DECONTAM_PLANT_OFFSET}, string_split(text, ' ')
+  FROM documents WHERE doc_id % 82 = 0
+),
+pos_grams AS (
+  SELECT doc_id, i AS pos,
+         list_aggregate(ts[i:i+{NGRAM - 1}], 'string_agg', ' ') AS gram
+  FROM corpus, unnest(range(1, len(ts) - {NGRAM - 2})) AS u(i)
+  WHERE len(ts) >= {NGRAM}
+),
+bench_grams AS (
+  SELECT DISTINCT doc_id AS bench_id,
+         list_aggregate(ts[i:i+{NGRAM - 1}], 'string_agg', ' ') AS gram
+  FROM (SELECT doc_id, string_split(text, ' ')[1:{BENCH_PROMPT_TOKENS}] AS ts
+        FROM documents
+        WHERE doc_id % 41 = 0
+          AND len(string_split(text, ' ')) >= {BENCH_PROMPT_TOKENS}),
+       unnest(range(1, {BENCH_PROMPT_TOKENS - NGRAM + 2})) AS u(i)
+),
+hits AS (
+  SELECT c.doc_id, b.bench_id, c.pos
+  FROM pos_grams c JOIN bench_grams b USING (gram)
+),
+isl AS (
+  SELECT doc_id, bench_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id, bench_id ORDER BY pos)
+           AS isl
+  FROM hits
+),
+runs AS (
+  SELECT doc_id, bench_id, MAX(pos) - MIN(pos) + {NGRAM} AS run_toks,
+         COUNT(*) AS n_windows
+  FROM isl GROUP BY doc_id, bench_id, isl
+)
+SELECT doc_id, bench_id,
+       CAST(MAX(run_toks) AS BIGINT) AS longest_run_toks,
+       CAST(SUM(n_windows) AS BIGINT) AS n_hit_windows,
+       CAST(COUNT(*) AS BIGINT) AS n_runs
+FROM runs
+GROUP BY doc_id, bench_id
+"""
+
+
 QUERIES = {
     "decontam_ngram_overlap": (decontam_ngram_overlap, ORACLE_DECONTAM),
+    "decontam_longest_run": (decontam_longest_run, ORACLE_LONGEST_RUN),
     "decontam_containment": (decontam_containment, ORACLE_CONTAINMENT),
     "text_repetition_filters": (text_repetition_filters, ORACLE_REPETITION),
     "pack_context_windows": (pack_context_windows, ORACLE_PACK),

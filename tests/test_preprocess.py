@@ -10,6 +10,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from kalytical_spark.operators import preprocess
+from kalytical_spark.operators.common import t
 from tests.conftest import SF_ORACLE
 
 
@@ -78,3 +79,30 @@ def test_repetition_filters_split_pass_fail(spark):
     ).count()
     assert bounds == 0
     out.unpersist()
+
+
+def test_longest_run_full_prompt_on_leaks(spark):
+    """Every planted re-crawl is a copy of a benchmark SOURCE doc
+    (82 = 2 x 41), so the (leak, its own prompt) pair must show a
+    contiguous run covering the whole prompt; and no run may exceed the
+    doc's hit geometry (runs of w windows are w + NGRAM - 1 tokens)."""
+    out = preprocess.decontam_longest_run(spark, SF_ORACLE).collect()
+    by_pair = {(r.doc_id, r.bench_id): r for r in out}
+    docs = {
+        r.doc_id: r.n
+        for r in t(spark, SF_ORACLE, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    leaks = [
+        d for d, n in docs.items()
+        if d % 82 == 0 and n >= preprocess.BENCH_PROMPT_TOKENS
+    ]
+    assert leaks, "fixture must contain leaked bench sources"
+    for d in leaks:
+        key = (d + preprocess.DECONTAM_PLANT_OFFSET, d)
+        assert key in by_pair, key
+        assert by_pair[key].longest_run_toks >= preprocess.BENCH_PROMPT_TOKENS, by_pair[key]
+    for r in out:
+        assert r.longest_run_toks >= preprocess.NGRAM
+        assert r.n_runs >= 1 and r.n_hit_windows >= r.n_runs
