@@ -288,8 +288,109 @@ FROM num n JOIN den d ON n.event_type = d.event_type
 """
 
 
+def events_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between each event type's daily VOLUME
+    (count) and daily VALUE (sum of cents) — the monotone-association
+    screen that complements the linear OLS trend: does more traffic move
+    with more money, regardless of the shape of the relationship?
+
+    Exactness: ties take the average rank; DOUBLED average ranks
+    (u = 2*RANK + ties - 1) keep everything integer. The three Pearson
+    components over doubled ranks (num = n*Suv - Su*Sv and the two
+    variance terms) are exact bigints — n_days <= ~370 so every product
+    is <= ~1e11, and denx*deny <= ~4e16, bigint-safe at any sf. rho is
+    then num / sqrt(denx*deny) computed from those exact integers: IEEE
+    sqrt/div on identical inputs is correctly rounded in both engines,
+    so even the double is bit-identical.
+
+    Scale: the daily rollup is the only corpus-touching aggregate
+    (map-side combinable); ranking windows are partitioned by event_type
+    over at most |days| rows each."""
+    ev = t(spark, sf_dir, "events_ms")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            (F.col("value").cast("decimal(12,4)") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.count("*").cast("bigint").alias("x"),
+            F.sum("cents").alias("y"),
+        )
+    )
+    wtype = W.partitionBy("event_type")
+    ranked = daily.select(
+        "event_type",
+        (
+            2 * F.rank().over(wtype.orderBy("x"))
+            + F.count("*").over(W.partitionBy("event_type", "x"))
+            - 1
+        ).cast("bigint").alias("u"),
+        (
+            2 * F.rank().over(wtype.orderBy("y"))
+            + F.count("*").over(W.partitionBy("event_type", "y"))
+            - 1
+        ).cast("bigint").alias("v"),
+    )
+    sums = ranked.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("u").alias("su"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("u") * F.col("v")).alias("suv"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    )
+    return sums.select(
+        "event_type",
+        "n_days",
+        F.expr("CAST(n_days * suv - su * sv AS BIGINT)").alias("num"),
+        F.expr("CAST(n_days * suu - su * su AS BIGINT)").alias("denx"),
+        F.expr("CAST(n_days * svv - sv * sv AS BIGINT)").alias("deny"),
+        F.expr(
+            "CASE WHEN n_days * suu - su * su > 0 AND n_days * svv - sv * sv > 0 "
+            "THEN CAST(n_days * suv - su * sv AS DOUBLE) / "
+            "sqrt(CAST((n_days * suu - su * su) * (n_days * svv - sv * sv) AS DOUBLE)) "
+            "END"
+        ).alias("rho"),
+    )
+
+
+ORACLE_SPEARMAN = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x,
+         SUM(CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT)) AS y
+  FROM events_ms
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type,
+         CAST(2 * RANK() OVER (PARTITION BY event_type ORDER BY x)
+              + COUNT(*) OVER (PARTITION BY event_type, x) - 1 AS BIGINT) AS u,
+         CAST(2 * RANK() OVER (PARTITION BY event_type ORDER BY y)
+              + COUNT(*) OVER (PARTITION BY event_type, y) - 1 AS BIGINT) AS v
+  FROM daily
+), sums AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(u) AS su, SUM(v) AS sv,
+         SUM(u * v) AS suv, SUM(u * u) AS suu, SUM(v * v) AS svv
+  FROM ranked GROUP BY 1
+)
+SELECT event_type, n_days,
+       CAST(n_days * suv - su * sv AS BIGINT) AS num,
+       CAST(n_days * suu - su * su AS BIGINT) AS denx,
+       CAST(n_days * svv - sv * sv AS BIGINT) AS deny,
+       CASE WHEN n_days * suu - su * su > 0 AND n_days * svv - sv * sv > 0
+            THEN CAST(n_days * suv - su * sv AS DOUBLE)
+                 / sqrt(CAST((n_days * suu - su * su) * (n_days * svv - sv * sv) AS DOUBLE))
+       END AS rho
+FROM sums
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "events_ks_weekend": (events_ks_weekend, ORACLE_KS),
     "events_ols_daily_trend": (events_ols_daily_trend, ORACLE_OLS),
     "events_acf_daily": (events_acf_daily, ORACLE_ACF),
+    "events_spearman_daily": (events_spearman_daily, ORACLE_SPEARMAN),
 }

@@ -1,0 +1,60 @@
+"""Python-differential check for the Spearman screen (stats.py): exact
+integer components and rho against a from-scratch recompute."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from kalytical_spark.operators import stats
+from kalytical_spark.operators.common import t
+from tests.conftest import SF_ORACLE
+
+
+def _doubled_ranks(vals):
+    order = sorted(range(len(vals)), key=lambda i: vals[i])
+    out = [0] * len(vals)
+    i = 0
+    while i < len(order):
+        j = i
+        while j < len(order) and vals[order[j]] == vals[order[i]]:
+            j += 1
+        dr = (i + 1) + j  # min rank + max rank = doubled average rank
+        for k in range(i, j):
+            out[order[k]] = dr
+        i = j
+    return out
+
+
+def test_spearman_differential(spark):
+    rows = stats.events_spearman_daily(spark, SF_ORACLE).collect()
+    assert rows
+    daily = (
+        t(spark, SF_ORACLE, "events_ms")
+        .select(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            (F.col("value").cast("decimal(12,4)") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("x"), F.sum("c").alias("y"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in daily:
+        series[r.event_type].append((r.x, r.y))
+    for r in rows:
+        xs, ys = zip(*series[r.event_type])
+        u, v = _doubled_ranks(xs), _doubled_ranks(ys)
+        n = len(xs)
+        num = n * sum(a * b for a, b in zip(u, v)) - sum(u) * sum(v)
+        dx = n * sum(a * a for a in u) - sum(u) ** 2
+        dy = n * sum(b * b for b in v) - sum(v) ** 2
+        assert (r.num, r.denx, r.deny, r.n_days) == (num, dx, dy, n), r
+        if dx > 0 and dy > 0:
+            assert abs(r.rho - num / math.sqrt(dx * dy)) < 1e-12
+            assert -1.0 <= r.rho <= 1.0
+        else:
+            assert r.rho is None
