@@ -73,6 +73,7 @@ def _load_optional():
         "skyline",
         "setsim",
         "spans",
+        "attribution",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
