@@ -575,3 +575,135 @@ QUERIES.update(
         "text_token_lift_topk": (text_token_lift_topk, ORACLE_TOKEN_LIFT),
     }
 )
+
+
+VOCAB_SIZES = (100, 1000, 10000)
+
+
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design report: corpus coverage of a frequency-built
+    vocabulary at candidate sizes — for each K in VOCAB_SIZES, how many
+    corpus token OCCURRENCES the top-K most frequent token TYPES cover
+    (coverage_milli), i.e. the OOV rate a K-entry word-level vocab would
+    pay on this corpus.
+
+    The unit is the 3-token shingle (the corpus's synthetic word
+    vocabulary is ~30 types — word-level coverage saturates instantly —
+    while shingle types number in the tens of thousands, giving the
+    report a real coverage curve; production would swap in BPE merge
+    candidates, same plan).
+
+    Scale: unit counting is one map-side-combinable groupBy. The global
+    frequency rank over the VOCABULARY-sized count table never plans an
+    unpartitioned window: ranks decompose as row_number within each
+    count-DIGIT class (descending count, token tiebreak; more digits ==
+    strictly larger count, so class order is total) plus the tiny
+    per-class offset dim — the repo's two-level prefix-sum convention in
+    descending form. Cumulative covered-occurrence sums ride the same
+    decomposition. The K targets are a 3-row broadcast."""
+    docs = t(spark, sf_dir, "documents")
+    ts = _tokens()
+    counts = (
+        docs.filter(F.size(ts) >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 2), "
+                    "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+                )
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .withColumn("k", F.length(F.col("cnt").cast("string")))
+    )
+    wk = (
+        W.partitionBy("k")
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    within = counts.select(
+        "k",
+        "cnt",
+        F.row_number().over(
+            W.partitionBy("k").orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        ).alias("rn_in_k"),
+        F.sum("cnt").over(wk).alias("cum_in_k"),
+    )
+    k_tot = counts.groupBy("k").agg(
+        F.count("*").alias("ktypes"), F.sum("cnt").alias("kocc")
+    )
+    ka, kb = k_tot.alias("ka"), k_tot.alias("kb")
+    offsets = (
+        ka.join(kb, F.col("kb.k") > F.col("ka.k"), "left")
+        .groupBy(F.col("ka.k").alias("k"))
+        .agg(
+            F.coalesce(F.sum("kb.ktypes"), F.lit(0)).alias("rank_off"),
+            F.coalesce(F.sum("kb.kocc"), F.lit(0)).alias("occ_off"),
+        )
+    )
+    ranked = within.join(F.broadcast(offsets), "k").select(
+        (F.col("rn_in_k") + F.col("rank_off")).alias("rank"),
+        (F.col("cum_in_k") + F.col("occ_off")).alias("cum_occ"),
+    )
+    total = counts.agg(
+        F.sum("cnt").alias("total_occ"), F.count("*").alias("n_types")
+    )
+    sizes = spark.createDataFrame(
+        [(int(v),) for v in VOCAB_SIZES], "vocab_k bigint"
+    )
+    # per K: covered occurrences = cum at rank min(K, n_types)
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .join(
+            F.broadcast(sizes),
+            F.col("rank") == F.least(F.col("vocab_k"), F.col("n_types")),
+        )
+        .select(
+            "vocab_k",
+            F.col("n_types").cast("bigint").alias("n_token_types"),
+            F.col("cum_occ").cast("bigint").alias("covered_occ"),
+            F.col("total_occ").cast("bigint").alias("total_occ"),
+            F.expr("CAST(1000 * cum_occ div total_occ AS BIGINT)").alias(
+                "coverage_milli"
+            ),
+        )
+    )
+
+
+ORACLE_VOCAB_COVERAGE = f"""
+WITH counts AS (
+  SELECT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS tok,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT string_split(text, ' ') AS ts FROM documents),
+       unnest(range(1, len(ts) - 1)) AS u(i)
+  WHERE len(ts) >= 3
+  GROUP BY 1
+),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rank,
+         SUM(cnt) OVER (ORDER BY cnt DESC, tok ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum_occ
+  FROM counts
+),
+total AS (
+  SELECT SUM(cnt) AS total_occ, COUNT(*) AS n_types FROM counts
+),
+sizes AS (
+  SELECT unnest(ARRAY{list(VOCAB_SIZES)}) AS vocab_k
+)
+SELECT CAST(vocab_k AS BIGINT) AS vocab_k,
+       CAST(n_types AS BIGINT) AS n_token_types,
+       CAST(cum_occ AS BIGINT) AS covered_occ,
+       CAST(total_occ AS BIGINT) AS total_occ,
+       CAST(1000 * cum_occ // total_occ AS BIGINT) AS coverage_milli
+FROM ranked, total, sizes
+WHERE rank = LEAST(vocab_k, n_types)
+"""
+
+
+QUERIES.update(
+    {
+        "text_vocab_coverage": (text_vocab_coverage, ORACLE_VOCAB_COVERAGE),
+    }
+)
