@@ -253,3 +253,98 @@ QUERIES: dict[str, tuple] = {
     "emb_label_coherence": (emb_label_coherence, ORACLE_COHERENCE),
     "emb_jl_projection_quality": (emb_jl_projection_quality, ORACLE_JL),
 }
+
+
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-drift screen: per-label L1 distance between the
+    centroids of two deterministic cohorts (vec_id parity — the batch
+    stand-in for "previous snapshot vs fresh crawl"; production swaps in
+    a snapshot column, same plan). Exact arithmetic: component means are
+    rationals with per-label constant denominators, so the L1 sum
+    cross-multiplies to one bigint numerator per label:
+    sum_pos |sa*nb - sb*na|, and drift = num / (na*nb) is a single
+    double division per label. Magnitudes: |q| <= 1e6 micro-units,
+    sa*nb <= na*nb*1e6 — bigint-safe through millions of vectors per
+    label.
+
+    Scale: one groupBy over the exploded components (map-side
+    combinable), a |labels|-sized join, no windows, nothing collected.
+    Also reports the component with the largest drift (min pos on
+    ties)."""
+    q = _quantized(spark, sf_dir).withColumn("par", F.col("vec_id") % 2)
+    sums = q.groupBy("label", "pos").agg(
+        F.sum(F.when(F.col("par") == 0, F.col("q")).otherwise(0)).alias("sa"),
+        F.sum(F.when(F.col("par") == 1, F.col("q")).otherwise(0)).alias("sb"),
+    )
+    counts = (
+        q.select("label", "vec_id", "par")
+        .distinct()
+        .groupBy("label")
+        .agg(
+            F.sum(F.when(F.col("par") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("na"),
+            F.sum(F.when(F.col("par") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("nb"),
+        )
+    )
+    per_pos = sums.join(F.broadcast(counts), "label").select(
+        "label",
+        "pos",
+        "na",
+        "nb",
+        F.abs(F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")).alias("dev"),
+    )
+    return per_pos.groupBy("label").agg(
+        F.min("na").alias("na"),
+        F.min("nb").alias("nb"),
+        F.sum("dev").cast("bigint").alias("l1_num"),
+        # composite numeric argmax key: dev*1024 - pos ranks by dev with
+        # a smallest-pos tiebreak (pos < 1024 << the 1024 stride)
+        F.max_by(F.col("pos"), F.col("dev") * 1024 - F.col("pos"))
+        .cast("bigint")
+        .alias("worst_pos"),
+        (
+            F.sum("dev").cast("double")
+            / (F.min("na") * F.min("nb")).cast("double")
+        ).alias("drift_l1_micro"),
+    )
+
+
+ORACLE_CENTROID_DRIFT = f"""
+WITH q AS ({_SQL_QUANTIZED}),
+par AS (SELECT vec_id, label, pos, q, vec_id % 2 AS par FROM q),
+sums AS (
+  SELECT label, pos,
+         SUM(CASE WHEN par = 0 THEN q ELSE 0 END) AS sa,
+         SUM(CASE WHEN par = 1 THEN q ELSE 0 END) AS sb
+  FROM par GROUP BY 1, 2
+),
+counts AS (
+  SELECT label,
+         CAST(COUNT(DISTINCT CASE WHEN par = 0 THEN vec_id END) AS BIGINT) AS na,
+         CAST(COUNT(DISTINCT CASE WHEN par = 1 THEN vec_id END) AS BIGINT) AS nb
+  FROM par GROUP BY 1
+),
+per_pos AS (
+  SELECT s.label, s.pos, c.na, c.nb,
+         CAST(ABS(s.sa * c.nb - s.sb * c.na) AS BIGINT) AS dev
+  FROM sums s JOIN counts c USING (label)
+)
+SELECT label,
+       MIN(na) AS na, MIN(nb) AS nb,
+       CAST(SUM(dev) AS BIGINT) AS l1_num,
+       CAST(arg_max(pos, dev * 1024 - pos) AS BIGINT) AS worst_pos,
+       CAST(SUM(dev) AS DOUBLE) / CAST(MIN(na) * MIN(nb) AS DOUBLE)
+         AS drift_l1_micro
+FROM per_pos
+GROUP BY label
+"""
+
+
+QUERIES.update(
+    {
+        "emb_centroid_drift": (emb_centroid_drift, ORACLE_CENTROID_DRIFT),
+    }
+)
