@@ -272,8 +272,77 @@ GROUP BY 1, 2, 3
 """
 
 
+_L_DIV = 3  # minimum sensitive-attribute diversity per class
+
+
+def events_l_diversity_audit(spark, sf_dir):
+    """l-diversity audit: k-anonymity's homogeneity-attack complement.
+    The quasi-identifier here is (day, value decade) and the SENSITIVE
+    attribute is event_type: a class can be large (k-safe) yet still
+    leak if nearly every row shares one sensitive value. Per class:
+    size, distinct-sensitive count l, the dominant value's integer milli
+    share, and the violates_l flag (l < 3).
+
+    Scale: per-(class, sensitive) counts are one map-side-combinable
+    groupBy; the class rollup aggregates that bounded frame (|days| x
+    |decades| x |types|). Nothing corpus-sized shuffles twice."""
+    from pyspark.sql import functions as F
+
+    from .common import t
+
+    ev = t(spark, sf_dir, "events_ms")
+    cents = (F.col("value").cast("decimal(12,4)") * 100).cast("bigint")
+    per_sens = (
+        ev.select(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.length(cents.cast("string")).cast("int").alias("value_decade"),
+            "event_type",
+        )
+        .groupBy("day", "value_decade", "event_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return (
+        per_sens.groupBy("day", "value_decade")
+        .agg(
+            F.sum("n").cast("bigint").alias("class_size"),
+            F.count("*").cast("bigint").alias("l_distinct"),
+            F.max("n").cast("bigint").alias("dominant_n"),
+        )
+        .select(
+            "day",
+            "value_decade",
+            "class_size",
+            "l_distinct",
+            F.expr("CAST(1000 * dominant_n div class_size AS BIGINT)").alias(
+                "dominant_milli"
+            ),
+            (F.col("l_distinct") < _L_DIV).alias("violates_l"),
+        )
+    )
+
+
+ORACLE_L_DIV = f"""
+WITH per_sens AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(length(CAST(CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT)
+                          AS VARCHAR)) AS INTEGER) AS value_decade,
+         event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events_ms
+  GROUP BY 1, 2, 3
+)
+SELECT day, value_decade,
+       CAST(SUM(n) AS BIGINT) AS class_size,
+       CAST(COUNT(*) AS BIGINT) AS l_distinct,
+       CAST(1000 * MAX(n) // SUM(n) AS BIGINT) AS dominant_milli,
+       COUNT(*) < {_L_DIV} AS violates_l
+FROM per_sens
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "pii_scrub_docs": (pii_scrub_docs, ORACLE_PII),
     "mix_temperature_sample": (mix_temperature_sample, ORACLE_MIX),
     "events_k_anonymity_audit": (events_k_anonymity_audit, ORACLE_K_ANON),
+    "events_l_diversity_audit": (events_l_diversity_audit, ORACLE_L_DIV),
 }
