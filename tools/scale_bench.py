@@ -73,6 +73,18 @@ def _events_chain():
     ]
 
 
+def _emb_chain():
+    from kalytical_spark.operators import dedup, embedding_stats, kmeans_ivf
+
+    return [
+        ("memo:kmeans_fit", lambda s, d: kmeans_ivf.fit_kmeans_cells(s, d)[0]),
+        ("sim_topk_kmeans_ivf", kmeans_ivf.sim_topk_kmeans_ivf),
+        ("emb_label_coherence", embedding_stats.emb_label_coherence),
+        ("emb_centroid_drift", embedding_stats.emb_centroid_drift),
+        ("dedup_embedding_pairs", dedup.dedup_embedding_pairs),
+    ]
+
+
 def _facts_chain():
     from kalytical_spark.operators import quantiles, relational, warehouse
 
@@ -83,7 +95,12 @@ def _facts_chain():
     ]
 
 
-CHAINS = {"docs": _docs_chain, "events": _events_chain, "facts": _facts_chain}
+CHAINS = {
+    "docs": _docs_chain,
+    "events": _events_chain,
+    "facts": _facts_chain,
+    "emb": _emb_chain,
+}
 
 
 def _replicate_docs(spark, base_path: str, k: int):
@@ -123,6 +140,28 @@ def _replicate_events(spark, base_path: str, k: int):
     return reps
 
 
+def _replicate_embeddings(spark, base_path: str, k: int):
+    """Replicas shift vec_id AND label into disjoint ranges: k x more
+    vectors arranged as k x more constant-size label blocks — the honest
+    sharded-corpus shape (new crawl shards bring new clusters; existing
+    blocks do not inflate). Vector values are unchanged, so quantized
+    arithmetic and recall geometry per block stay identical."""
+    emb = spark.read.parquet(base_path)
+    maxes = emb.agg(
+        F.max("vec_id").alias("mv"), F.max("label").alias("ml")
+    ).collect()[0]
+    v_off, l_off = int(maxes.mv) + 1, int(maxes.ml) + 1
+    reps = None
+    for r in range(k):
+        part = emb.withColumn(
+            "vec_id", F.col("vec_id") + F.lit(r * v_off)
+        ).withColumn(
+            "label", (F.col("label") + F.lit(r * l_off)).cast("int")
+        )
+        reps = part if reps is None else reps.unionByName(part)
+    return reps
+
+
 def _replicate_lineitem(spark, base_path: str, k: int):
     """Replicas shift l_orderkey into disjoint ranges (same part/supplier
     keys, so dim joins fan out k x — the honest shape of a k x bigger fact
@@ -140,11 +179,13 @@ _SCALED_TABLE = {
     "docs": "documents.parquet",
     "events": "events.parquet",
     "facts": "lineitem.parquet",
+    "emb": "embeddings.parquet",
 }
 _REPLICATE = {
     "docs": _replicate_docs,
     "events": _replicate_events,
     "facts": _replicate_lineitem,
+    "emb": _replicate_embeddings,
 }
 
 
