@@ -141,12 +141,22 @@ def fit_kmeans_cells(spark: SparkSession, sf_dir: str):
     n_part = spark.sparkContext.defaultParallelism
     nemb = _normalized(emb).repartition(n_part).cache()
 
+    # IVF cell count scales ~sqrt(N): with K fixed, cells grow linearly
+    # with the corpus and (since the query set also scales) probe work
+    # goes QUADRATIC — the scale sweep measured exactly that bend
+    # (emb:k100 probe 54s before this). sqrt scaling balances fit cost
+    # (N*K) against probe cost (queries * N_PROBE * N/K), both N^1.5.
+    # At the driver/gate corpora (<= ~2e3 vectors) this floor keeps
+    # K == K_CELLS, so oracle-gated recall behavior is unchanged.
+    n_vecs = nemb.count()
+    k_cells = max(K_CELLS, int((n_vecs / 8) ** 0.5))
+
     # deterministic init: the K vectors with smallest md5(vec_id) — collects
     # exactly K rows (bounded by K, not the corpus)
     seed_rows = (
         nemb.withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h")
-        .limit(K_CELLS)
+        .limit(k_cells)
         .select("vec_id", "nemb")
         .collect()
     )
@@ -167,9 +177,9 @@ def fit_kmeans_cells(spark: SparkSession, sf_dir: str):
                 X = np.stack(pdf["nemb"].map(lambda a: np.asarray(a, dtype=np.float64)))
                 # argmax with lower-cell tie-break (argmax returns first max)
                 cell = (X @ Cb.T).argmax(axis=1)
-                sums = np.zeros((K_CELLS, X.shape[1]))
+                sums = np.zeros((Cb.shape[0], X.shape[1]))
                 np.add.at(sums, cell, X)
-                counts = np.bincount(cell, minlength=K_CELLS)
+                counts = np.bincount(cell, minlength=Cb.shape[0])
                 present = np.flatnonzero(counts)
                 k_idx = np.repeat(present, X.shape[1])
                 yield pd.DataFrame(
@@ -191,11 +201,11 @@ def fit_kmeans_cells(spark: SparkSession, sf_dir: str):
         )
         C_new = C.copy()  # empty cells keep their centroid
         sums = np.zeros_like(C)
-        seen = np.zeros(K_CELLS, dtype=bool)
+        seen = np.zeros(C.shape[0], dtype=bool)
         for r in upd:
             sums[r.cell, r.pos] = r.m
             seen[r.cell] = True
-        for k in range(K_CELLS):
+        for k in range(C.shape[0]):
             if seen[k]:
                 C_new[k] = sums[k] / (np.linalg.norm(sums[k]) or 1.0)
         C = C_new

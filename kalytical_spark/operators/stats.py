@@ -394,3 +394,115 @@ QUERIES: dict[str, tuple] = {
     "events_acf_daily": (events_acf_daily, ORACLE_ACF),
     "events_spearman_daily": (events_spearman_daily, ORACLE_SPEARMAN),
 }
+
+
+BOOTSTRAP_B = 50  # resamples
+# Poisson(1) CDF thresholds scaled by 2^32 (floored; computed at 50-digit
+# precision): a uniform 32-bit hash u draws k = #thresholds <= u. Both
+# engines compare the SAME integers against the SAME md5-derived u, so
+# the bootstrap is deterministic and cross-engine exact.
+_POIS1_T = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373, 4292415291)
+
+
+def events_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap 95% CI for the mean purchase value — THE
+    bootstrap that works at 100 TB: instead of resampling N rows exactly
+    (which needs global coordination), every row independently draws a
+    Poisson(1) replication count per resample, and each resample's mean
+    is the weight-weighted mean. One pass over (purchases x B), fully
+    map-side-combinable; B x |thresholds| is constant work per row.
+
+    Determinism: the replication count comes from 32 bits of
+    md5(resample:event_id) compared against hard-coded Poisson CDF
+    integer thresholds — no RNG state, same draw in both engines,
+    reproducible under retries/stragglers (the property that makes
+    hash-seeded bootstraps the production choice anyway).
+
+    Output: one row — the full-sample mean plus the percentile-CI
+    bounds, all exact integer milli-cents (order statistics over the
+    B=50 resample means via a tiny rank self-join, never a window)."""
+    ev = t(spark, sf_dir, "events_ms").filter(F.col("event_type") == "purchase")
+    vals = ev.select(
+        "event_id",
+        (F.col("value").cast("decimal(12,4)") * 100).cast("bigint").alias("cents"),
+    )
+    k_expr = " + ".join(
+        f"CAST(u >= {thr} AS INT)" for thr in _POIS1_T
+    )
+    drawn = vals.select(
+        "event_id",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOTSTRAP_B - 1))).alias("r"),
+    ).selectExpr(
+        "r",
+        "cents",
+        "CAST(conv(substring(md5(CAST(r AS STRING) || ':' || CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT) AS u",
+    ).selectExpr("r", "cents", f"({k_expr}) AS w")
+    means = drawn.groupBy("r").agg(
+        F.expr("CAST(1000 * sum(w * cents) div sum(w) AS BIGINT)").alias("m")
+    )
+    a, b = means.alias("a"), means.alias("b")
+    ranked = (
+        a.join(b, F.expr("(b.m < a.m) OR (b.m = a.m AND b.r <= a.r)"))
+        .groupBy(F.col("a.r").alias("r"), F.col("a.m").alias("m"))
+        .agg(F.count("*").alias("rk"))
+    )
+    lo_rk = max(1, int(0.025 * BOOTSTRAP_B))
+    hi_rk = min(BOOTSTRAP_B, int(0.975 * BOOTSTRAP_B) + 1)
+    point = vals.agg(
+        F.expr("CAST(1000 * sum(cents) div count(*) AS BIGINT)").alias("point_milli")
+    )
+    ci = ranked.agg(
+        F.count("*").cast("bigint").alias("n_resamples"),
+        F.min(F.when(F.col("rk") == lo_rk, F.col("m"))).alias("ci_lo_milli"),
+        F.min(F.when(F.col("rk") == hi_rk, F.col("m"))).alias("ci_hi_milli"),
+    )
+    return ci.crossJoin(F.broadcast(point)).select(
+        "n_resamples", "point_milli", "ci_lo_milli", "ci_hi_milli"
+    )
+
+
+ORACLE_BOOTSTRAP = f"""
+WITH vals AS (
+  SELECT event_id, CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT) AS cents
+  FROM events_ms WHERE event_type = 'purchase'
+),
+drawn AS (
+  SELECT r, cents,
+         {" + ".join(f"CAST(u >= {thr} AS INT)" for thr in _POIS1_T)} AS w
+  FROM (
+    SELECT r, cents,
+           CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+                                     CAST(event_id AS VARCHAR)), 1, 8))
+                AS UBIGINT) AS u
+    FROM vals, unnest(range(0, {BOOTSTRAP_B})) AS u2(r)
+  )
+),
+means AS (
+  SELECT r, CAST(1000 * SUM(w * cents) // SUM(w) AS BIGINT) AS m
+  FROM drawn GROUP BY r
+),
+ranked AS (
+  SELECT a.r, a.m, COUNT(*) AS rk
+  FROM means a JOIN means b
+    ON (b.m < a.m) OR (b.m = a.m AND b.r <= a.r)
+  GROUP BY a.r, a.m
+),
+point AS (
+  SELECT CAST(1000 * SUM(cents) // COUNT(*) AS BIGINT) AS point_milli FROM vals
+)
+SELECT CAST((SELECT COUNT(*) FROM ranked) AS BIGINT) AS n_resamples,
+       point_milli,
+       (SELECT MIN(CASE WHEN rk = {max(1, int(0.025 * BOOTSTRAP_B))} THEN m END)
+        FROM ranked) AS ci_lo_milli,
+       (SELECT MIN(CASE WHEN rk = {min(BOOTSTRAP_B, int(0.975 * BOOTSTRAP_B) + 1)} THEN m END)
+        FROM ranked) AS ci_hi_milli
+FROM point
+"""
+
+
+QUERIES.update(
+    {
+        "events_bootstrap_mean_ci": (events_bootstrap_mean_ci, ORACLE_BOOTSTRAP),
+    }
+)

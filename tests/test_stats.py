@@ -58,3 +58,13 @@ def test_spearman_differential(spark):
             assert -1.0 <= r.rho <= 1.0
         else:
             assert r.rho is None
+
+
+def test_bootstrap_ci_brackets_point(spark):
+    """Poisson bootstrap: B resamples, CI ordered, point estimate inside
+    (the mean bootstrap distribution centers on the sample mean)."""
+    r = stats.events_bootstrap_mean_ci(spark, SF_ORACLE).collect()[0]
+    assert r.n_resamples == stats.BOOTSTRAP_B
+    assert r.ci_lo_milli <= r.ci_hi_milli
+    assert r.ci_lo_milli <= r.point_milli <= r.ci_hi_milli
+    assert r.ci_lo_milli < r.ci_hi_milli, "CI should have nonzero width"
