@@ -214,8 +214,96 @@ FROM ranked
 """
 
 
+def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit — the QA check an LLM data pipeline runs after
+    splitting: a near-dup CLUSTER whose members land in different
+    train/val/test splits leaks eval content into training. Composes the
+    two proven families: connected components over the verified LSH graph
+    (this module) and the deterministic md5-bucket split
+    (preprocess.split_assign_stats — same 205/230 thresholds, re-derived
+    here so the twins cannot drift apart silently: both engines recompute
+    both sides from scratch).
+
+    One summary row: component count, leaky-component count and milli
+    rate, and the exact cross-split PAIR counts (train x test is the
+    harmful one; pairs = n_a * n_b per component, summed). All integer.
+
+    Scale: components are memoized (shared with the cluster queries);
+    the audit itself is one |clusters|-sized groupBy."""
+    comps = _components(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("long")
+    split = (
+        F.when(bucket < 205, F.lit("train"))
+        .when(bucket < 230, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    per_comp = (
+        comps.select("doc_id", "component_id", split.alias("split"))
+        .groupBy("component_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("split") == "train").cast("int")).alias("n_tr"),
+            F.sum((F.col("split") == "val").cast("int")).alias("n_va"),
+            F.sum((F.col("split") == "test").cast("int")).alias("n_te"),
+        )
+        .withColumn(
+            "n_splits",
+            (F.col("n_tr") > 0).cast("int")
+            + (F.col("n_va") > 0).cast("int")
+            + (F.col("n_te") > 0).cast("int"),
+        )
+    )
+    return per_comp.agg(
+        F.count("*").cast("bigint").alias("n_components"),
+        F.sum((F.col("n_splits") > 1).cast("int")).cast("bigint").alias("n_leaky"),
+        F.expr(
+            "CAST(1000 * sum(CAST(n_splits > 1 AS INT)) div count(*) AS BIGINT)"
+        ).alias("leaky_milli"),
+        F.sum(F.col("n_tr") * F.col("n_te")).cast("bigint").alias("train_test_pairs"),
+        F.sum(F.col("n_tr") * F.col("n_va")).cast("bigint").alias("train_val_pairs"),
+        F.sum(F.col("n_va") * F.col("n_te")).cast("bigint").alias("val_test_pairs"),
+    )
+
+
+ORACLE_LEAKAGE = _SQL_CC + """,
+assigned AS (
+  SELECT c.doc_id, c.component_id,
+         CASE WHEN b < 205 THEN 'train' WHEN b < 230 THEN 'val'
+              ELSE 'test' END AS split
+  FROM cc c JOIN (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) AS b
+    FROM documents
+  ) h USING (doc_id)
+),
+per_comp AS (
+  SELECT component_id, COUNT(*) AS n_docs,
+         SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_tr,
+         SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_va,
+         SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_te
+  FROM assigned GROUP BY component_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_components,
+       CAST(SUM(CASE WHEN (CASE WHEN n_tr > 0 THEN 1 ELSE 0 END
+                         + CASE WHEN n_va > 0 THEN 1 ELSE 0 END
+                         + CASE WHEN n_te > 0 THEN 1 ELSE 0 END) > 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky,
+       CAST(1000 * SUM(CASE WHEN (CASE WHEN n_tr > 0 THEN 1 ELSE 0 END
+                                + CASE WHEN n_va > 0 THEN 1 ELSE 0 END
+                                + CASE WHEN n_te > 0 THEN 1 ELSE 0 END) > 1
+                      THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT) AS leaky_milli,
+       CAST(SUM(n_tr * n_te) AS BIGINT) AS train_test_pairs,
+       CAST(SUM(n_tr * n_va) AS BIGINT) AS train_val_pairs,
+       CAST(SUM(n_va * n_te) AS BIGINT) AS val_test_pairs
+FROM per_comp
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_cluster_components": (dedup_cluster_components, ORACLE_CC),
     "dedup_cluster_summary": (dedup_cluster_summary, ORACLE_CC_SUMMARY),
     "dedup_keeper_selection": (dedup_keeper_selection, ORACLE_KEEPER),
+    "dedup_split_leakage": (dedup_split_leakage, ORACLE_LEAKAGE),
 }
