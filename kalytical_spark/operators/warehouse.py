@@ -413,3 +413,87 @@ QUERIES: dict[str, tuple] = {
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, ORACLE_Q19),
     "q20_dominant_suppliers": (q20_dominant_suppliers, ORACLE_Q20),
 }
+
+
+COMPACT_TARGET_BYTES = 100_000  # compaction bin target
+_ROW_BYTES = 100  # modeled parquet bytes per order row
+
+
+def orders_compaction_plan(spark, sf_dir):
+    """Small-file compaction planner — the table-maintenance pass every
+    lakehouse runs: within each (order month) partition, pack the
+    per-priority files into target-sized bins by NEXT-FIT over the
+    deterministic (priority) order: bin = cumulative-bytes-before div
+    target. File sizes are modeled as rows x a fixed row-byte estimate
+    (a real deployment reads them from the manifest — same plan).
+
+    Output: one row per planned output bin with its input-file count,
+    bytes, and an undersized flag (< half target — the trailing
+    remainder bin each partition may keep).
+
+    Scale: file stats are one map-side-combinable groupBy; the
+    prefix-sum window is partitioned by MONTH over at most |priorities|
+    rows — bounded regardless of corpus size."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from .common import t
+
+    orders = t(spark, sf_dir, "orders")
+    files = (
+        orders.select(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+            "o_orderpriority",
+        )
+        .groupBy("month", "o_orderpriority")
+        .agg((F.count("*") * _ROW_BYTES).cast("bigint").alias("bytes"))
+    )
+    wm = (
+        W.partitionBy("month")
+        .orderBy("o_orderpriority")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    binned = files.withColumn(
+        "bin",
+        F.expr(
+            f"CAST(coalesce(sum(bytes) OVER (PARTITION BY month "
+            f"ORDER BY o_orderpriority ROWS BETWEEN UNBOUNDED PRECEDING "
+            f"AND 1 PRECEDING), 0) div {COMPACT_TARGET_BYTES} AS BIGINT)"
+        ),
+    )
+    del wm
+    return binned.groupBy("month", "bin").agg(
+        F.count("*").cast("bigint").alias("n_input_files"),
+        F.sum("bytes").cast("bigint").alias("bin_bytes"),
+        (F.sum("bytes") < COMPACT_TARGET_BYTES / 2).alias("undersized"),
+    )
+
+
+ORACLE_COMPACTION = f"""
+WITH files AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         o_orderpriority,
+         CAST(COUNT(*) * {_ROW_BYTES} AS BIGINT) AS bytes
+  FROM orders GROUP BY 1, 2
+),
+binned AS (
+  SELECT month, o_orderpriority, bytes,
+         CAST(COALESCE(SUM(bytes) OVER (PARTITION BY month
+                ORDER BY o_orderpriority ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) // {COMPACT_TARGET_BYTES} AS BIGINT) AS bin
+  FROM files
+)
+SELECT month, bin,
+       CAST(COUNT(*) AS BIGINT) AS n_input_files,
+       CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+       SUM(bytes) < {COMPACT_TARGET_BYTES} / 2 AS undersized
+FROM binned
+GROUP BY 1, 2
+"""
+
+
+QUERIES.update(
+    {
+        "orders_compaction_plan": (orders_compaction_plan, ORACLE_COMPACTION),
+    }
+)
