@@ -256,8 +256,148 @@ GROUP BY 1, 2, 4
 """
 
 
+RRF_K = 60  # standard reciprocal-rank-fusion damping constant
+RRF_POOL = 20  # per-system candidate depth fed into the fusion
+RRF_TOP = 5  # fused results returned per query term
+RRF_SCALE = 10**9  # integer contribution = RRF_SCALE // (RRF_K + rank)
+
+
+def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two lexical retrieval systems over the
+    same data-derived query terms as text_bm25_topk: (a) BM25 and (b)
+    length-normalized term density round(tf/dl, 6) — the hybrid-retrieval
+    merge step every RAG/training-data pipeline runs (vector+lexical in
+    production; two lexical systems here keep both legs oracle-exact).
+
+    Each system contributes RRF_SCALE div (RRF_K + rank) for its top
+    RRF_POOL docs — integer division, so the fused score is exact in both
+    engines (both truncate toward zero on positives); docs outside a
+    system's pool contribute nothing. Top RRF_TOP per term by fused score,
+    doc_id tie-break.
+
+    Scale: both legs rank only the qterm-filtered posting slice
+    (BM25_N_QUERY_TERMS is a broadcast constant), partitioned per term;
+    the fusion is one hash-aggregate on (term, doc_id) and a
+    TakeOrderedAndProject-shaped per-term top-k. Nothing corpus-sized is
+    collected or broadcast."""
+    tf = _doc_terms(spark, sf_dir)
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    docs = t(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("dl")
+    )
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("bigint")).alias("total_dl"),
+    )
+    qterms = (
+        df_.orderBy(F.desc("df"), F.asc("term"))
+        .limit(BM25_N_QUERY_TERMS)
+        .select("term", "df")
+    )
+    nd = F.col("n_docs").cast("double")
+    dfd = F.col("df").cast("double")
+    idf = F.log(F.lit(1.0) + (nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)))
+    avgdl = F.col("total_dl").cast("double") / nd
+    tfd = F.col("tf").cast("double")
+    denom = tfd + F.lit(BM25_K1) * (
+        F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl)
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            F.round(idf * (tfd * F.lit(BM25_K1 + 1.0)) / denom, 6).alias("bm25"),
+            F.round(tfd / F.col("dl").cast("double"), 6).alias("density"),
+        )
+    )
+    w_bm25 = W.partitionBy("term").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    w_dens = W.partitionBy("term").orderBy(F.desc("density"), F.asc("doc_id"))
+    ranked = scored.select(
+        "term",
+        "doc_id",
+        F.row_number().over(w_bm25).alias("rk_bm25"),
+        F.row_number().over(w_dens).alias("rk_dens"),
+    )
+    contrib = (
+        F.when(F.col("rk_bm25") <= RRF_POOL, F.expr(f"{RRF_SCALE} div ({RRF_K} + rk_bm25)"))
+        .otherwise(F.lit(0))
+        + F.when(F.col("rk_dens") <= RRF_POOL, F.expr(f"{RRF_SCALE} div ({RRF_K} + rk_dens)"))
+        .otherwise(F.lit(0))
+    ).cast("bigint")
+    n_sys = (
+        F.when(F.col("rk_bm25") <= RRF_POOL, 1).otherwise(0)
+        + F.when(F.col("rk_dens") <= RRF_POOL, 1).otherwise(0)
+    ).cast("int")
+    fused = ranked.select(
+        "term", "doc_id", contrib.alias("rrf_score"), n_sys.alias("n_systems")
+    ).filter(F.col("n_systems") > 0)
+    w_f = W.partitionBy("term").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rk", F.row_number().over(w_f))
+        .filter(F.col("rk") <= RRF_TOP)
+        .select(
+            "term",
+            F.col("rk").cast("int").alias("rk"),
+            "doc_id",
+            "rrf_score",
+            "n_systems",
+        )
+    )
+
+
+ORACLE_RRF = f"""
+WITH tf AS ({_SQL_DOC_TERMS}),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_dl
+  FROM documents
+),
+qterms AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT {BM25_N_QUERY_TERMS}),
+scored AS (
+  SELECT tf.term, tf.doc_id,
+         round(
+           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(qterms.df AS DOUBLE) + 0.5)
+                    / (CAST(qterms.df AS DOUBLE) + 0.5))
+           * (CAST(tf.tf AS DOUBLE) * {BM25_K1 + 1.0})
+           / (CAST(tf.tf AS DOUBLE) + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}
+                * (CAST(dl.dl AS DOUBLE) / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))),
+           6) AS bm25,
+         round(CAST(tf.tf AS DOUBLE) / CAST(dl.dl AS DOUBLE), 6) AS density
+  FROM tf JOIN qterms USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+ranked AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY bm25 DESC, doc_id) AS rk_bm25,
+         row_number() OVER (PARTITION BY term ORDER BY density DESC, doc_id) AS rk_dens
+  FROM scored
+),
+fused AS (
+  SELECT term, doc_id,
+         CAST(CASE WHEN rk_bm25 <= {RRF_POOL} THEN {RRF_SCALE} // ({RRF_K} + rk_bm25) ELSE 0 END
+            + CASE WHEN rk_dens <= {RRF_POOL} THEN {RRF_SCALE} // ({RRF_K} + rk_dens) ELSE 0 END
+            AS BIGINT) AS rrf_score,
+         CAST(CASE WHEN rk_bm25 <= {RRF_POOL} THEN 1 ELSE 0 END
+            + CASE WHEN rk_dens <= {RRF_POOL} THEN 1 ELSE 0 END AS INT) AS n_systems
+  FROM ranked
+)
+SELECT term, CAST(rk AS INT) AS rk, doc_id, rrf_score, n_systems
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY term
+                               ORDER BY rrf_score DESC, doc_id) AS rk
+  FROM fused WHERE n_systems > 0
+) WHERE rk <= {RRF_TOP}
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_tfidf_topk": (text_tfidf_topk, ORACLE_TFIDF),
     "text_bm25_topk": (text_bm25_topk, ORACLE_BM25),
     "text_phrase_search": (text_phrase_search, ORACLE_PHRASE),
+    "text_rrf_fusion": (text_rrf_fusion, ORACLE_RRF),
 }

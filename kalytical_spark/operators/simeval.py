@@ -219,7 +219,107 @@ FROM exact_tk
 """
 
 
+MRL_DIM = 16  # truncated prefix dimensions evaluated against the full 64
+
+
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation eval: recall@k of cosine ranking under
+    the FIRST MRL_DIM embedding dimensions against the full-dimension
+    exact top-k — the measurement that decides how far a
+    Matryoshka-trained embedding can be truncated for cheap first-stage
+    retrieval before the full-dim re-rank. Per query: exact k, hits
+    recovered by the truncated ranking, integer-milli recall.
+
+    Both legs are exhaustive and exact (cosine rounded to 4 dp before
+    ranking, vec_id tie-break), so the report is value-provable; on this
+    synthetic near-random corpus prefix dims carry ~uniform information,
+    making the truncation penalty visible rather than vacuously ~1000.
+
+    Scale: two broadcast-query corpus scans (the declared exhaustive
+    baseline shape) + one co-partitioned join of k-row-per-query frames;
+    the truncated leg reads 4x less vector data per row — exactly the
+    economics the truncation buys at 100 TB."""
+    from pyspark.sql import Window as W
+
+    from .common import t as _t
+    from .similarity import QUERY_STRIDE, TOP_K, _cos_rounded
+
+    embt = _t(spark, sf_dir, "embeddings")
+    queries = embt.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(embt, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _cos_rounded(
+                F.slice(F.col("q_emb"), 1, MRL_DIM),
+                F.slice(F.col("embedding"), 1, MRL_DIM),
+            ).alias("cos_t"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_t"), F.asc("vec_id"))
+    trunc_tk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    exact = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    return (
+        exact.join(trunc_tk, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("int").alias("k_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("int").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            F.lit(MRL_DIM).cast("int").alias("mrl_dim"),
+            "k_exact",
+            "n_hit",
+            F.expr("CAST(1000 * n_hit div k_exact AS INT)").alias("recall_milli"),
+        )
+    )
+
+
+def _oracle_matryoshka() -> str:
+    from .similarity import QUERY_STRIDE, TOP_K
+
+    return f"""
+WITH exact_tk AS (
+  SELECT query_id, vec_id FROM ({ORACLE_TOPK_BRUTEFORCE})
+), tqueries AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id % {QUERY_STRIDE} = 0
+), tscored AS (
+  SELECT q.query_id, e.vec_id,
+         round(CAST(list_cosine_similarity(
+                 CAST(q.q_emb[1:{MRL_DIM}] AS DOUBLE[]),
+                 CAST(e.embedding[1:{MRL_DIM}] AS DOUBLE[])) AS DOUBLE), 4) AS cos_t
+  FROM tqueries q JOIN embeddings e ON e.vec_id <> q.query_id
+), trunc_tk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_t DESC, vec_id) AS rank
+    FROM tscored
+  ) WHERE rank <= {TOP_K}
+)
+SELECT e.query_id,
+       CAST({MRL_DIM} AS INTEGER) AS mrl_dim,
+       CAST(COUNT(*) AS INTEGER) AS k_exact,
+       CAST(COUNT(a.vec_id) AS INTEGER) AS n_hit,
+       CAST(1000 * COUNT(a.vec_id) // COUNT(*) AS INTEGER) AS recall_milli
+FROM exact_tk e
+LEFT JOIN trunc_tk a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "emb_matryoshka_recall": (emb_matryoshka_recall, _oracle_matryoshka()),
     "sim_ivf_recall_report": (sim_ivf_recall_report, ORACLE_RECALL),
     "dedup_lsh_recall_report": (dedup_lsh_recall_report, _oracle_lsh_recall()),
     "sim_kmeans_ivf_recall_report": (

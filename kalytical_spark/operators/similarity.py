@@ -509,3 +509,114 @@ FROM (
 
 
 QUERIES["sim_topk_sq8"] = (sim_topk_sq8, ORACLE_TOPK_SQ8)
+
+
+def sim_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplet mining: for every stride-100 anchor,
+    the HARD NEGATIVE (most-similar vector with a DIFFERENT label — the
+    confusable the loss must push away) and the HARD POSITIVE
+    (least-similar vector with the SAME label — the far in-class example
+    the loss must pull in). The standard batch-mining step that turns an
+    embedding corpus into triplet/contrastive training data.
+
+    Determinism: cosine rounded to 4 dp, then packed with the vec_id into
+    a composite bigint key (simi4 * 10^10 ± vec_id) so a single
+    max_by/arg_max resolves ties toward the smaller vec_id identically in
+    both engines (the repo's padded-composite-argmax convention — DuckDB
+    arg_max rejects STRUCT keys).
+
+    Scale: one broadcast of the stride-sampled anchor set against the
+    corpus scan (same shape as sim_topk_bruteforce: O(A x N) with
+    A = N/100 constant-fraction sample, the declared exhaustive baseline);
+    the per-anchor argmax/argmin is one map-side-combinable aggregate —
+    no window, no shuffle of the scored frame beyond the anchor key. The
+    IVF/PQ indexes are the scale path for the scoring leg."""
+    emb = t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    scored = (
+        F.broadcast(anchors)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "q_label",
+            "vec_id",
+            (F.col("label") == F.col("q_label")).alias("is_pos"),
+            _cos_rounded(F.col("q_emb"), F.col("embedding")).alias("cos4"),
+        )
+        .withColumn(
+            "simi4", F.expr("CAST(round(10000 * cos4, 0) AS BIGINT) + 10000")
+        )
+        # composite keys: simi4 in [0, 20000]; vec_id << 10^10 at any sf
+        .withColumn("key_neg", F.expr("simi4 * 10000000000 - vec_id"))
+        .withColumn("key_pos", F.expr("simi4 * 10000000000 + vec_id"))
+    )
+    neg = (
+        scored.filter(~F.col("is_pos"))
+        .groupBy("query_id", "q_label")
+        .agg(
+            F.expr("max_by(vec_id, key_neg)").alias("hard_neg_id"),
+            F.expr("max_by(cos4, key_neg)").alias("hard_neg_cos"),
+            F.count("*").cast("bigint").alias("n_neg"),
+        )
+    )
+    pos = (
+        scored.filter(F.col("is_pos"))
+        .groupBy("query_id")
+        .agg(
+            F.expr("min_by(vec_id, key_pos)").alias("hard_pos_id"),
+            F.expr("min_by(cos4, key_pos)").alias("hard_pos_cos"),
+            F.count("*").cast("bigint").alias("n_pos"),
+        )
+    )
+    return neg.join(pos, "query_id", "left").select(
+        "query_id",
+        "q_label",
+        "hard_neg_id",
+        "hard_neg_cos",
+        "n_neg",
+        "hard_pos_id",
+        "hard_pos_cos",
+        F.coalesce("n_pos", F.lit(0)).cast("bigint").alias("n_pos"),
+    )
+
+
+ORACLE_TRIPLET = f"""
+WITH anchors AS (
+  SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb
+  FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0
+), scored AS (
+  SELECT a.query_id, a.q_label, e.vec_id,
+         (e.label = a.q_label) AS is_pos,
+         round(CAST(list_cosine_similarity(CAST(a.q_emb AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[])) AS DOUBLE), 4) AS cos4
+  FROM anchors a JOIN embeddings e ON e.vec_id <> a.query_id
+), keyed AS (
+  SELECT *,
+         CAST(round(10000 * cos4, 0) AS BIGINT) + 10000 AS simi4
+  FROM scored
+), neg AS (
+  SELECT query_id, q_label,
+         arg_max(vec_id, simi4 * 10000000000 - vec_id) AS hard_neg_id,
+         arg_max(cos4,   simi4 * 10000000000 - vec_id) AS hard_neg_cos,
+         CAST(COUNT(*) AS BIGINT) AS n_neg
+  FROM keyed WHERE NOT is_pos GROUP BY 1, 2
+), pos AS (
+  SELECT query_id,
+         arg_min(vec_id, simi4 * 10000000000 + vec_id) AS hard_pos_id,
+         arg_min(cos4,   simi4 * 10000000000 + vec_id) AS hard_pos_cos,
+         CAST(COUNT(*) AS BIGINT) AS n_pos
+  FROM keyed WHERE is_pos GROUP BY 1
+)
+SELECT neg.query_id, neg.q_label,
+       neg.hard_neg_id, neg.hard_neg_cos, neg.n_neg,
+       pos.hard_pos_id, pos.hard_pos_cos,
+       CAST(COALESCE(pos.n_pos, 0) AS BIGINT) AS n_pos
+FROM neg LEFT JOIN pos ON neg.query_id = pos.query_id
+"""
+
+
+QUERIES["sim_triplet_mining"] = (sim_triplet_mining, ORACLE_TRIPLET)

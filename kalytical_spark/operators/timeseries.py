@@ -853,7 +853,105 @@ FROM stats
 """
 
 
+EWMA_W = 7  # smoothing window (days); dyadic weights 2^6 .. 2^0, sum 127
+
+
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event volume per
+    type, with exact dyadic weights: day d is smoothed over the trailing
+    EWMA_W days with weight 2^(EWMA_W-1-j) on the count j days back
+    (halving per day — the alpha=0.5 EWM truncated to a hard window), so
+    ewma_milli = 1000 * sum(w*c) div (2^W - 1) is exact integer arithmetic
+    in both engines. Only full-window days are emitted (no warm-up ramp
+    ambiguity); gap days on the per-type spine count as zero.
+
+    Scale: the daily rollup is one map-side-combinable hash aggregate that
+    reduces the log by ~5 orders of magnitude; the window is then a
+    BOUNDED x W map-side explode of the per-(type, day) frame (each day
+    contributes to its next W days) and one more hash aggregate — never a
+    self-join on the raw log, never an unpartitioned window. O(types x
+    days x W) work regardless of event count."""
+    ev = t(spark, sf_dir, "events_ms").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count("*").alias("c"))
+    spans = ev.groupBy("event_type").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    grid = spans.select(
+        "event_type",
+        "d0",
+        "d1",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    dense = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "d0",
+        "d1",
+        "day",
+        F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+    )
+    contrib = dense.select(
+        "event_type",
+        "d0",
+        "d1",
+        "c",
+        F.explode(F.sequence(F.lit(0), F.lit(EWMA_W - 1))).alias("j"),
+        F.col("day"),
+    ).select(
+        "event_type",
+        "c",
+        "j",
+        F.expr("day + make_interval(0, 0, 0, j)").alias("tday"),
+        "d0",
+        "d1",
+    )
+    denom = (1 << EWMA_W) - 1
+    return (
+        contrib.filter(
+            (F.col("tday") <= F.col("d1"))
+            & (F.col("tday") >= F.expr(f"d0 + INTERVAL {EWMA_W - 1} DAY"))
+        )
+        .groupBy("event_type", F.col("tday").alias("day"))
+        .agg(
+            F.expr(f"CAST(1000 * sum(shiftleft(1, {EWMA_W} - 1 - j) * c) div {denom} AS BIGINT)").alias(
+                "ewma_milli"
+            ),
+            F.sum(F.when(F.col("j") == 0, F.col("c"))).cast("bigint").alias("day_count"),
+        )
+    )
+
+
+ORACLE_EWMA = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events_ms GROUP BY 1, 2
+), spans AS (
+  SELECT event_type, date_trunc('day', MIN(ts)) AS d0, date_trunc('day', MAX(ts)) AS d1
+  FROM events_ms GROUP BY 1
+), grid AS (
+  SELECT event_type, d0, d1,
+         unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM spans
+), dense AS (
+  SELECT g.event_type, g.d0, g.d1, g.day, COALESCE(dl.c, 0) AS c
+  FROM grid g LEFT JOIN daily dl ON g.event_type = dl.event_type AND g.day = dl.day
+), contrib AS (
+  SELECT event_type, c, u.j AS j, day + to_days(CAST(u.j AS INTEGER)) AS tday, d0, d1
+  FROM dense, unnest(range(0, {EWMA_W})) AS u(j)
+)
+SELECT event_type, tday AS day,
+       CAST(1000 * SUM((1 << ({EWMA_W} - 1 - j)) * c) // {(1 << EWMA_W) - 1} AS BIGINT) AS ewma_milli,
+       CAST(SUM(CASE WHEN j = 0 THEN c END) AS BIGINT) AS day_count
+FROM contrib
+WHERE tday <= d1 AND tday >= d0 + INTERVAL {EWMA_W - 1} DAY
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "events_ewma_daily": (events_ewma_daily, ORACLE_EWMA),
     "events_gap_fill_resample": (events_gap_fill_resample, ORACLE_GAP_FILL),
     "events_cusum_changepoints": (events_cusum_changepoints, ORACLE_CUSUM),
     "events_theil_sen_trend": (events_theil_sen_trend, ORACLE_THEIL_SEN),
