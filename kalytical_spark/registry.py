@@ -74,6 +74,8 @@ def _load_optional():
         "setsim",
         "spans",
         "attribution",
+        "basket",
+        "segments",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
