@@ -89,7 +89,8 @@ def users_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("value").cast("decimal(12,4)") * 100).cast("bigint"))
         .cast("bigint")
         .alias("monetary_cents"),
-    )
+    ).cache()  # user dim feeds 3 rankings + the final join; without the
+    # pin each branch re-scans and re-aggregates the event log
     n_users = base.agg(F.count("*").cast("bigint").alias("n"))
 
     def score(metric: str, descending: bool, out: str) -> DataFrame:
