@@ -12,10 +12,14 @@ the milli scale drops to centi in one place; the repo convention is to keep
 the first overflow-safe scale that preserves ranking).
 
 Scale shape:
-* The (order, part) distinct-items frame shuffles once on l_orderkey;
-  pair generation is a self-join CO-PARTITIONED on the basket key whose
-  expansion is bounded by basket size (TPC-H baskets are <= 7 items;
-  retail baskets are O(10^1-10^2)) — never an all-pairs join on parts.
+* ONE shuffle on l_orderkey groups each basket's deduped parts into a
+  sorted array; both the item supports AND the C(n,2) pair expansion are
+  then JVM-side array transforms over that pinned frame (the
+  sketches.py:_copurchase_edges rewrite) — never a second shuffled scan,
+  never an all-pairs join on parts; per-order fan-out is bounded by
+  basket size (TPC-H <= 7 items; retail O(10^1-10^2)). The DuckDB twin
+  keeps the textbook row self-join, so the oracle match also proves the
+  array rewrite pair-exact.
 * Pair supports are one map-side-combinable hash aggregate; the MIN_SUPP
   filter prunes the long tail before any further join.
 * Per-item supports are a PART-keyed (vocabulary-sized) dim: they ride
@@ -43,21 +47,29 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_b) — a deterministic total order, so the LIMIT boundary is
     cross-engine stable."""
     li = t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = items.agg(
-        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .cache()  # feeds the order count, item supports, and pair expansion
     )
-    supp = items.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("supp"))
-    a, b = items.alias("a"), items.alias("b")
+    n_orders = baskets.agg(F.count("*").cast("bigint").alias("n_orders"))
+    supp = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").cast("bigint").alias("supp"))
+    )
     pair_supp = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
         )
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("p.u").alias("part_a"),
+            F.col("p.v").alias("part_b"),
         )
         .agg(F.count("*").cast("bigint").alias("supp_ab"))
         .filter(F.col("supp_ab") >= MIN_SUPP)

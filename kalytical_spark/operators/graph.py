@@ -429,3 +429,85 @@ GROUP BY 1"""
 
 
 QUERIES["graph_kcore_membership"] = (graph_kcore_membership, _kcore_oracle())
+
+
+_LPA_ROUNDS = 4  # synchronous label-propagation iterations
+_LPA_KEYBASE = 10_000_000_000  # composite argmax: count * base - label
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the part co-purchase graph via synchronous
+    label propagation: every node starts as its own community, then for
+    _LPA_ROUNDS each node adopts the most frequent label among its
+    neighbors (ties -> smallest label), all nodes updating from the SAME
+    previous-round labels. Complements components.py (pure connectivity)
+    and the k-core peel (density): LPA finds DENSELY-INTERLINKED regions
+    inside one connected component — the product-affinity clusters.
+
+    Deterministic: the mode argmax rides a composite bigint key
+    (count * base - label, the repo's padded-composite-argmax convention),
+    and synchronous updates make round results order-independent. Both
+    engines run the identical bounded recurrence (Spark loop vs unrolled
+    MATERIALIZED CTE chain — the kcore/pagerank twin pattern).
+
+    Scale: per round, one co-partitioned join of the label frame onto the
+    directed edge list and two hash aggregates — O(E) work per round,
+    fixed rounds, nothing collected; lineage is truncated per round
+    (components.py lesson)."""
+    from ..operators.sketches import _copurchase_edges
+
+    und = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    edges = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    labels = edges.select("node").distinct().withColumn("lbl", F.col("node"))
+    for _ in range(_LPA_ROUNDS):
+        nbr_lbls = edges.join(
+            labels.withColumnRenamed("node", "nbr"), "nbr"
+        ).select("node", "lbl")
+        labels = (
+            nbr_lbls.groupBy("node", "lbl")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("node")
+            .agg(
+                F.expr(f"max_by(lbl, cnt * {_LPA_KEYBASE} - lbl)").alias("lbl")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(
+        "node", F.col("lbl").cast("bigint").alias("community")
+    )
+
+
+def _lpa_oracle() -> str:
+    from .sketches import ORACLE_TRIANGLES
+
+    und_cte = ORACLE_TRIANGLES.split("), tri AS")[0].strip()
+    assert und_cte.startswith("WITH und AS (")
+    und_body = und_cte[len("WITH und AS (") :]
+    ctes = [
+        "und AS MATERIALIZED (" + und_body + ")",
+        "edges AS MATERIALIZED (SELECT u AS node, v AS nbr FROM und "
+        "UNION ALL SELECT v AS node, u AS nbr FROM und)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM edges)",
+    ]
+    for r in range(_LPA_ROUNDS):
+        ctes.append(
+            f"""l{r + 1} AS MATERIALIZED (
+  SELECT node, arg_max(lbl, cnt * {_LPA_KEYBASE} - lbl) AS lbl
+  FROM (
+    SELECT e.node, l.lbl, COUNT(*) AS cnt
+    FROM edges e JOIN l{r} l ON l.node = e.nbr
+    GROUP BY 1, 2
+  ) GROUP BY node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, CAST(lbl AS BIGINT) AS community FROM l{_LPA_ROUNDS}"""
+    )
+
+
+QUERIES["graph_label_propagation"] = (graph_label_propagation, _lpa_oracle())

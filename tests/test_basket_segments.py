@@ -126,3 +126,21 @@ def test_matryoshka_recall_shape(spark):
         assert r.k_exact == similarity.TOP_K
         assert 0 <= r.n_hit <= r.k_exact
         assert r.recall_milli == 1000 * r.n_hit // r.k_exact
+
+
+def test_label_propagation_invariants(spark):
+    from kalytical_spark.operators import graph
+    from kalytical_spark.operators.sketches import _copurchase_edges
+
+    rows = graph.graph_label_propagation(spark, SF_ORACLE).collect()
+    assert rows
+    nodes = {r.node for r in rows}
+    assert len(nodes) == len(rows)  # one community per node
+    # labels only ever originate from node ids
+    assert {r.community for r in rows} <= nodes
+    # the propagation actually merges: strictly fewer communities than nodes
+    assert len({r.community for r in rows}) < len(nodes)
+    # node set == vertices of the pruned co-purchase graph
+    und = _copurchase_edges(spark, SF_ORACLE).collect()
+    verts = {e.u for e in und} | {e.v for e in und}
+    assert nodes == verts
