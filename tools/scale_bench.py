@@ -86,12 +86,15 @@ def _emb_chain():
 
 
 def _facts_chain():
-    from kalytical_spark.operators import quantiles, relational, warehouse
+    from kalytical_spark.operators import basket, quantiles, relational, warehouse
 
     return [
         ("q1_pricing_summary", relational.q1_pricing_summary),
         ("q9_product_type_profit", warehouse.q9_product_type_profit),
         ("sketch_quantile_decades", quantiles.sketch_quantile_decades),
+        # honest k x fan-out through the basket pair expansion (orderkeys
+        # shift per replica, part keys stay -> k x pair instances)
+        ("orders_market_basket", basket.orders_market_basket),
     ]
 
 
