@@ -57,8 +57,15 @@ _OPS: list[tuple[str, str]] = [
 def fingerprint(df) -> dict[str, int]:
     """Execute ``df`` and count load-bearing operators in the final plan."""
     df.collect()
+    # count over the FULL adaptive plan string (Final AND Initial sections
+    # of every nested AdaptiveSparkPlan): AQE final sections print
+    # QueryStage references instead of executed subtrees (a Window inside
+    # a materialized stage appears ONLY in an Initial section —
+    # users_rfm_segments), so masking either side goes blind to real
+    # operators. Both sections are deterministic for a fixed input, and a
+    # join-strategy flip or injected shuffle moves the counts in either
+    # representation — which is all the gate needs.
     plan = df._jdf.queryExecution().executedPlan().toString()
-    plan = plan.split("== Initial Plan ==")[0]
     out: dict[str, int] = {}
     for name, pat in _OPS:
         n = len(re.findall(pat, plan))
@@ -87,6 +94,9 @@ def headline_queries() -> dict[str, object]:
         "dag_replay_decisions",     # hybrid window + grouped-map fold
         "sketch_quantile_decades",  # histogram sketch + partitioned exact anchor
         "sketch_cms_join_size",     # sketch inner-product join estimate
+        "orders_market_basket",     # one-shuffle array pair expansion + top-k
+        "users_rfm_segments",       # digit-partitioned NTILE (no global window)
+        "text_rrf_fusion",          # two per-term windows + fused top-k
     ]
     return {n: qs[n][0] for n in names if n in qs}
 
