@@ -104,3 +104,118 @@ def pipeline_ledger_stream(events_stream: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+INCUBATION_TTL_MS = 3 * 24 * 3600 * 1000  # 3-day event-time window per key
+
+TTL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("pipeline_uuid", T.StringType()),
+        T.StructField("window_start", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("subtypes", T.StringType()),
+        T.StructField("closed_by", T.StringType()),
+    ]
+)
+
+_OPEN_SCHEMA = T.StructType(
+    [
+        T.StructField("t0", T.TimestampType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+_SUBTYPE_SCHEMA = T.StructType([T.StructField("s", T.StringType())])
+
+
+class IncubationTtlProcessor(StatefulProcessor):
+    """Event-time TTL incubation on the MODERN state API — the ST5
+    age-out semantics (incubation.py expresses them on
+    applyInPandasWithState) re-expressed with transformWithState's typed
+    handles and REAL EVENT-TIME TIMERS: a key's first delivery opens a
+    window [t0, t0 + TTL); later deliveries inside the window append to a
+    ListState of subtypes; a delivery at or past the boundary closes the
+    window inline (emit `closed_by='rollover'`, deleteTimer, re-open);
+    the final window of every key is closed by the WATERMARK crossing its
+    registered timer (emit `closed_by='timer'` in handleExpiredTimer) —
+    the part the old API could only approximate with per-key timeouts.
+
+    Split-point invariance holds when per-key arrival respects event-time
+    order across micro-batches (the test feeds time-ordered files);
+    within a batch the processor sorts its rows, so intra-batch order is
+    free. Emissions are one row per CLOSED window — output tracks window
+    churn, not corpus size; state per key is one (t0, n) record + the
+    open window's subtype list, cleared on every close."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._open = handle.getValueState("open", _OPEN_SCHEMA)
+        self._subtypes = handle.getListState("subtypes", _SUBTYPE_SCHEMA)
+
+    @staticmethod
+    def _ms(ts) -> int:
+        return int(pd.Timestamp(ts).value // 1_000_000)
+
+    def _close_row(self, key, closed_by: str):
+        t0, n = self._open.get()
+        subs = sorted({row[0] for row in self._subtypes.get()})
+        self._open.clear()
+        self._subtypes.clear()
+        return pd.DataFrame(
+            [
+                {
+                    "pipeline_uuid": key[0],
+                    "window_start": t0,
+                    "n_events": n,
+                    "subtypes": ",".join(subs),
+                    "closed_by": closed_by,
+                }
+            ]
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(rows), ignore_index=True)
+        pdf = pdf.sort_values(["event_time", "event_subtype"])
+        for _, r in pdf.iterrows():
+            t, s = r["event_time"], r["event_subtype"]
+            if self._open.exists():
+                t0, n = self._open.get()
+                expiry = self._ms(t0) + INCUBATION_TTL_MS
+                if self._ms(t) >= expiry:
+                    self._handle.deleteTimer(expiry)
+                    yield self._close_row(key, "rollover")
+                else:
+                    self._open.update((t0, n + 1))
+                    self._subtypes.appendValue((s,))
+                    continue
+            self._open.update((t, 1))
+            self._subtypes.appendValue((s,))
+            self._handle.registerTimer(self._ms(t) + INCUBATION_TTL_MS)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator[pd.DataFrame]:
+        # a rollover may have already closed-and-reopened before the old
+        # timer's deleteTimer landed; only close if the OPEN window is the
+        # one this timer guards
+        if self._open.exists():
+            t0, _n = self._open.get()
+            if self._ms(t0) + INCUBATION_TTL_MS == expiredTimerInfo.getExpiryTimeInMs():
+                yield self._close_row(key, "timer")
+
+    def close(self) -> None:
+        pass
+
+
+def incubation_ttl_stream(events_stream: DataFrame, watermark: str = "0 seconds") -> DataFrame:
+    """Wire the TTL processor in event-time mode: the watermark drives
+    timer expiry, so idle keys age out without new data of their own."""
+    return (
+        events_stream.select("pipeline_uuid", "event_subtype", "event_time")
+        .withWatermark("event_time", watermark)
+        .groupBy("pipeline_uuid")
+        .transformWithStateInPandas(
+            statefulProcessor=IncubationTtlProcessor(),
+            outputStructType=TTL_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )

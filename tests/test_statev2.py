@@ -53,6 +53,9 @@ class _FakeValueState:
     def update(self, v) -> None:
         self._v = tuple(v)
 
+    def clear(self) -> None:
+        self._v = None
+
 
 class _FakeHandle:
     def __init__(self):
@@ -190,3 +193,232 @@ def test_ledger_state_matches_batch(spark):
     for r in rows:  # memory sink preserves batch order
         final[r.pipeline_uuid] = (r.n_events, r.last_subtype)
     assert final == batch and batch
+
+
+# ---------------------------------------------------------------------------
+# IncubationTtlProcessor: event-time timers + ListState on the modern API
+
+
+class _FakeListState:
+    def __init__(self):
+        self._rows: list[tuple] = []
+
+    def exists(self) -> bool:
+        return bool(self._rows)
+
+    def get(self):
+        return iter(list(self._rows))
+
+    def appendValue(self, v) -> None:
+        self._rows.append(tuple(v))
+
+    def clear(self) -> None:
+        self._rows = []
+
+
+class _FakeTimerHandle(_FakeHandle):
+    def __init__(self):
+        super().__init__()
+        self.lists: dict[str, _FakeListState] = {}
+        self.timers: set[int] = set()
+
+    def getListState(self, name, schema, ttl_duration_ms=None):
+        return self.lists.setdefault(name, _FakeListState())
+
+    def registerTimer(self, expiry_ms: int) -> None:
+        self.timers.add(expiry_ms)
+
+    def deleteTimer(self, expiry_ms: int) -> None:
+        self.timers.discard(expiry_ms)
+
+
+def _ms(ts) -> int:
+    return int(pd.Timestamp(ts).value // 1_000_000)
+
+
+def _fold_ttl_windows(events):
+    """Pure-Python reference: per key, TTL-anchored windows over
+    time-ordered events; every window eventually closes (last by timer)."""
+    by_key: dict[str, list] = {}
+    for u, s, t in sorted(events, key=lambda e: (e[2], e[1])):
+        by_key.setdefault(u, []).append((s, t))
+    out: dict[str, list] = {}
+    for u, rows in by_key.items():
+        wins = []
+        t0, subs, n = None, set(), 0
+        for s, t in rows:
+            if t0 is not None and _ms(t) >= _ms(t0) + statev2.INCUBATION_TTL_MS:
+                wins.append((t0, n, ",".join(sorted(subs)), "rollover"))
+                t0, subs, n = None, set(), 0
+            if t0 is None:
+                t0 = t
+            subs.add(s)
+            n += 1
+        wins.append((t0, n, ",".join(sorted(subs)), "timer"))
+        out[u] = wins
+    return out
+
+
+def _drive_ttl(events, splits):
+    """Run IncubationTtlProcessor across micro-batch splits, then fire the
+    remaining timers (the end-of-stream watermark sweep). Per-key arrival
+    must respect event-time order across batches, as documented."""
+    events = sorted(events, key=lambda e: (e[2], e[1]))
+    batches, prev = [], 0
+    for s in [*splits, len(events)]:
+        if s > prev:
+            batches.append(events[prev:s])
+            prev = s
+    procs: dict[str, statev2.IncubationTtlProcessor] = {}
+    handles: dict[str, _FakeTimerHandle] = {}
+    emitted: dict[str, list] = {}
+    for batch in batches:
+        by_key: dict[str, list] = {}
+        for u, s, t in batch:
+            by_key.setdefault(u, []).append((s, t))
+        for u, rows in by_key.items():
+            if u not in procs:
+                procs[u] = statev2.IncubationTtlProcessor()
+                handles[u] = _FakeTimerHandle()
+                procs[u].init(handles[u])
+            mid = max(1, len(rows) // 2)
+            chunks = [rows[:mid], rows[mid:]] if len(rows) > 1 else [rows]
+            pdfs = (
+                pd.DataFrame(
+                    {
+                        "pipeline_uuid": u,
+                        "event_subtype": [s for s, _ in ch],
+                        "event_time": [t for _, t in ch],
+                    }
+                )
+                for ch in chunks
+                if ch
+            )
+            for out in procs[u].handleInputRows((u,), pdfs, None):
+                r = out.iloc[0]
+                emitted.setdefault(u, []).append(
+                    (r.window_start, int(r.n_events), r.subtypes, r.closed_by)
+                )
+    # end-of-stream: watermark passes every registered timer
+    class _Expiry:
+        def __init__(self, ms):
+            self._ms = ms
+
+        def getExpiryTimeInMs(self):
+            return self._ms
+
+    for u, h in handles.items():
+        for exp in sorted(h.timers):
+            for out in procs[u].handleExpiredTimer((u,), None, _Expiry(exp)):
+                r = out.iloc[0]
+                emitted.setdefault(u, []).append(
+                    (r.window_start, int(r.n_events), r.subtypes, r.closed_by)
+                )
+    return emitted
+
+
+def test_ttl_processor_windows_match_fold(spark):
+    catalog.register(spark, SF_SMALL)
+    ev = (
+        spark.table("lifecycle_events")
+        .select("pipeline_uuid", "event_subtype", "event_time")
+        .orderBy("event_time", "pipeline_uuid", "event_subtype")
+        .limit(150)
+    )
+    events = [(r.pipeline_uuid, r.event_subtype, r.event_time) for r in ev.collect()]
+    expect = _fold_ttl_windows(events)
+    assert expect and any(
+        len(w) > 1 for w in expect.values()
+    ), "fixture must produce rollovers (multiple TTL windows per key)"
+    for splits in ([], [50, 100], [1, 2, 3, 75], list(range(1, len(events)))):
+        got = _drive_ttl(events, splits)
+        norm = {
+            u: [(pd.Timestamp(t), n, s, c) for t, n, s, c in wins]
+            for u, wins in got.items()
+        }
+        want = {
+            u: [(pd.Timestamp(t), n, s, c) for t, n, s, c in wins]
+            for u, wins in expect.items()
+        }
+        assert norm == want, f"splits={splits[:5]}..."
+
+
+@pytest.mark.skipif(
+    not _HAS_PROTOBUF,
+    reason="google.protobuf unavailable: transformWithState "
+    "state server cannot start in this container",
+)
+def test_incubation_ttl_e2e_timers_fire_on_watermark(spark):
+    """End-to-end through the real state server: event-time timers must
+    close every key's final window once a far-future sentinel advances the
+    global watermark (the repo's sentinel-flush pattern). Source files are
+    time-ordered so per-key arrival respects event time."""
+    catalog.register(spark, SF_SMALL)
+    ev = spark.table("lifecycle_events").select(
+        "pipeline_uuid", "event_subtype", "event_time"
+    )
+    events = [(r.pipeline_uuid, r.event_subtype, r.event_time) for r in ev.collect()]
+    expect = _fold_ttl_windows(events)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events")
+        os.makedirs(src)
+        ordered = sorted(events, key=lambda e: (e[2], e[0], e[1]))
+        third = max(1, len(ordered) // 3)
+        chunks = [ordered[:third], ordered[third : 2 * third], ordered[2 * third :]]
+        sentinel_t = max(e[2] for e in events) + pd.Timedelta(days=365)
+        chunks.append([("__sentinel__", "flush", sentinel_t)])
+        for i, ch in enumerate(chunks):
+            pdf = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "pipeline_uuid": [u for u, _, _ in ch],
+                        "event_subtype": [s for _, s, _ in ch],
+                        "event_time": [t for _, _, t in ch],
+                    }
+                ),
+                schema=ev.schema,
+            )
+            pdf.coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "b*"))
+        )
+        q = (
+            statev2.incubation_ttl_stream(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ttl_e2e")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(240)
+        finally:
+            q.stop()
+        rows = spark.sql("SELECT * FROM ttl_e2e").collect()
+    if prev is not None:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    got: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r.pipeline_uuid, r.window_start)):
+        if r.pipeline_uuid == "__sentinel__":
+            continue
+        got.setdefault(r.pipeline_uuid, []).append(
+            (pd.Timestamp(r.window_start), r.n_events, r.subtypes, r.closed_by)
+        )
+    want = {
+        u: sorted(
+            [(pd.Timestamp(t), n, s, c) for t, n, s, c in wins],
+            key=lambda w: (w[0],),
+        )
+        for u, wins in expect.items()
+    }
+    assert got == want and want
