@@ -219,3 +219,71 @@ def incubation_ttl_stream(events_stream: DataFrame, watermark: str = "0 seconds"
             timeMode="EventTime",
         )
     )
+
+
+COUNTS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("pipeline_uuid", T.StringType()),
+        T.StructField("subtype_counts", T.StringType()),
+    ]
+)
+
+_SUBTYPE_KEY_SCHEMA = T.StructType([T.StructField("s", T.StringType())])
+_COUNT_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
+
+
+class SubtypeCountsProcessor(StatefulProcessor):
+    """Per-pipeline subtype histogram on MapState — the third typed
+    handle (ValueState: PipelineLedgerProcessor; ListState:
+    IncubationTtlProcessor). Each micro-batch emits the key's FULL
+    distribution as one deterministic row (subtypes sorted,
+    `a:3,b:1` encoding), so the last emission per key equals the batch
+    groupBy recompute regardless of split points.
+
+    Scale: state is one map entry per (key, subtype) — bounded by the
+    subtype vocabulary, not event volume; per-batch work is one
+    pandas value_counts over the key's arrived rows plus point updates
+    into the store."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counts = handle.getMapState(
+            "subtype_counts", _SUBTYPE_KEY_SCHEMA, _COUNT_SCHEMA
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        arrived: dict[str, int] = {}
+        for pdf in rows:
+            for s, c in pdf["event_subtype"].value_counts().items():
+                arrived[s] = arrived.get(s, 0) + int(c)
+        for s, c in arrived.items():
+            prev = (
+                self._counts.getValue((s,))[0]
+                if self._counts.containsKey((s,))
+                else 0
+            )
+            self._counts.updateValue((s,), (prev + c,))
+        dist = sorted((k[0], v[0]) for k, v in self._counts.iterator())
+        yield pd.DataFrame(
+            [
+                {
+                    "pipeline_uuid": key[0],
+                    "subtype_counts": ",".join(f"{s}:{n}" for s, n in dist),
+                }
+            ]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def subtype_counts_stream(events_stream: DataFrame) -> DataFrame:
+    return (
+        events_stream.select("pipeline_uuid", "event_subtype")
+        .groupBy("pipeline_uuid")
+        .transformWithStateInPandas(
+            statefulProcessor=SubtypeCountsProcessor(),
+            outputStructType=COUNTS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

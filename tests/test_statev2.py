@@ -422,3 +422,138 @@ def test_incubation_ttl_e2e_timers_fire_on_watermark(spark):
         for u, wins in expect.items()
     }
     assert got == want and want
+
+
+# ---------------------------------------------------------------------------
+# SubtypeCountsProcessor: MapState (the third typed handle)
+
+
+class _FakeMapState:
+    def __init__(self):
+        self._m: dict[tuple, tuple] = {}
+
+    def exists(self) -> bool:
+        return bool(self._m)
+
+    def containsKey(self, key) -> bool:
+        return tuple(key) in self._m
+
+    def getValue(self, key):
+        return self._m[tuple(key)]
+
+    def updateValue(self, key, value) -> None:
+        self._m[tuple(key)] = tuple(value)
+
+    def iterator(self):
+        return iter(list(self._m.items()))
+
+    def clear(self) -> None:
+        self._m = {}
+
+
+class _FakeMapHandle(_FakeTimerHandle):
+    def __init__(self):
+        super().__init__()
+        self.maps: dict[str, _FakeMapState] = {}
+
+    def getMapState(self, name, key_schema, value_schema, ttl_duration_ms=None):
+        return self.maps.setdefault(name, _FakeMapState())
+
+
+def _expected_dist(events):
+    from collections import Counter
+
+    per_key: dict[str, Counter] = {}
+    for u, s, _t in events:
+        per_key.setdefault(u, Counter())[s] += 1
+    return {
+        u: ",".join(f"{s}:{n}" for s, n in sorted(c.items()))
+        for u, c in per_key.items()
+    }
+
+
+def test_subtype_counts_processor_matches_batch(spark):
+    catalog.register(spark, SF_SMALL)
+    ev = (
+        spark.table("lifecycle_events")
+        .select("pipeline_uuid", "event_subtype", "event_time")
+        .orderBy("event_time", "pipeline_uuid", "event_subtype")
+        .limit(150)
+    )
+    events = [(r.pipeline_uuid, r.event_subtype, r.event_time) for r in ev.collect()]
+    expect = _expected_dist(events)
+    for splits in ([], [50, 100], list(range(1, len(events)))):
+        batches, prev = [], 0
+        for s in [*splits, len(events)]:
+            if s > prev:
+                batches.append(events[prev:s])
+                prev = s
+        procs: dict[str, statev2.SubtypeCountsProcessor] = {}
+        final: dict[str, str] = {}
+        for batch in batches:
+            by_key: dict[str, list] = {}
+            for u, s, _t in batch:
+                by_key.setdefault(u, []).append(s)
+            for u, subs in by_key.items():
+                if u not in procs:
+                    procs[u] = statev2.SubtypeCountsProcessor()
+                    procs[u].init(_FakeMapHandle())
+                mid = max(1, len(subs) // 2)
+                chunks = [subs[:mid], subs[mid:]] if len(subs) > 1 else [subs]
+                pdfs = (
+                    pd.DataFrame({"pipeline_uuid": u, "event_subtype": ch})
+                    for ch in chunks
+                    if ch
+                )
+                (out,) = list(procs[u].handleInputRows((u,), pdfs, None))
+                final[u] = out.subtype_counts.iloc[0]
+        assert final == expect, f"splits={splits[:5]}..."
+
+
+@pytest.mark.skipif(
+    not _HAS_PROTOBUF,
+    reason="google.protobuf unavailable: transformWithState "
+    "state server cannot start in this container",
+)
+def test_subtype_counts_e2e_matches_batch(spark):
+    catalog.register(spark, SF_SMALL)
+    ev = spark.table("lifecycle_events").select(
+        "pipeline_uuid", "event_subtype", "event_time"
+    )
+    events = [(r.pipeline_uuid, r.event_subtype, r.event_time) for r in ev.collect()]
+    expect = _expected_dist(events)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events")
+        ev.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            statev2.subtype_counts_stream(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("counts_e2e")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(240)
+        finally:
+            q.stop()
+        rows = spark.sql("SELECT * FROM counts_e2e").collect()
+    if prev is not None:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    final: dict[str, str] = {}
+    for r in rows:  # memory sink preserves batch order; last emission wins
+        final[r.pipeline_uuid] = r.subtype_counts
+    assert final == expect and expect
