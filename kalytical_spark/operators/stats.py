@@ -506,3 +506,92 @@ QUERIES.update(
         "events_bootstrap_mean_ci": (events_bootstrap_mean_ci, ORACLE_BOOTSTRAP),
     }
 )
+
+
+def events_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity concentration, per event
+    type — the inequality screen that tells a pipeline owner whether a
+    type's volume is broad-based or a handful of power users (a Gini
+    near 1000 milli on 'error' events is a very different incident than
+    one near 0). Exact integer form on the sorted-values identity:
+    G = (2 * sum(i * x_i) - (n + 1) * sum(x)) / (n * sum(x)) with i the
+    1-based rank under the deterministic total order (x, user_id) — both
+    engines rank identically, so numerator/denominator match bit-exactly
+    (bounded through sf100: 2 * n * sum(x) < 2^63).
+
+    The per-type global rank never plans a per-type-monolithic window:
+    row_number partitions on (event_type, digit-length class of x) and
+    adds the per-(type, class) count offsets — the repo's two-level
+    prefix-sum convention applied per group."""
+    ev = t(spark, sf_dir, "events_ms")
+    x = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    withk = x.withColumn("k", F.length(F.col("x").cast("string")))
+    within = withk.withColumn(
+        "rn_in_k",
+        F.row_number().over(
+            W.partitionBy("event_type", "k").orderBy(
+                F.col("x").asc(), F.col("user_id").asc()
+            )
+        ),
+    )
+    k_tot = withk.groupBy("event_type", "k").agg(F.count("*").alias("ktypes"))
+    ka, kb = k_tot.alias("ka"), k_tot.alias("kb")
+    offsets = (
+        ka.join(
+            kb,
+            (F.col("kb.event_type") == F.col("ka.event_type"))
+            & (F.col("kb.k") < F.col("ka.k")),
+            "left",
+        )
+        .groupBy(F.col("ka.event_type").alias("event_type"), F.col("ka.k").alias("k"))
+        .agg(F.coalesce(F.sum("kb.ktypes"), F.lit(0)).alias("rank_off"))
+    )
+    ranked = within.join(F.broadcast(offsets), ["event_type", "k"]).withColumn(
+        "i", F.col("rank_off") + F.col("rn_in_k")
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("x").cast("bigint").alias("total_events"),
+            F.sum(F.col("i") * F.col("x")).cast("bigint").alias("ix"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            "total_events",
+            F.expr(
+                "CAST(1000 * (2 * ix - (n_users + 1) * total_events) "
+                "div (n_users * total_events) AS BIGINT)"
+            ).alias("gini_milli"),
+        )
+    )
+
+
+ORACLE_GINI = """
+WITH x AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events_ms GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY x, user_id) AS i
+  FROM x
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(x) AS BIGINT) AS total_events,
+       CAST(1000 * (2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x))
+            // (COUNT(*) * SUM(x)) AS BIGINT) AS gini_milli
+FROM ranked
+GROUP BY 1
+"""
+
+
+QUERIES.update(
+    {
+        "events_gini_concentration": (events_gini_concentration, ORACLE_GINI),
+    }
+)

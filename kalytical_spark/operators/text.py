@@ -707,3 +707,136 @@ QUERIES.update(
         "text_vocab_coverage": (text_vocab_coverage, ORACLE_VOCAB_COVERAGE),
     }
 )
+
+
+RAKE_N_STOP = 5  # data-derived stopword set: top-N most frequent tokens
+RAKE_TOP_PHRASES = 3  # keyword phrases returned per document
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction: split each document into candidate
+    phrases at stopword boundaries (stopwords = the corpus's RAKE_N_STOP
+    most frequent tokens — data-derived, like BM25's query terms), score
+    every content word as degree/frequency over the phrase table, and
+    return each document's RAKE_TOP_PHRASES best phrases by summed word
+    score. deg(w) counts w's total phrase-mate mass (phrase length per
+    occurrence, self included — the standard RAKE degree), freq(w) its
+    occurrences; scores are exact integer milli (1000 * deg div freq),
+    so phrase sums match bit-exactly across engines.
+
+    Scale: phrase assembly is per-document windows (gaps-and-islands on
+    token positions — doc-partitioned, never global); word stats are two
+    map-side-combinable aggregates; the word-score dim is
+    VOCABULARY-sized and rides a shuffle_hash join back onto the phrase
+    words (repo rule: vocab dims never broadcast); the stopword set is a
+    bounded LIMIT broadcast. Final per-doc top-k is a doc-partitioned
+    row_number."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(_tokens()).alias("pos", "tok")
+    )
+    stop = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(RAKE_N_STOP)
+        .select(F.col("tok").alias("stop_tok"))
+    )
+    content = toks.join(
+        F.broadcast(stop), toks.tok == F.col("stop_tok"), "left_anti"
+    )
+    w_isl = W.partitionBy("doc_id").orderBy("pos")
+    islands = content.withColumn(
+        "island", F.col("pos") - F.row_number().over(w_isl)
+    )
+    phrases = islands.groupBy("doc_id", "island").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.getField("tok"),
+            ),
+        ).alias("phrase"),
+        F.count("*").cast("bigint").alias("plen"),
+    )
+    occurrences = islands.join(phrases, ["doc_id", "island"]).select(
+        "doc_id", "island", "tok", "phrase", "plen"
+    )
+    word_scores = (
+        occurrences.groupBy("tok")
+        .agg(
+            F.sum("plen").cast("bigint").alias("deg"),
+            F.count("*").cast("bigint").alias("freq"),
+        )
+        .select("tok", F.expr("CAST(1000 * deg div freq AS BIGINT)").alias("wscore"))
+    )
+    scored = (
+        occurrences.join(word_scores.hint("shuffle_hash"), "tok")
+        .groupBy("doc_id", "island", "phrase")
+        .agg(F.sum("wscore").cast("bigint").alias("score_milli"))
+        .select("doc_id", "phrase", "score_milli")
+        .distinct()
+    )
+    w_top = W.partitionBy("doc_id").orderBy(F.desc("score_milli"), F.asc("phrase"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") <= RAKE_TOP_PHRASES)
+        .select("doc_id", F.col("rk").cast("int").alias("rk"), "phrase", "score_milli")
+    )
+
+
+ORACLE_RAKE = f"""
+WITH toks AS (
+  SELECT doc_id, u.i AS pos, ts[u.i] AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       unnest(generate_series(1, len(ts))) AS u(i)
+),
+stop AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1
+  ) ORDER BY cnt DESC, tok LIMIT {RAKE_N_STOP}
+),
+content AS (
+  SELECT * FROM toks WHERE tok NOT IN (SELECT tok FROM stop)
+),
+islands AS (
+  SELECT doc_id, pos, tok,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM content
+),
+phrases AS (
+  SELECT doc_id, island,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS plen
+  FROM islands GROUP BY 1, 2
+),
+occurrences AS (
+  SELECT i.doc_id, i.island, i.tok, p.phrase, p.plen
+  FROM islands i JOIN phrases p ON i.doc_id = p.doc_id AND i.island = p.island
+),
+word_scores AS (
+  SELECT tok, CAST(1000 * SUM(plen) // COUNT(*) AS BIGINT) AS wscore
+  FROM occurrences GROUP BY 1
+),
+scored AS (
+  SELECT DISTINCT doc_id, phrase, score_milli FROM (
+    SELECT o.doc_id, o.island, o.phrase,
+           CAST(SUM(w.wscore) AS BIGINT) AS score_milli
+    FROM occurrences o JOIN word_scores w USING (tok)
+    GROUP BY 1, 2, 3
+  )
+)
+SELECT doc_id, CAST(rk AS INT) AS rk, phrase, score_milli
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_milli DESC, phrase) AS rk
+  FROM scored
+) WHERE rk <= {RAKE_TOP_PHRASES}
+"""
+
+
+QUERIES.update(
+    {
+        "text_rake_keywords": (text_rake_keywords, ORACLE_RAKE),
+    }
+)

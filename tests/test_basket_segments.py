@@ -144,3 +144,49 @@ def test_label_propagation_invariants(spark):
     und = _copurchase_edges(spark, SF_ORACLE).collect()
     verts = {e.u for e in und} | {e.v for e in und}
     assert nodes == verts
+
+
+def test_gini_python_differential(spark):
+    from kalytical_spark.operators import stats
+
+    rows = stats.events_gini_concentration(spark, SF_ORACLE).collect()
+    assert rows
+    per = (
+        t(spark, SF_ORACLE, "events_ms")
+        .groupBy("event_type", "user_id")
+        .count()
+        .collect()
+    )
+    series = {}
+    for r in per:
+        series.setdefault(r.event_type, []).append((r["count"], r.user_id))
+    for r in rows:
+        xs = [x for x, _ in sorted(series[r.event_type])]
+        n, tot = len(xs), sum(xs)
+        ix = sum((i + 1) * x for i, x in enumerate(xs))
+        assert r.n_users == n and r.total_events == tot
+        assert r.gini_milli == 1000 * (2 * ix - (n + 1) * tot) // (n * tot)
+        assert 0 <= r.gini_milli < 1000
+
+
+def test_rake_phrases_respect_stopword_boundaries(spark):
+    from kalytical_spark.operators import text as text_ops
+
+    rows = text_ops.text_rake_keywords(spark, SF_SMALL).collect()
+    assert rows
+    toks = (
+        t(spark, SF_SMALL, "documents")
+        .selectExpr("explode(split(text, ' ')) AS tok")
+        .groupBy("tok")
+        .count()
+        .orderBy(F.desc("count"), F.asc("tok"))
+        .limit(text_ops.RAKE_N_STOP)
+        .collect()
+    )
+    stop = {r.tok for r in toks}
+    for r in rows:
+        words = r.phrase.split(" ")
+        # no stopword inside any extracted phrase
+        assert not (set(words) & stop), (r.phrase, stop)
+        assert 1 <= r.rk <= text_ops.RAKE_TOP_PHRASES
+        assert r.score_milli > 0
