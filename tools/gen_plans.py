@@ -251,6 +251,33 @@ SHOWCASE = [
         "Exchange at all; the exact 8/16-bit round-trip is what lets a\n"
         "REAL format parser stay value-oracle-proven.",
     ),
+    (
+        "orders_market_basket",
+        lambda s: _basket().orders_market_basket(s, SF),
+        "Association rules from ONE shuffle on the basket key: the\n"
+        "C(n,2) pair expansion is a JVM-side array transform over the\n"
+        "pinned basket frame (fan-out bounded by basket size, never an\n"
+        "all-pairs join on parts); item supports ride shuffle_hash joins\n"
+        "(catalog-sized dim, never broadcast) and the rule ranking is a\n"
+        "TakeOrderedAndProject.",
+    ),
+    (
+        "users_rfm_segments",
+        lambda s: _segments().users_rfm_segments(s, SF),
+        "Three NTILE quintiles with NO unpartitioned window: each global\n"
+        "rank decomposes as row_number within the metric's digit-length\n"
+        "class plus broadcast per-class offsets, and the bucket is the\n"
+        "closed-form NTILE formula over a one-row broadcast count — the\n"
+        "oracle's plain ntile() proves the decomposition exact.",
+    ),
+    (
+        "graph_label_propagation",
+        lambda s: _graph().graph_label_propagation(s, SF),
+        "Synchronous LPA: per round one co-partitioned labels->edges join\n"
+        "and two hash aggregates (mode argmax on a composite bigint key);\n"
+        "lineage is checkpoint-truncated per round, and the DuckDB twin\n"
+        "unrolls the identical recurrence as MATERIALIZED CTEs.",
+    ),
 ]
 
 
@@ -381,6 +408,18 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("wrote PLANS.md")
+
+
+def _basket():
+    from kalytical_spark.operators import basket
+
+    return basket
+
+
+def _segments():
+    from kalytical_spark.operators import segments
+
+    return segments
 
 
 if __name__ == "__main__":
