@@ -172,8 +172,14 @@ def main() -> None:
         payload["streaming"] = stream
         payload["streaming_eps"] = {
             k: stream[k]["events_per_sec"]
-            for k in ("incubation", "hll_sink", "cms_sink", "quantile_sink")
-            if k in stream
+            for k in (
+                "incubation",
+                "statev2_ledger",
+                "hll_sink",
+                "cms_sink",
+                "quantile_sink",
+            )
+            if isinstance(stream.get(k), dict) and "events_per_sec" in stream[k]
         }
     except (OSError, ValueError, KeyError):
         pass

@@ -32,6 +32,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRATCH = "/tmp/kalytical_stream_bench"
 
+# transformWithState (statev2 bench) needs google.protobuf in driver AND
+# workers: bridge the container-local shim BEFORE the JVM starts, exactly
+# like tests/conftest.py. No-op where a real protobuf exists.
+_PB_SHIM = os.path.join(REPO, "tools", "protobuf_shim")
+try:
+    from google.protobuf import descriptor  # noqa: F401
+
+    _HAS_PROTOBUF = True
+except ImportError:
+    if os.path.isdir(_PB_SHIM):
+        sys.path.insert(0, _PB_SHIM)
+        os.environ["PYTHONPATH"] = (
+            _PB_SHIM + os.pathsep + os.environ.get("PYTHONPATH", "")
+        ).rstrip(os.pathsep)
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        _HAS_PROTOBUF = True
+    except ImportError:
+        _HAS_PROTOBUF = False
+
 
 def _progress_points(q) -> list[dict]:
     """Per-batch telemetry: input rows, duration, and state-store size."""
@@ -127,6 +148,59 @@ def _bench_sink(spark, kind: str, n_files: int) -> dict:
     }
 
 
+def bench_statev2(spark, n_files: int) -> dict:
+    """The modern transformWithStateInPandas path (ValueState ledger,
+    RocksDB provider, protobuf state server): measures what the typed-
+    handle API costs relative to applyInPandasWithState (`incubation`)."""
+    from kalytical_spark.streaming import statev2
+
+    src = os.path.join(SCRATCH, "events_statev2")
+    ckpt = os.path.join(SCRATCH, "ckpt_statev2")
+    for d in (src, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    ev = spark.table("lifecycle_events").select(
+        "pipeline_uuid", "event_subtype", "event_time"
+    )
+    ev.repartition(n_files).write.parquet(src)
+    n_events = spark.read.parquet(src).count()
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    t0 = time.time()
+    q = (
+        statev2.pipeline_ledger_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stream_bench_statev2")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    if prev is not None:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    n_keys = spark.sql(
+        "SELECT COUNT(DISTINCT pipeline_uuid) FROM stream_bench_statev2"
+    ).collect()[0][0]
+    return {
+        "events_total": n_events,
+        "keys_total": n_keys,
+        "wall_sec": round(wall, 3),
+        "events_per_sec": round(n_events / wall, 1),
+        "batches": _progress_points(q),
+    }
+
+
 def main() -> None:
     from kalytical_spark import catalog
     from kalytical_spark.session import get_spark
@@ -143,6 +217,11 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_microbatches": n_files,
         "incubation": bench_incubation(spark, sf_dir, n_files),
+        "statev2_ledger": (
+            bench_statev2(spark, n_files)
+            if _HAS_PROTOBUF
+            else {"skipped": "no google.protobuf in this container"}
+        ),
         "hll_sink": _bench_sink(spark, "hll", n_files),
         "cms_sink": _bench_sink(spark, "cms", n_files),
         "quantile_sink": _bench_sink(spark, "qh", n_files),
