@@ -183,8 +183,11 @@ def main() -> None:
         }
     except (OSError, ValueError, KeyError):
         pass
-    with open(os.path.join(repo, "BENCH_FULL.json"), "w") as fh:
-        json.dump(payload, fh, indent=1)
+    if not _ONLY:
+        # focused runs (SPARK_GRAFT_BENCH_QUERIES) must not clobber the
+        # full-registry record the round artifacts are built from
+        with open(os.path.join(repo, "BENCH_FULL.json"), "w") as fh:
+            json.dump(payload, fh, indent=1)
     # the sweep rides only in BENCH_FULL: leaving it in the stdout line
     # would eat most of the driver's 1900-byte parse budget and force the
     # per-query map to be dropped
