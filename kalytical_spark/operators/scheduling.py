@@ -270,3 +270,80 @@ def roundtrip_formats(spark: SparkSession, sf_dir: str, out_dir: str | None = No
 QUERIES: dict[str, tuple] = {
     "cron_due_originations": (cron_due_originations, ORACLE_CRON_DUE),
 }
+
+
+# --- Python UDTF surface: cron schedule preview -----------------------------
+# An independent PURE-PYTHON implementation of the same vixie grammar the
+# JVM grid (cron_matched_minutes) compiles to SQL, exposed as a Spark 4
+# table function. Two jobs: (a) cover the UDTF API surface (LATERAL
+# per-row expansion from Python); (b) serve as a third, engine-free
+# implementation of the cron semantics — tests assert UDTF == JVM grid on
+# the fixture schedules, so a grammar regression must break two
+# independent codebases identically to slip through. The JVM grid remains
+# the production scan path (the UDTF is a Python-worker path, priced
+# accordingly — preview/debug tooling, not the origination tick).
+
+
+def _py_cron_field_match(tok: str, val: int, first: int) -> bool:
+    """Pure-Python twin of _cron_field_match_sql — same grammar, same
+    */step phase anchored at the field's first legal value."""
+    if tok == "*":
+        return True
+    for e in tok.split(","):
+        base, _, steps = e.partition("/")
+        step = int(steps) if steps else 1
+        if base == "*":
+            if (val - first) % step == 0:
+                return True
+        elif "-" in base:
+            lo, hi = (int(x) for x in base.split("-"))
+            if lo <= val <= hi and (val - lo) % step == 0:
+                return True
+        elif val == int(base):
+            return True
+    return False
+
+
+def py_cron_matches(schedule: str, ts) -> bool:
+    """Does this minute match the 5-field schedule? Includes the vixie
+    dom/dow quirk: when BOTH day fields are restricted (token not
+    star-flagged), either matching suffices."""
+    mi, hr, dom, mon, dow = schedule.split(" ")
+    checks = {
+        "minute": _py_cron_field_match(mi, ts.minute, 0),
+        "hour": _py_cron_field_match(hr, ts.hour, 0),
+        "dom": _py_cron_field_match(dom, ts.day, 1),
+        "month": _py_cron_field_match(mon, ts.month, 1),
+        # Python weekday(): Mon=0..Sun=6; cron: Sun=0..Sat=6
+        "dow": _py_cron_field_match(dow, (ts.weekday() + 1) % 7, 0),
+    }
+    if not dom.startswith("*") and not dow.startswith("*"):
+        day_ok = checks["dom"] or checks["dow"]
+    else:
+        day_ok = checks["dom"] and checks["dow"]
+    return checks["minute"] and checks["hour"] and checks["month"] and day_ok
+
+
+class CronPreviewUDTF:
+    """`cron_preview(schedule, base_ts, horizon_minutes)` -> one row per
+    matching minute in (base, base + horizon] — registered via
+    ``register_cron_preview`` and consumed with a LATERAL join."""
+
+    def eval(self, schedule: str, base_ts, horizon_minutes: int):
+        import datetime
+
+        if schedule is None or base_ts is None:
+            return
+        base = base_ts.replace(second=0, microsecond=0)
+        for m in range(1, int(horizon_minutes) + 1):
+            cand = base + datetime.timedelta(minutes=m)
+            if py_cron_matches(schedule, cand):
+                yield (cand,)
+
+
+def register_cron_preview(spark: SparkSession) -> None:
+    from pyspark.sql.functions import udtf
+
+    spark.udtf.register(
+        "cron_preview", udtf(CronPreviewUDTF, returnType="fire_ts timestamp")
+    )

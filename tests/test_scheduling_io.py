@@ -144,3 +144,42 @@ def test_simhash_banding_finds_near_dups(spark):
                 brute.add((a, b))
     got = {(r.doc_a, r.doc_b) for r in simhash.dedup_simhash(spark, SF_SMALL).collect()}
     assert got == brute
+
+
+def test_cron_preview_udtf_matches_jvm_grid(spark):
+    """The pure-Python UDTF and the JVM SQL grid are independent
+    implementations of the same vixie grammar — their fire sets over the
+    fixture schedules and a multi-day horizon must be identical."""
+    from pyspark.sql import functions as F
+
+    from kalytical_spark import catalog
+    from tests.conftest import SF_SMALL as SF
+
+    catalog.register(spark, SF)
+    scheduling.register_cron_preview(spark)
+    horizon = 3 * 24 * 60  # 3 days of minutes: crosses dom/dow boundaries
+    base = spark.table("events_ms").selectExpr("max(ts) AS m").collect()[0].m
+    scheds = (
+        spark.table("pipeline_defs")
+        .filter(F.col("schedule").isNotNull())
+        .select("schedule")
+        .distinct()
+    )
+    scheds.createOrReplaceTempView("sched_dim")
+    jvm = {
+        (r.schedule, r.cand_ts)
+        for r in scheduling.cron_matched_minutes(
+            spark, scheds, F.lit(base), 1, horizon + 1
+        ).collect()
+    }
+    py = {
+        (r.schedule, r.fire_ts)
+        for r in spark.sql(
+            f"""
+            SELECT s.schedule, p.fire_ts
+            FROM sched_dim s,
+                 LATERAL cron_preview(s.schedule, TIMESTAMP '{base}', {horizon}) p
+            """
+        ).collect()
+    }
+    assert py == jvm and jvm, (len(py), len(jvm))
