@@ -131,3 +131,60 @@ def test_cusum_statistic_telescopes_to_zero(counts):
         cum += c
         s2.append(n * cum - t_idx * tot2)
     assert s2 == s_vals
+
+
+# --- cron grammar: Python twin vs the Spark SQL compilation ---------------
+
+_cron_field = st.one_of(
+    st.just("*"),
+    st.integers(0, 59).map(str),
+    st.tuples(st.integers(0, 30), st.integers(0, 29)).map(
+        lambda ab: f"{ab[0]}-{ab[0] + ab[1]}"
+    ),
+    st.tuples(st.integers(0, 30), st.integers(0, 29), st.integers(1, 15)).map(
+        lambda abs_: f"{abs_[0]}-{abs_[0] + abs_[1]}/{abs_[2]}"
+    ),
+    st.integers(1, 15).map(lambda s: f"*/{s}"),
+)
+_cron_token = st.lists(_cron_field, min_size=1, max_size=3).map(",".join)
+
+
+@settings(max_examples=60, deadline=None)
+@given(tok=_cron_token, val=st.integers(0, 59), first=st.integers(0, 1))
+def test_cron_field_python_equals_sql(spark, tok, val, first):
+    """The pure-Python field matcher (cron_preview UDTF) and the SQL
+    compilation (_cron_field_match_sql) must agree on ANY grammar-legal
+    token — fuzzed, not just the fixture schedules."""
+    from kalytical_spark.operators.scheduling import (
+        _cron_field_match_sql,
+        _py_cron_field_match,
+    )
+
+    sql = _cron_field_match_sql(f"'{tok}'", str(val), duck=False, first=first)
+    got_sql = spark.sql(f"SELECT {sql} AS ok").collect()[0].ok
+    assert got_sql == _py_cron_field_match(tok, val, first)
+
+
+# --- NTILE closed form vs Spark's ntile over random sizes -----------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(n=st.integers(5, 200), k=st.just(5))
+def test_ntile_closed_form_matches_spark(spark, n, k):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from kalytical_spark.operators.segments import _ntile_expr
+
+    df = (
+        spark.range(1, n + 1)
+        .withColumnRenamed("id", "rank")
+        .crossJoin(spark.range(1).select(F.lit(n).alias("n")))
+    )
+    got = df.select(
+        "rank",
+        _ntile_expr(k).alias("closed"),
+        F.ntile(k).over(W.orderBy("rank")).alias("direct"),
+    ).collect()
+    for r in got:
+        assert r.closed == r.direct, (n, r.rank)
