@@ -287,3 +287,38 @@ def subtype_counts_stream(events_stream: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+class WarmStartLedgerProcessor(PipelineLedgerProcessor):
+    """PipelineLedgerProcessor + ``handleInitialState``: the ledger can be
+    BOOTSTRAPPED from a batch snapshot (n, last_subtype, last_time per
+    key) before the stream starts — the standard warm-start pattern when
+    a streaming job takes over from a backfill, covering the fourth and
+    final StatefulProcessor hook. Initial state is applied once, in the
+    first micro-batch, before that batch's rows."""
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        # transformWithStateInPandas hands one pandas DataFrame per key
+        row = initialState.iloc[0] if hasattr(initialState, "iloc") else initialState
+        self._state.update(
+            (int(row["n_events"]), row["last_subtype"], row["last_time"])
+        )
+
+
+def pipeline_ledger_stream_warm(
+    events_stream: DataFrame, initial: DataFrame
+) -> DataFrame:
+    """Wire the warm-started ledger: ``initial`` is a batch frame of
+    (pipeline_uuid, n_events, last_subtype, last_time) rows — e.g. the
+    batch groupBy over the history already ingested by a backfill."""
+    return (
+        events_stream.select("pipeline_uuid", "event_subtype", "event_time")
+        .groupBy("pipeline_uuid")
+        .transformWithStateInPandas(
+            statefulProcessor=WarmStartLedgerProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+            initialState=initial.groupBy("pipeline_uuid"),
+        )
+    )

@@ -557,3 +557,87 @@ def test_subtype_counts_e2e_matches_batch(spark):
     for r in rows:  # memory sink preserves batch order; last emission wins
         final[r.pipeline_uuid] = r.subtype_counts
     assert final == expect and expect
+
+
+# ---------------------------------------------------------------------------
+# WarmStartLedgerProcessor: handleInitialState (the fourth hook)
+
+
+@pytest.mark.skipif(
+    not _HAS_PROTOBUF,
+    reason="google.protobuf unavailable: transformWithState "
+    "state server cannot start in this container",
+)
+def test_warm_start_ledger_resumes_from_batch_snapshot(spark):
+    """Backfill-takeover pattern: ledger state is bootstrapped from a
+    batch snapshot of the FIRST HALF of history, the stream feeds only
+    the second half, and the merged result must equal the batch
+    recompute over ALL events."""
+    catalog.register(spark, SF_SMALL)
+    ev = spark.table("lifecycle_events").select(
+        "pipeline_uuid", "event_subtype", "event_time"
+    )
+    mid = ev.selectExpr(
+        "percentile_approx(CAST(event_time AS DOUBLE), 0.5) AS m"
+    ).collect()[0].m
+    first = ev.filter(F.col("event_time").cast("double") <= mid)
+    second = ev.filter(F.col("event_time").cast("double") > mid)
+    assert first.count() and second.count()
+
+    def ledger(df):
+        return {
+            r.pipeline_uuid: (r.n, r.last_subtype)
+            for r in df.groupBy("pipeline_uuid")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.max(F.struct("event_time", "event_subtype"))[
+                    "event_subtype"
+                ].alias("last_subtype"),
+            )
+            .collect()
+        }
+
+    want = ledger(ev)
+    snapshot = first.groupBy("pipeline_uuid").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max(F.struct("event_time", "event_subtype"))["event_subtype"].alias(
+            "last_subtype"
+        ),
+        F.max("event_time").alias("last_time"),
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events")
+        second.repartition(2).write.parquet(src)
+        stream = (
+            spark.readStream.schema(second.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            statev2.pipeline_ledger_stream_warm(stream, snapshot)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("warm_e2e")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(240)
+        finally:
+            q.stop()
+        rows = spark.sql("SELECT * FROM warm_e2e").collect()
+    if prev is not None:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    # overlay: snapshot keys, replaced by the stream's last emission
+    got = {u: (n, s) for u, (n, s) in ledger(first).items()}
+    for r in rows:  # memory sink preserves batch order
+        got[r.pipeline_uuid] = (r.n_events, r.last_subtype)
+    assert got == want and want
