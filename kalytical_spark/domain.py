@@ -55,6 +55,7 @@ _CTES: list[tuple[str, str]] = [
                  WHEN s_suppkey % 50 = 10 THEN '30 2 * * *'
                  WHEN s_suppkey % 50 = 20 THEN '0 9-17/2 * * 1-5'
                  WHEN s_suppkey % 50 = 30 THEN '0 0 1 * 1'
+                 WHEN s_suppkey % 50 = 40 THEN '30 6 * * 7'
                  ELSE '0 * * * *' END
           END                                                      AS schedule,
           CASE WHEN s_suppkey % 7 = 0 THEN NULL

@@ -40,7 +40,9 @@ from .common import SQL_NOW, now_expr, t
 CRON_HORIZON_MINUTES = 35 * 24 * 60  # covers any dom<=28 / weekly / daily gap
 
 
-def _cron_field_match_sql(tok: str, val: str, duck: bool, first: int = 0) -> str:
+def _cron_field_match_sql(
+    tok: str, val: str, duck: bool, first: int = 0, dow: bool = False
+) -> str:
     """SQL text (Spark or DuckDB dialect) testing whether cron field token
     ``tok`` (a SQL string expression) admits integer value ``val``. The two
     dialects differ only in split/size/lambda spellings; the arithmetic is
@@ -48,7 +50,21 @@ def _cron_field_match_sql(tok: str, val: str, duck: bool, first: int = 0) -> str
     legal value (0 for minute/hour/dow, 1 for dom/month): vixie/K8s
     ``*/step`` counts FROM the field's first value, so '*/2' in dom fires
     on days 1,3,5,... — a plain ``val % step`` would shift the phase on
-    the 1-based fields."""
+    the 1-based fields.
+
+    ``dow`` enables the vixie 7==Sunday alias: computed dow is always 0-6,
+    but schedule tokens may spell Sunday as 7 ('0 0 * * 7', '5-7'). Vixie
+    expands the field over a 0-7 bitmask and then folds bit 7 into bit 0,
+    which is exactly: value 0 additionally matches whenever 7 would. The
+    probe is safe to apply to EVERY element form: a '*'-flagged element
+    matches 7 only when 7 % step == 0 (step 1 or 7), and both of those
+    admit dow 0 directly, so the alias can never widen a star element
+    beyond vixie's own 0-7-then-fold expansion."""
+    if dow:
+        return (
+            f"({_cron_field_match_sql(tok, val, duck, first)} OR "
+            f"((({val}) = 0) AND {_cron_field_match_sql(tok, '7', duck, first)}))"
+        )
     sp = "string_split" if duck else "split"
     size = "len" if duck else "size"
     one, two = ("[1]", "[2]") if duck else ("[0]", "[1]")
@@ -80,7 +96,9 @@ def _cron_due_sql(tok, fields: dict[str, str], duck: bool) -> str:
     '*' (plain or '*/n') is star-flagged and therefore unrestricted for
     the quirk, even though '*/n' still constrains which days match."""
     m = {
-        f: _cron_field_match_sql(tok(i), v, duck, first=_FIELD_FIRST[f])
+        f: _cron_field_match_sql(
+            tok(i), v, duck, first=_FIELD_FIRST[f], dow=(f == "dow")
+        )
         for i, (f, v) in enumerate(fields.items())
     }
     dom_tok, dow_tok = tok(2), tok(4)
@@ -284,9 +302,12 @@ QUERIES: dict[str, tuple] = {
 # accordingly — preview/debug tooling, not the origination tick).
 
 
-def _py_cron_field_match(tok: str, val: int, first: int) -> bool:
+def _py_cron_field_match(tok: str, val: int, first: int, dow: bool = False) -> bool:
     """Pure-Python twin of _cron_field_match_sql — same grammar, same
-    */step phase anchored at the field's first legal value."""
+    */step phase anchored at the field's first legal value, same vixie
+    7==Sunday dow alias (value 0 also matches whenever 7 would)."""
+    if dow and val == 0 and _py_cron_field_match(tok, 7, first):
+        return True
     if tok == "*":
         return True
     for e in tok.split(","):
@@ -314,8 +335,8 @@ def py_cron_matches(schedule: str, ts) -> bool:
         "hour": _py_cron_field_match(hr, ts.hour, 0),
         "dom": _py_cron_field_match(dom, ts.day, 1),
         "month": _py_cron_field_match(mon, ts.month, 1),
-        # Python weekday(): Mon=0..Sun=6; cron: Sun=0..Sat=6
-        "dow": _py_cron_field_match(dow, (ts.weekday() + 1) % 7, 0),
+        # Python weekday(): Mon=0..Sun=6; cron: Sun=0..Sat=6 (7 aliases 0)
+        "dow": _py_cron_field_match(dow, (ts.weekday() + 1) % 7, 0, dow=True),
     }
     if not dom.startswith("*") and not dow.startswith("*"):
         day_ok = checks["dom"] or checks["dow"]

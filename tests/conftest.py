@@ -13,10 +13,14 @@ sys.path.insert(0, _REPO)
 # driver and the Spark python workers — PYTHONPATH must be extended BEFORE
 # the JVM starts so workers inherit it. No-op where a real protobuf exists.
 _PB_SHIM = os.path.join(_REPO, "tools", "protobuf_shim")
+_PB_BUNDLED = "/usr/lib/google-cloud-sdk/platform/google_appengine/google/protobuf"
 try:
     from google.protobuf import descriptor  # noqa: F401
 except ImportError:
-    if os.path.isdir(_PB_SHIM):
+    # only wire the shim into worker PYTHONPATH when the bundled runtime
+    # it bridges actually exists — otherwise keep the clean ImportError
+    # gate (the streaming statev2 tests skip with a readable reason)
+    if os.path.isdir(_PB_SHIM) and os.path.isdir(_PB_BUNDLED):
         sys.path.insert(0, _PB_SHIM)
         os.environ["PYTHONPATH"] = (
             _PB_SHIM + os.pathsep + os.environ.get("PYTHONPATH", "")

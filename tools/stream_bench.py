@@ -41,7 +41,10 @@ try:
 
     _HAS_PROTOBUF = True
 except ImportError:
-    if os.path.isdir(_PB_SHIM):
+    _PB_BUNDLED = (
+        "/usr/lib/google-cloud-sdk/platform/google_appengine/google/protobuf"
+    )
+    if os.path.isdir(_PB_SHIM) and os.path.isdir(_PB_BUNDLED):
         sys.path.insert(0, _PB_SHIM)
         os.environ["PYTHONPATH"] = (
             _PB_SHIM + os.pathsep + os.environ.get("PYTHONPATH", "")
