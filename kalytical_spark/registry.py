@@ -76,6 +76,7 @@ def _load_optional():
         "attribution",
         "basket",
         "segments",
+        "bpe",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
