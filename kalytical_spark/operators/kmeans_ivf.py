@@ -123,21 +123,27 @@ def make_pair_scorer(q_col: str, v_col: str):
 _FIT_CACHE: dict[tuple[int, str], tuple] = {}
 
 
-def fit_kmeans_cells(spark: SparkSession, sf_dir: str):
+def fit_kmeans_cells(spark: SparkSession, sf_dir: str, exclude_delta_mod: int | None = None):
     """Lloyd's iterations over the (normalized) corpus. Assignment streams
     through mapInPandas against the broadcast K x dim centroid matrix; the
     centroid update is a distributed ``posexplode`` + ``groupBy(cell, pos)``
     mean (same shape as similarity._centroids), so the driver only ever
     holds K x dim values — never the corpus, never the assignments.
 
+    ``exclude_delta_mod`` fits on the BASE slice only (vec_id % mod != 0)
+    — "yesterday's index" for the incremental-maintenance family
+    (ivf_incremental.py); the default fits the whole corpus.
+
     Returns (assignments DataFrame [vec_id, cell], centroids ndarray)."""
     import numpy as np
 
-    memo_key = (app_key(spark), sf_dir)
+    memo_key = (app_key(spark), sf_dir, exclude_delta_mod)
     if memo_key in _FIT_CACHE:
         return _FIT_CACHE[memo_key]
 
     emb = t(spark, sf_dir, "embeddings")
+    if exclude_delta_mod is not None:
+        emb = emb.filter(F.col("vec_id") % exclude_delta_mod != 0)
     n_part = spark.sparkContext.defaultParallelism
     nemb = _normalized(emb).repartition(n_part).cache()
 

@@ -77,6 +77,7 @@ def _load_optional():
         "basket",
         "segments",
         "bpe",
+        "ivf_incremental",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
