@@ -78,6 +78,7 @@ def _load_optional():
         "segments",
         "bpe",
         "ivf_incremental",
+        "image",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
