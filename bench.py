@@ -144,6 +144,9 @@ def main() -> None:
         # comparable across rounds
         "memo_note": "shared index builds reported as explicit memo:* lines; query lines are memo-warm",
         "timing": "warm median-of-3 per query (cold first-run times in BENCH_FULL.json)",
+        # one scalar of first-run behavior in the parsed line (VERDICT r5
+        # task 8): per-query cold times stay in BENCH_FULL only
+        "cold_total_sec": round(sum(cold.values()), 2),
     }
     # The driver parses the JSON line out of the LAST 2000 bytes of stdout
     # (BENCH_r01.json came back "parsed": null because the full 79-query map

@@ -42,11 +42,11 @@ from .dedup import _SQL_SHINGLES, signature_tables
 SETSIM_T_MILLI = 500  # Jaccard threshold 0.5, integer cross-multiplied
 
 
-def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard >= 0.5 near-dup pairs via prefix-filtered candidate
-    generation. Output contract matches the exhaustive miner (doc_a <
-    doc_b, intersection/size counts, double jaccard); only the plan
-    differs — prefix postings instead of full postings."""
+def _prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs surviving the prefix + length + positional filters
+    (doc_a, doc_b, n_a, n_b) — the pre-verification set whose cardinality
+    is the scale story of this operator (tools/scale_bench.py's textdedup
+    chain records it per scale point)."""
     sh, _long = signature_tables(spark, sf_dir)
     df = sh.groupBy("shingle").agg(F.count("*").cast("bigint").alias("sh_df"))
     wdoc = W.partitionBy("doc_id").orderBy("sh_df", "shingle")
@@ -108,6 +108,16 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b", "n_a", "n_b")
     )
+    return cand
+
+
+def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.5 near-dup pairs via prefix-filtered candidate
+    generation. Output contract matches the exhaustive miner (doc_a <
+    doc_b, intersection/size counts, double jaccard); only the plan
+    differs — prefix postings instead of full postings."""
+    sh, _long = signature_tables(spark, sf_dir)
+    cand = _prefix_candidates(spark, sf_dir)
     jac = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(

@@ -58,12 +58,23 @@ except ImportError:
 
 
 def _progress_points(q) -> list[dict]:
-    """Per-batch telemetry: input rows, duration, and state-store size."""
+    """Per-batch telemetry: input rows, duration, and state-store size.
+
+    ``state_bytes`` (stateOperators.memoryUsedBytes) is the provider's
+    TOTAL memory accounting — for RocksDB that includes block-cache and
+    memtable fill, which climbs toward their configured caps and reads
+    like a leak at constant key count (measured: 134KB->742KB over 8
+    batches at 1,000 fixed-width keys). ``state_live_bytes`` is the LIVE
+    keyed state: RocksDB's sstFileSize (HDFS provider: the
+    current-version size metric) — measured as a bounded sawtooth
+    (~12.3KB floor per 100 keys, compaction every 4 batches), the metric
+    that actually answers "does keyed state stay bounded"."""
     points = []
     for p in q.recentProgress:
         if isinstance(p, str):
             p = json.loads(p)
         state = (p.get("stateOperators") or [{}])[0]
+        cm = state.get("customMetrics") or {}
         points.append(
             {
                 "batch_id": p.get("batchId"),
@@ -71,6 +82,9 @@ def _progress_points(q) -> list[dict]:
                 "batch_ms": (p.get("durationMs") or {}).get("triggerExecution"),
                 "state_rows": state.get("numRowsTotal"),
                 "state_bytes": state.get("memoryUsedBytes"),
+                "state_live_bytes": cm.get(
+                    "rocksdbSstFileSize", cm.get("stateOnCurrentVersionSizeBytes")
+                ),
             }
         )
     return points
@@ -195,12 +209,18 @@ def bench_statev2(spark, n_files: int) -> dict:
     n_keys = spark.sql(
         "SELECT COUNT(DISTINCT pipeline_uuid) FROM stream_bench_statev2"
     ).collect()[0][0]
+    points = _progress_points(q)
+    live = [p["state_live_bytes"] for p in points if p.get("state_live_bytes")]
     return {
         "events_total": n_events,
         "keys_total": n_keys,
         "wall_sec": round(wall, 3),
         "events_per_sec": round(n_events / wall, 1),
-        "batches": _progress_points(q),
+        # the compaction floor of the live SST bytes: the steady-state
+        # keyed-state footprint (memoryUsedBytes is cache-fill accounting,
+        # see _progress_points)
+        "steady_state_live_bytes": min(live) if live else None,
+        "batches": points,
     }
 
 
