@@ -38,6 +38,16 @@ from .common import t
 
 MIN_SUPP = 2  # pairs must co-occur in at least this many baskets
 RULES_TOP = 100  # rules returned, ranked by lift
+# Baskets larger than this are excluded from the analysis entirely (from
+# n_orders, item supports, and pair expansion): a degenerate catalog-wide
+# order contributes C(n,2) pair instances — ONE 500-item basket is 124,750
+# pairs, quadratic hot-key mass no join strategy fixes — and carries no
+# affinity signal (everything co-occurs with everything). Standard
+# market-basket practice; TPC-H baskets are <= 7 items, so the cap is a
+# no-op on the fixture corpus and the oracle stays value-identical
+# (tests/test_skew_adversarial.py plants the 500-item basket and pins the
+# exclusion).
+MAX_BASKET_ITEMS = 64
 
 
 def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,6 +60,7 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = (
         li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") <= MAX_BASKET_ITEMS)  # degenerate-basket cap
         .cache()  # feeds the order count, item supports, and pair expansion
     )
     n_orders = baskets.agg(F.count("*").cast("bigint").alias("n_orders"))
@@ -99,7 +110,9 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_BASKET = f"""
 WITH items AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  ) QUALIFY COUNT(*) OVER (PARTITION BY l_orderkey) <= {MAX_BASKET_ITEMS}
 ),
 n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items),
 supp AS (

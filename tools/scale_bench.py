@@ -85,6 +85,23 @@ def _emb_chain():
     ]
 
 
+def _textdedup_chain():
+    """The r5 exact-text-dedup family (VERDICT r6 task 3): PPJoin
+    set-similarity + substring-span mining + excision. ``count:`` entries
+    record cardinalities next to wall time — candidate-pair mass is the
+    scale story for a pruning join (a wall number alone can't show the
+    filter keeping candidates subquadratic)."""
+    from kalytical_spark.operators import setsim, spans
+
+    return [
+        ("count:setsim_candidate_pairs", setsim._prefix_candidates),
+        ("dedup_setsim_prefix", setsim.dedup_setsim_prefix),
+        ("count:span_dup_positions", spans._dup_positions),
+        ("dedup_substring_spans", spans.dedup_substring_spans),
+        ("dedup_substring_excise", spans.dedup_substring_excise),
+    ]
+
+
 def _facts_chain():
     from kalytical_spark.operators import basket, quantiles, relational, warehouse
 
@@ -103,6 +120,7 @@ CHAINS = {
     "events": _events_chain,
     "facts": _facts_chain,
     "emb": _emb_chain,
+    "textdedup": _textdedup_chain,
 }
 
 
@@ -183,12 +201,17 @@ _SCALED_TABLE = {
     "events": "events.parquet",
     "facts": "lineitem.parquet",
     "emb": "embeddings.parquet",
+    "textdedup": "documents.parquet",
 }
 _REPLICATE = {
     "docs": _replicate_docs,
     "events": _replicate_events,
     "facts": _replicate_lineitem,
     "emb": _replicate_embeddings,
+    # disjoint-vocabulary replication: per-replica duplicate structure is
+    # preserved exactly k times over, so candidate mass SHOULD scale
+    # linearly — the recorded count column shows whether it does
+    "textdedup": _replicate_docs,
 }
 
 
@@ -215,17 +238,24 @@ def build_scaled_dir(spark, chain: str, k: int) -> str:
     return out
 
 
-def run_chain(spark, chain: str, sf_dir: str) -> dict[str, float]:
+def run_chain(spark, chain: str, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
+    """(timings, counts): a ``count:`` chain entry records the entry's
+    row count (candidate mass etc.) instead of a noop write — the
+    cardinality column scale curves need next to wall time."""
     timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
     for name, fn in CHAINS[chain]():
         try:
             spark._jvm.System.gc()
         except Exception:
             pass
         t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        if name.startswith("count:"):
+            counts[name[len("count:") :]] = fn(spark, sf_dir).count()
+        else:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
-    return timings
+    return timings, counts
 
 
 def run_single(chain: str, k: int) -> None:
@@ -243,17 +273,15 @@ def run_single(chain: str, k: int) -> None:
         os.path.join(sf_dir, _SCALED_TABLE[chain])
     ).count()
     t0 = time.time()
-    timings = run_chain(spark, chain, sf_dir)
-    print(
-        "RESULT"
-        + json.dumps(
-            {
-                "n_rows": n_rows,
-                "chain_total_sec": round(time.time() - t0, 3),
-                "queries": timings,
-            }
-        )
-    )
+    timings, counts = run_chain(spark, chain, sf_dir)
+    out = {
+        "n_rows": n_rows,
+        "chain_total_sec": round(time.time() - t0, 3),
+        "queries": timings,
+    }
+    if counts:
+        out["counts"] = counts
+    print("RESULT" + json.dumps(out))
 
 
 def _point_sort_key(name: str):
