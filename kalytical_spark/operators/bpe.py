@@ -233,7 +233,83 @@ GROUP BY 1
 )
 
 
+def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-in-use report: encode the corpus under the trained
+    tokenizer and roll up fertility per language — the number every
+    multilingual tokenizer paper reports (tokens/word: how many BPE
+    pieces a word costs; chars/token: how much text one token carries).
+
+    Encoding = ONE broadcast-free join of corpus words against the
+    trained (word -> symbol list) table: training already segmented every
+    word TYPE, so per-occurrence encoding is a lookup, not a re-fold —
+    exactly how production BPE serving works (the merges bake into a
+    word-type cache). The word-type dim is vocabulary-sized, so the join
+    rides shuffle_hash per the repo rule. Also proves detokenization:
+    concat(symbols) must equal the word for every type (detok_exact —
+    folded into the oracle as a TRUE-assertion alongside exact counts the
+    twin recomputes from its own trajectory)."""
+    docs = t(spark, sf_dir, "documents")
+    _, state = _train(spark, sf_dir)
+    seg = state.select(
+        "word",
+        F.size("syms").cast("bigint").alias("n_pieces"),
+        (F.expr("concat_ws('', syms)") == F.col("word")).alias("detok_ok"),
+    )
+    occ = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+    )
+    return (
+        occ.join(seg.hint("shuffle_hash"), "word")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_tokens"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            F.min("detok_ok").alias("detok_exact"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            F.expr("CAST(1000 * n_tokens div n_words AS BIGINT)").alias(
+                "fertility_milli"
+            ),
+            F.expr("CAST(1000 * n_chars div n_tokens AS BIGINT)").alias(
+                "chars_per_token_milli"
+            ),
+            "detok_exact",
+        )
+    )
+
+
+ORACLE_BPE_ENCODE = (
+    "WITH "
+    + _oracle_ctes()
+    + f""",
+bpe_occ AS (
+  SELECT lang, word FROM (
+    SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE len(word) > 0
+),
+bpe_seg AS (
+  SELECT word, CAST(len(syms) AS BIGINT) AS n_pieces FROM bpe_st{BPE_MERGES}
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_pieces) AS BIGINT) AS n_tokens,
+       CAST(1000 * SUM(n_pieces) // COUNT(*) AS BIGINT) AS fertility_milli,
+       CAST(1000 * SUM(length(word)) // SUM(n_pieces) AS BIGINT)
+         AS chars_per_token_milli,
+       TRUE AS detok_exact
+FROM bpe_occ JOIN bpe_seg USING (word)
+GROUP BY 1
+"""
+)
+
+
 QUERIES: dict[str, tuple] = {
     "text_bpe_merges": (text_bpe_merges, ORACLE_BPE_MERGES),
     "text_bpe_vocab": (text_bpe_vocab, ORACLE_BPE_VOCAB),
+    "text_bpe_encode_stats": (text_bpe_encode_stats, ORACLE_BPE_ENCODE),
 }

@@ -115,17 +115,36 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard >= 0.5 near-dup pairs via prefix-filtered candidate
     generation. Output contract matches the exhaustive miner (doc_a <
     doc_b, intersection/size counts, double jaccard); only the plan
-    differs — prefix postings instead of full postings."""
+    differs — prefix postings instead of full postings.
+
+    Verification joins each candidate pair against PRE-AGGREGATED sorted
+    shingle arrays (one row per doc) and intersects JVM-side: two
+    |cand|-row hash joins instead of the posting-list fan-out
+    (|cand| x avg set size intermediate rows — measured 3x the wall at
+    the k100 sweep point) plus its re-aggregation shuffle. Set sizes are
+    document-bounded, so the per-row array_intersect is O(set size) with
+    no skew exposure."""
     sh, _long = signature_tables(spark, sf_dir)
     cand = _prefix_candidates(spark, sf_dir)
+    docsets = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("sh_set")
+    )
     jac = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(
-            sh.withColumnRenamed("doc_id", "doc_b"),
-            ["doc_b", "shingle"],
+        cand.join(
+            docsets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sa")),
+            "doc_a",
         )
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count("*").cast("bigint").alias("n_inter"))
+        .join(
+            docsets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("sa", "sb")).cast("bigint").alias("n_inter"),
+        )
         .filter(
             1000 * F.col("n_inter")
             >= SETSIM_T_MILLI * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))

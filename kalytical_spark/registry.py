@@ -79,6 +79,7 @@ def _load_optional():
         "bpe",
         "ivf_incremental",
         "image",
+        "perceptron",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
