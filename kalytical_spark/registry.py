@@ -80,6 +80,7 @@ def _load_optional():
         "ivf_incremental",
         "image",
         "perceptron",
+        "colbert",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
