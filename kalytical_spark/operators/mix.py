@@ -149,10 +149,76 @@ FROM bucketed GROUP BY 1, 2
 )
 
 
+_TEMP_BUDGET = 1_000_000  # token budget the temperature mix allocates
+
+
+def mix_language_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual sampling (the mBERT/XLM-R exponent
+    trick, public literature): sampling weight per language proportional
+    to n_tokens^tau with tau = 0.5, which up-weights low-resource
+    languages relative to their natural share. tau = 0.5 is chosen
+    because it has an EXACT integer form — w = floor(sqrt(n_tokens)),
+    and floor(sqrt(x)) of a bigint < 2^52 is the identical correctly-
+    rounded IEEE value in both engines — so shares, allocations and
+    effective-epoch factors are all exact integer milli arithmetic (no
+    cross-engine pow() drift; a production tau sweep would rows-only the
+    non-half exponents against this gated anchor).
+
+    Reports per language: natural corpus share, temperature share, the
+    token allocation under a fixed budget, and effective epochs (how many
+    times the language's corpus is traversed — the oversampling number a
+    mixture design reviews for degradation risk).
+
+    Scale: one map-side-combinable groupBy(lang) + a 1-row broadcast
+    total; everything downstream is per-language scalar arithmetic."""
+    docs = t(spark, sf_dir, "documents")
+    per_lang = (
+        docs.select("lang", F.expr("size(split(text, ' '))").alias("nt"))
+        .groupBy("lang")
+        .agg(F.sum("nt").cast("bigint").alias("n_tokens"))
+        .withColumn("w", F.expr("CAST(FLOOR(SQRT(n_tokens)) AS BIGINT)"))
+    )
+    totals = per_lang.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.sum("w").alias("tot_w")
+    )
+    return per_lang.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        "n_tokens",
+        F.expr("CAST(1000 * n_tokens div tot_tokens AS BIGINT)").alias(
+            "natural_share_milli"
+        ),
+        F.expr("CAST(1000 * w div tot_w AS BIGINT)").alias("temp_share_milli"),
+        F.expr(f"CAST({_TEMP_BUDGET} * w div tot_w AS BIGINT)").alias(
+            "alloc_tokens"
+        ),
+        F.expr(
+            f"CAST(1000 * ({_TEMP_BUDGET} * w div tot_w) div n_tokens AS BIGINT)"
+        ).alias("effective_epochs_milli"),
+    )
+
+
+ORACLE_TEMPERATURE = f"""
+WITH per_lang AS (
+  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(FLOOR(SQRT(CAST(SUM(len(string_split(text, ' '))) AS BIGINT))) AS BIGINT) AS w
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT SUM(n_tokens) AS tot_tokens, SUM(w) AS tot_w FROM per_lang)
+SELECT lang, n_tokens,
+       CAST(1000 * n_tokens // tot_tokens AS BIGINT) AS natural_share_milli,
+       CAST(1000 * w // tot_w AS BIGINT) AS temp_share_milli,
+       CAST({_TEMP_BUDGET} * w // tot_w AS BIGINT) AS alloc_tokens,
+       CAST(1000 * ({_TEMP_BUDGET} * w // tot_w) // n_tokens AS BIGINT)
+         AS effective_epochs_milli
+FROM per_lang, tot
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "pipeline_training_mix": (pipeline_training_mix, ORACLE_MIX),
     "pipeline_training_mix_summary": (
         pipeline_training_mix_summary,
         ORACLE_MIX_SUMMARY,
     ),
+    "mix_language_temperature": (mix_language_temperature, ORACLE_TEMPERATURE),
 }
