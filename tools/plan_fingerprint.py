@@ -97,6 +97,8 @@ def headline_queries() -> dict[str, object]:
         "orders_market_basket",     # one-shuffle array pair expansion + top-k
         "users_rfm_segments",       # digit-partitioned NTILE (no global window)
         "text_rrf_fusion",          # two per-term windows + fused top-k
+        "dedup_setsim_prefix",      # prefix postings + array_intersect verify
+        "sim_maxsim_topk",          # flat codegen MaxSim: no Python eval node
     ]
     return {n: qs[n][0] for n in names if n in qs}
 
