@@ -39,6 +39,7 @@ def _memo_builders():
     Each builder returns a DataFrame to materialize (or None if the build
     is already eager)."""
     from kalytical_spark.operators import (
+        colbert,
         components,
         curation,
         dedup,
@@ -62,6 +63,9 @@ def _memo_builders():
         ("memo:kmeans_fit", lambda s, d: kmeans_ivf.fit_kmeans_cells(s, d)[0]),
         # IVF-PQ codebooks (residual quantizers + code assignments)
         ("memo:pq_codebooks", lambda s, d: pq._train_codebooks(s, d)[0]),
+        # token-level k-means cells for the pruned MaxSim path (8x the
+        # points of the pooled fit: one fit over the exploded token view)
+        ("memo:token_kmeans_fit", lambda s, d: colbert.fit_token_cells(s, d)[0]),
         # sequential fire-decision ledger (applyInPandas fold)
         ("memo:replay_decisions", replay.dag_replay_decisions),
     ]
