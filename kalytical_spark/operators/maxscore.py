@@ -1,0 +1,338 @@
+"""Max-score pruned multi-term retrieval (public literature: Turtle &
+Flood 1995 "Query evaluation: strategies and optimizations") — the
+standard inverted-index optimization every production search engine runs:
+split a query's terms into ESSENTIAL and NON-ESSENTIAL posting lists by
+their per-term score upper bounds, and fully score only documents that
+appear in at least one essential list. A document matching only
+non-essential terms cannot reach the current top-k threshold, so whole
+posting lists (at web scale: the stopword-sized ones) drop out of the
+scoring join.
+
+Reference parity: the reference has no search surface at all; this is the
+LLM-pipeline retrieval family (query-based corpus slicing at 100 TB) on
+top of ranking.py's BM25.
+
+The Spark shape — all bounded-dim joins and decomposed windows:
+
+* contrib: inverted postings for the query terms only (tf join a 12-row
+  broadcast query-term dim), each (term, doc) scored once with the exact
+  ranking.py BM25 formula and SNAPPED to integer micro-units
+  (``s_e6 = CAST(ROUND(1e6 * bm25) AS BIGINT)``) so every downstream
+  max / sum / threshold compare is pure bigint arithmetic.
+* u (the per-term upper bound): one map-side-combinable ``max`` per
+  (qid, term) — a 12-row dim.
+* theta (a LOWER bound on the k-th best final score): per-bucket maxima
+  of the top-u term's postings (doc_id % MAXSCORE_BUCKETS), then the
+  k-th largest of those bucket maxima. Each bucket max is a distinct
+  doc's single-term score, and a final score is >= any of its term
+  scores (BM25 contributions are positive), so k bucket-maxima >= v
+  proves k docs with final score >= v: a valid lower bound computed
+  without any corpus-sized window (the only window runs over <=
+  MAXSCORE_BUCKETS rows per query). Fewer than k non-empty buckets ->
+  theta = 0 (prune nothing, still lossless).
+* essential split: ascending-u prefix sums over the 12-row dim; a term
+  is non-essential iff its inclusive prefix sum < theta (STRICT: a doc
+  summing exactly to theta could still win its tie-break, so only a
+  strictly-smaller bound may prune).
+* final scoring: docs from essential postings only, joined back to ALL
+  of the query's postings and summed.
+
+Losslessness is not argued, it is PROVEN: the oracle for
+``text_maxscore_topk`` is the EXHAUSTIVE scorer (score every matching
+doc, no pruning) — the same proof shape as the PPJoin prefix filter
+(setsim.py). ``text_maxscore_prune_report`` exposes the split itself
+(theta, essential counts, candidate counts); the whole prune decision is
+exact integer arithmetic, so the report has a full value oracle too — no
+silent caps.
+
+Query formation is deterministic and data-derived: the MAXSCORE_N_TERMS
+rarest terms (df ASC — discriminative terms, the IR-sensible choice),
+dealt round-robin into MAXSCORE_N_QUERIES disjunctive queries, so one
+query gets the corpus's rarest (highest-idf) term and measurably prunes
+its uniform co-terms at fixture scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .common import t
+from .ranking import _SQL_DOC_TERMS, BM25_B, BM25_K1, _doc_terms
+
+MAXSCORE_N_TERMS = 12
+MAXSCORE_N_QUERIES = 4
+MAXSCORE_TOP_DOCS = 10
+MAXSCORE_BUCKETS = 16
+
+
+def _contrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, term, doc_id, s_e6): the query-term inverted postings with
+    integer-snapped BM25 contributions."""
+    tf = _doc_terms(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents")
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    dl = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("dl")
+    )
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("bigint")).alias("total_dl"),
+    )
+    # rarest-first query terms, dealt round-robin into qids; the 12-row
+    # rank window is over a LIMITed constant-size frame, not the vocab
+    qterms = (
+        df_.orderBy(F.asc("df"), F.asc("term"))
+        .limit(MAXSCORE_N_TERMS)
+        .withColumn(
+            "rk", F.row_number().over(W.orderBy(F.asc("df"), F.asc("term")))
+        )
+        .select(
+            ((F.col("rk") - 1) % MAXSCORE_N_QUERIES).cast("int").alias("qid"),
+            "term",
+            "df",
+        )
+    )
+    nd = F.col("n_docs").cast("double")
+    dfd = F.col("df").cast("double")
+    idf = F.log(F.lit(1.0) + (nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)))
+    avgdl = F.col("total_dl").cast("double") / nd
+    tfd = F.col("tf").cast("double")
+    denom = tfd + F.lit(BM25_K1) * (
+        F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl)
+    )
+    return (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid",
+            "term",
+            "doc_id",
+            # parenthesized to the oracle's association: 1e6 * ((idf * num)
+            # / denom) — a different IEEE order could flip a .5 boundary
+            F.round(
+                F.lit(1000000.0) * ((idf * (tfd * F.lit(BM25_K1 + 1.0))) / denom)
+            )
+            .cast("bigint")
+            .alias("s_e6"),
+        )
+    )
+
+
+def _essential_split(spark: SparkSession, sf_dir: str):
+    """Returns (contrib, ess) where ess is the <=12-row per-(qid, term)
+    dim carrying u_e6, theta_e6 and the essential flag."""
+    contrib = _contrib(spark, sf_dir)
+    u = contrib.groupBy("qid", "term").agg(F.max("s_e6").alias("u_e6"))
+
+    top_term = (
+        u.withColumn(
+            "trk",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.desc("u_e6"), F.asc("term"))
+            ),
+        )
+        .filter(F.col("trk") == 1)
+        .select("qid", "term")
+    )
+    bucket_max = (
+        contrib.join(F.broadcast(top_term), ["qid", "term"])
+        .withColumn("bucket", (F.col("doc_id") % MAXSCORE_BUCKETS).cast("int"))
+        .groupBy("qid", "bucket")
+        .agg(F.max("s_e6").alias("bmax"))
+    )
+    theta = (
+        bucket_max.withColumn(
+            "brk",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.desc("bmax"), F.asc("bucket"))
+            ),
+        )
+        .filter(F.col("brk") == MAXSCORE_TOP_DOCS)
+        .select("qid", F.col("bmax").alias("theta_e6"))
+    )
+    wpfx = (
+        W.partitionBy("qid")
+        .orderBy(F.asc("u_e6"), F.asc("term"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ess = (
+        u.join(theta, "qid", "left")
+        .withColumn("theta_e6", F.coalesce("theta_e6", F.lit(0).cast("bigint")))
+        .withColumn("pfx_e6", F.sum("u_e6").over(wpfx))
+        .withColumn("essential", ~(F.col("pfx_e6") < F.col("theta_e6")))
+    )
+    return contrib, ess
+
+
+def text_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k multi-term BM25 retrieval through the max-score prune; the
+    oracle scores exhaustively, so a green hash IS the losslessness
+    proof."""
+    contrib, ess = _essential_split(spark, sf_dir)
+    cand = (
+        contrib.join(
+            F.broadcast(ess.filter("essential").select("qid", "term")),
+            ["qid", "term"],
+        )
+        .select("qid", "doc_id")
+        .distinct()
+    )
+    final = (
+        cand.join(contrib, ["qid", "doc_id"])
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("s_e6").alias("score_e6"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("score_e6"), F.asc("doc_id"))
+    return (
+        final.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MAXSCORE_TOP_DOCS)
+        .select("qid", F.col("rk").cast("int").alias("rk"), "doc_id", "score_e6")
+    )
+
+
+def text_maxscore_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prune decision itself, per query: term count, theta, essential
+    count, candidate docs vs exhaustively-matched docs. Everything here is
+    exact integer arithmetic — full value oracle, no bounded-TRUE rows."""
+    contrib, ess = _essential_split(spark, sf_dir)
+    cand_docs = (
+        contrib.join(
+            F.broadcast(ess.filter("essential").select("qid", "term")),
+            ["qid", "term"],
+        )
+        .groupBy("qid")
+        .agg(F.countDistinct("doc_id").alias("cand_docs"))
+    )
+    all_docs = contrib.groupBy("qid").agg(
+        F.countDistinct("doc_id").alias("matched_docs")
+    )
+    per_q = ess.groupBy("qid", "theta_e6").agg(
+        F.count("*").cast("int").alias("n_terms"),
+        F.sum(F.col("essential").cast("int")).cast("int").alias("n_essential"),
+        F.max("u_e6").alias("u_max_e6"),
+    )
+    return (
+        per_q.join(cand_docs, "qid")
+        .join(all_docs, "qid")
+        .select(
+            "qid",
+            "n_terms",
+            "n_essential",
+            "theta_e6",
+            "u_max_e6",
+            "cand_docs",
+            "matched_docs",
+        )
+    )
+
+
+_SQL_CONTRIB = f"""
+  WITH tf AS ({_SQL_DOC_TERMS}),
+  df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+  dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+  stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_dl
+    FROM documents
+  ),
+  qterms AS (
+    SELECT CAST((rk - 1) % {MAXSCORE_N_QUERIES} AS INTEGER) AS qid, term, df
+    FROM (
+      SELECT term, df, row_number() OVER (ORDER BY df ASC, term) AS rk
+      FROM df ORDER BY df ASC, term LIMIT {MAXSCORE_N_TERMS}
+    )
+  )
+  SELECT q.qid, tf.term, tf.doc_id,
+         CAST(ROUND(1000000 * (
+           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5)
+                    / (CAST(q.df AS DOUBLE) + 0.5))
+           * (CAST(tf.tf AS DOUBLE) * {BM25_K1 + 1.0})
+           / (CAST(tf.tf AS DOUBLE) + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}
+                * (CAST(dl.dl AS DOUBLE) / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+         )) AS BIGINT) AS s_e6
+  FROM tf JOIN qterms q USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+"""
+
+# the exhaustive scorer: every (qid, doc) pair that matches ANY query term,
+# no pruning anywhere — equality with the Spark side proves the max-score
+# split lossless
+ORACLE_MAXSCORE = f"""
+WITH contrib AS ({_SQL_CONTRIB}),
+final AS (
+  SELECT qid, doc_id, CAST(SUM(s_e6) AS BIGINT) AS score_e6
+  FROM contrib GROUP BY 1, 2
+)
+SELECT qid, CAST(rk AS INT) AS rk, doc_id, score_e6
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY score_e6 DESC, doc_id) AS rk
+  FROM final
+) WHERE rk <= {MAXSCORE_TOP_DOCS}
+"""
+
+ORACLE_MAXSCORE_PRUNE = f"""
+WITH contrib AS ({_SQL_CONTRIB}),
+u AS (
+  SELECT qid, term, CAST(MAX(s_e6) AS BIGINT) AS u_e6
+  FROM contrib GROUP BY 1, 2
+),
+top_term AS (
+  SELECT qid, term FROM (
+    SELECT qid, term, row_number() OVER (PARTITION BY qid
+                                         ORDER BY u_e6 DESC, term) AS trk
+    FROM u
+  ) WHERE trk = 1
+),
+bucket_max AS (
+  SELECT c.qid, c.doc_id % {MAXSCORE_BUCKETS} AS bucket,
+         CAST(MAX(c.s_e6) AS BIGINT) AS bmax
+  FROM contrib c JOIN top_term USING (qid, term)
+  GROUP BY 1, 2
+),
+theta AS (
+  SELECT qid, bmax AS theta_e6 FROM (
+    SELECT qid, bmax, row_number() OVER (PARTITION BY qid
+                                         ORDER BY bmax DESC, bucket) AS brk
+    FROM bucket_max
+  ) WHERE brk = {MAXSCORE_TOP_DOCS}
+),
+ess AS (
+  SELECT u.qid, u.term, u.u_e6,
+         COALESCE(theta.theta_e6, 0) AS theta_e6,
+         SUM(u.u_e6) OVER (PARTITION BY u.qid ORDER BY u.u_e6 ASC, u.term
+                           ROWS UNBOUNDED PRECEDING) AS pfx_e6
+  FROM u LEFT JOIN theta USING (qid)
+),
+flagged AS (
+  SELECT *, NOT (pfx_e6 < theta_e6) AS essential FROM ess
+),
+cand AS (
+  SELECT f.qid, CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS cand_docs
+  FROM contrib c JOIN flagged f USING (qid, term)
+  WHERE f.essential GROUP BY 1
+),
+alld AS (
+  SELECT qid, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS matched_docs
+  FROM contrib GROUP BY 1
+)
+SELECT f.qid,
+       CAST(COUNT(*) AS INT) AS n_terms,
+       CAST(SUM(CASE WHEN f.essential THEN 1 ELSE 0 END) AS INT) AS n_essential,
+       CAST(MAX(f.theta_e6) AS BIGINT) AS theta_e6,
+       CAST(MAX(f.u_e6) AS BIGINT) AS u_max_e6,
+       MAX(cand.cand_docs) AS cand_docs,
+       MAX(alld.matched_docs) AS matched_docs
+FROM flagged f JOIN cand USING (qid) JOIN alld USING (qid)
+GROUP BY 1
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "text_maxscore_topk": (text_maxscore_topk, ORACLE_MAXSCORE),
+    "text_maxscore_prune_report": (
+        text_maxscore_prune_report,
+        ORACLE_MAXSCORE_PRUNE,
+    ),
+}

@@ -81,6 +81,7 @@ def _load_optional():
         "image",
         "perceptron",
         "colbert",
+        "maxscore",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
