@@ -285,6 +285,139 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# integer micro-unit DCG position weights: round(1e6 / log2(p + 1)) for
+# rank p, PRE-COMPUTED once in Python and embedded as literals in BOTH
+# engines — log2 is transcendental, so evaluating it per-engine would put
+# a last-ulp cross-engine diff inside the hash; a shared literal table
+# keeps the whole metric exact bigint arithmetic.
+def _dcg_weights(k: int) -> list[int]:
+    import math
+
+    return [round(1_000_000 / math.log2(p + 1)) for p in range(1, k + 1)]
+
+
+def emb_matryoshka_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@k of the truncated-dim (MRL) ranking against the full-dim
+    exact ranking — the position-weighted complement of
+    emb_matryoshka_recall (recall treats rank 1 and rank k the same;
+    nDCG answers whether truncation loses the TOP of the list or just
+    the tail). Graded relevance = TOP_K + 1 - exact_rank (10..1), gain
+    weights from the shared integer table, nDCG in exact micro-units
+    (integer division), so the whole report is value-provable.
+
+    Scale shape: identical to emb_matryoshka_recall (two broadcast-query
+    scans + a k-row-per-query join); the metric adds only bounded
+    arithmetic."""
+    from pyspark.sql import Window as W
+
+    from .common import t as _t
+    from .similarity import QUERY_STRIDE, TOP_K, _cos_rounded
+
+    w_lit = "array({})".format(
+        ", ".join(f"{w}L" for w in _dcg_weights(TOP_K))
+    )
+
+    embt = _t(spark, sf_dir, "embeddings")
+    queries = embt.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(embt, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _cos_rounded(
+                F.slice(F.col("q_emb"), 1, MRL_DIM),
+                F.slice(F.col("embedding"), 1, MRL_DIM),
+            ).alias("cos_t"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_t"), F.asc("vec_id"))
+    trunc_tk = (
+        scored.withColumn("p", F.row_number().over(w))
+        .filter(F.col("p") <= TOP_K)
+        .select("query_id", "vec_id", "p")
+    )
+    exact = sim_topk_bruteforce(spark, sf_dir).select(
+        "query_id",
+        "vec_id",
+        (F.lit(TOP_K + 1) - F.col("rank")).cast("bigint").alias("rel"),
+        F.col("rank").alias("exact_rank"),
+    )
+    dcg = (
+        trunc_tk.join(
+            exact.select("query_id", "vec_id", "rel"), ["query_id", "vec_id"], "left"
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.coalesce("rel", F.lit(0).cast("bigint"))
+                * F.expr(f"element_at({w_lit}, p)")
+            ).alias("dcg_w")
+        )
+    )
+    idcg = exact.groupBy("query_id").agg(
+        F.count("*").cast("int").alias("k_exact"),
+        F.sum(F.col("rel") * F.expr(f"element_at({w_lit}, exact_rank)")).alias(
+            "idcg_w"
+        ),
+    )
+    return (
+        idcg.join(dcg, "query_id")
+        .select(
+            "query_id",
+            F.lit(MRL_DIM).cast("int").alias("mrl_dim"),
+            "k_exact",
+            "dcg_w",
+            "idcg_w",
+            F.expr("CAST(1000000 * dcg_w div idcg_w AS INT)").alias("ndcg_micro"),
+        )
+    )
+
+
+def _oracle_matryoshka_ndcg() -> str:
+    from .similarity import QUERY_STRIDE, TOP_K
+
+    w_lit = "[{}]".format(", ".join(str(w) for w in _dcg_weights(TOP_K)))
+    return f"""
+WITH exact_tk AS (
+  SELECT query_id, vec_id, rank AS exact_rank,
+         CAST({TOP_K} + 1 - rank AS BIGINT) AS rel
+  FROM ({ORACLE_TOPK_BRUTEFORCE})
+), tqueries AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id % {QUERY_STRIDE} = 0
+), tscored AS (
+  SELECT q.query_id, e.vec_id,
+         round(CAST(list_cosine_similarity(
+                 CAST(q.q_emb[1:{MRL_DIM}] AS DOUBLE[]),
+                 CAST(e.embedding[1:{MRL_DIM}] AS DOUBLE[])) AS DOUBLE), 4) AS cos_t
+  FROM tqueries q JOIN embeddings e ON e.vec_id <> q.query_id
+), trunc_tk AS (
+  SELECT query_id, vec_id, p FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_t DESC, vec_id) AS p
+    FROM tscored
+  ) WHERE p <= {TOP_K}
+), dcg AS (
+  SELECT t.query_id,
+         CAST(SUM(COALESCE(e.rel, 0) * ({w_lit})[t.p]) AS BIGINT) AS dcg_w
+  FROM trunc_tk t
+  LEFT JOIN exact_tk e ON e.query_id = t.query_id AND e.vec_id = t.vec_id
+  GROUP BY 1
+), idcg AS (
+  SELECT query_id, CAST(COUNT(*) AS INTEGER) AS k_exact,
+         CAST(SUM(rel * ({w_lit})[exact_rank]) AS BIGINT) AS idcg_w
+  FROM exact_tk GROUP BY 1
+)
+SELECT i.query_id, CAST({MRL_DIM} AS INTEGER) AS mrl_dim,
+       i.k_exact, d.dcg_w, i.idcg_w,
+       CAST(1000000 * d.dcg_w // i.idcg_w AS INTEGER) AS ndcg_micro
+FROM idcg i JOIN dcg d USING (query_id)
+"""
+
+
 def _oracle_matryoshka() -> str:
     from .similarity import QUERY_STRIDE, TOP_K
 
@@ -320,6 +453,7 @@ GROUP BY 1
 
 QUERIES: dict[str, tuple] = {
     "emb_matryoshka_recall": (emb_matryoshka_recall, _oracle_matryoshka()),
+    "emb_matryoshka_ndcg": (emb_matryoshka_ndcg, _oracle_matryoshka_ndcg()),
     "sim_ivf_recall_report": (sim_ivf_recall_report, ORACLE_RECALL),
     "dedup_lsh_recall_report": (dedup_lsh_recall_report, _oracle_lsh_recall()),
     "sim_kmeans_ivf_recall_report": (
