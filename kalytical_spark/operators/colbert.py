@@ -113,6 +113,8 @@ FROM (
 
 MAXSIM_IVF_RECALL_FLOOR_MILLI = 800
 N_PROBE_TOK = 2  # cells probed PER QUERY TOKEN (the union drives candidates)
+TOKENS_PER_CELL = 512  # target quantizer cell size (K = n_tokens / this)
+TOK_FIT_SAMPLE = 65536  # Lloyd's training-sample cap (md5-smallest tokens)
 _TOK_ITERS = 5
 
 # session-scoped memo, the fit_kmeans_cells._FIT_CACHE convention
@@ -142,12 +144,23 @@ def fit_token_cells(spark: SparkSession, sf_dir: str):
     token-level quantizer measured 1.0 under the same probe budget,
     because MaxSim relevance lives at token granularity.
 
-    Same scale contract as kmeans_ivf.fit_kmeans_cells: per iteration the
-    driver sees exactly K x TDIM aggregated rows; assignments stay a
-    cached DataFrame; K scales ~sqrt(n_tokens) with the K_CELLS floor.
-    Deterministic: init = K tokens with smallest md5(vec_id:tok); raw
-    (unnormalized) vectors, argmin ties to the lower cell, means rounded
-    to 9 decimals, centroids broadcast at 6 decimals.
+    Build shape (the real PLAID one, and the only one that scales):
+    Lloyd's runs on a BOUNDED deterministic sample (the TOK_FIT_SAMPLE
+    md5-smallest tokens — <= 65k x 8 doubles = 4 MB on the driver,
+    constant in the corpus), then ONE distributed pass assigns the full
+    corpus under the frozen centroids. K itself grows LINEARLY
+    (n_tok / TOKENS_PER_CELL, constant cell size): a doc posts to up to
+    NTOK cells and a query probes NTOK x N_PROBE_TOK, so the candidate
+    fraction is ~NTOK^2 x N_PROBE_TOK / K — only K ∝ n_tok keeps the
+    per-query candidate COUNT constant as the corpus grows (the
+    single-vector index kmeans_ivf wants K ~ sqrt(N) instead; measured
+    here: six full-corpus Lloyd passes with linear K cost 267 s at the
+    100x corpus, sample-fit + one assignment pass is the fix).
+
+    Deterministic: the sample and the K seeds are md5-order prefixes;
+    single-threaded driver Lloyd (fixed iteration order); argmax ties to
+    the lower cell; means rounded to 9 decimals per round; centroids
+    broadcast at 6 decimals.
 
     Returns (postings DataFrame [vec_id, cell] DISTINCT, centroids)."""
     import numpy as np
@@ -163,60 +176,38 @@ def fit_token_cells(spark: SparkSession, sf_dir: str):
     n_part = spark.sparkContext.defaultParallelism
     toks = _token_view(emb).repartition(n_part).cache()
     n_tok = toks.count()
-    k_cells = max(K_CELLS, int((n_tok / 8) ** 0.5))
+    # seeds come from the sample, so K is bounded by it (binds only past
+    # ~33M tokens, where a production build would raise the sample cap)
+    k_cells = min(max(K_CELLS, n_tok // TOKENS_PER_CELL), TOK_FIT_SAMPLE)
 
-    seed_rows = (
+    sample_rows = (
         toks.withColumn(
             "h", F.md5(F.concat_ws(":", F.col("vec_id"), F.col("tok")))
         )
         .orderBy("h")
-        .limit(k_cells)
-        .select("vec_id", "tok", "tvec")
+        .limit(TOK_FIT_SAMPLE)
+        .select("h", "tvec")
         .collect()
     )
-    C = np.stack(
-        [
-            np.asarray(r.tvec, dtype=np.float64)
-            for r in sorted(seed_rows, key=lambda r: (r.vec_id, r.tok))
-        ]
-    )
+    # fixed training order (by the same hash that picked the sample) so
+    # the driver-local fit is bit-reproducible
+    sample_rows.sort(key=lambda r: r.h)
+    S = np.stack([np.asarray(r.tvec, dtype=np.float64) for r in sample_rows])
+    C = S[:k_cells].copy()
 
     for _ in range(_TOK_ITERS):
-        bC = spark.sparkContext.broadcast(np.round(C, 6))
-
-        def stats(batches):
-            """Assign + map-side combine in one pass (kmeans_ivf.stats
-            shape): at most K x TDIM partial rows per Arrow batch."""
-            Cb = bC.value
-            cn = (Cb * Cb).sum(axis=1)
-            for pdf in batches:
-                X = np.stack(pdf["tvec"].map(lambda a: np.asarray(a, dtype=np.float64)))
-                # argmin ||x-c||^2 == argmax (2 x.c - ||c||^2); argmax ties
-                # to the lower cell id
-                cell = (2.0 * (X @ Cb.T) - cn).argmax(axis=1)
-                sums = np.zeros((Cb.shape[0], X.shape[1]))
-                np.add.at(sums, cell, X)
-                counts = np.bincount(cell, minlength=Cb.shape[0])
-                present = np.flatnonzero(counts)
-                k_idx = np.repeat(present, X.shape[1])
-                yield pd.DataFrame(
-                    {
-                        "cell": k_idx.astype("int32"),
-                        "pos": np.tile(np.arange(X.shape[1], dtype="int32"), len(present)),
-                        "s": sums[present].reshape(-1),
-                        "c": counts[k_idx].astype("int64"),
-                    }
-                )
-
-        upd = (
-            toks.mapInPandas(stats, schema="cell int, pos int, s double, c long")
-            .groupBy("cell", "pos")
-            .agg(F.round(F.sum("s") / F.sum("c"), 9).alias("m"))
-            .collect()
-        )
+        Cr = np.round(C, 6)
+        cn = (Cr * Cr).sum(axis=1)
+        # argmin ||x-c||^2 == argmax (2 x.c - ||c||^2); ties to lower cell
+        cell = (2.0 * (S @ Cr.T) - cn).argmax(axis=1)
+        sums = np.zeros_like(C)
+        np.add.at(sums, cell, S)
+        counts = np.bincount(cell, minlength=C.shape[0])
+        present = counts > 0
         C_new = C.copy()  # empty cells keep their centroid
-        for r in upd:
-            C_new[r.cell, r.pos] = r.m
+        C_new[present] = np.round(
+            sums[present] / counts[present, None], 9
+        )
         C = C_new
 
     bC = spark.sparkContext.broadcast(np.round(C, 6))
@@ -240,23 +231,33 @@ def fit_token_cells(spark: SparkSession, sf_dir: str):
     return _TOK_FIT_CACHE[memo_key]
 
 
-def sim_maxsim_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_maxsim_ivf_pruned(
+    spark: SparkSession, sf_dir: str, max_query_id: int | None = None
+) -> DataFrame:
     """The SCALE path for late interaction: TOKEN-level IVF candidate
     generation + exact MaxSim re-ranking of candidates only — brute-force
     MaxSim over a 100 TB corpus is a non-starter, and this
     first-stage/re-rank split is exactly what production ColBERT systems
     run (PLAID: probe learned token-centroid cells with each query token,
     union the posting lists, score the shortlist). Candidates are the
-    docs sharing a probed cell with ANY query token; pruning power grows
-    with K ~ sqrt(n_tokens) while the probe budget stays NTOK x
-    N_PROBE_TOK cells per query. Rows-only (learned index); recall vs the
-    exact MaxSim baseline is floor-gated by
-    sim_maxsim_pruned_recall_report."""
+    docs sharing a probed cell with ANY query token; constant cell size
+    (fit_token_cells) keeps per-query candidate count ~constant as the
+    corpus grows, so total probe work scales with the QUERY workload, not
+    the corpus. Rows-only (learned index); recall vs the exact MaxSim
+    baseline is floor-gated by sim_maxsim_pruned_recall_report.
+
+    ``max_query_id`` caps the query set (the scale sweep measures a FIXED
+    query workload against a growing corpus — the production retrieval
+    shape; the default stride-derived set, which grows with the corpus,
+    is what the gate and the recall report use)."""
     import numpy as np
 
     emb = t(spark, sf_dir, "embeddings")
     postings, C = fit_token_cells(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    if max_query_id is not None:
+        queries = queries.filter(F.col("vec_id") <= max_query_id)
+    queries = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     bC = spark.sparkContext.broadcast(C)

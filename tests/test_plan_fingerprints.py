@@ -11,7 +11,7 @@ import json
 
 import pytest
 
-from tools.plan_fingerprint import _PIN, fingerprint, headline_queries
+from tools.plan_fingerprint import _PIN, fingerprint, headline_queries, stable
 from tests.conftest import SF_ORACLE
 
 
@@ -24,7 +24,10 @@ def _pinned() -> dict:
 def test_headline_fingerprint_stable(spark, name):
     pinned = _pinned()[name]
     fn = headline_queries()[name]
-    got = fingerprint(fn(spark, SF_ORACLE))
+    # stable() drops the keys a query has DECLARED volatile (see
+    # plan_fingerprint.VOLATILE — cache-warmth-dependent AQE join choices);
+    # the pin file itself is written through the same filter
+    got = stable(name, fingerprint(fn(spark, SF_ORACLE)))
     assert got == pinned, (
         f"{name}: plan shape drifted from the pinned baseline.\n"
         f"  pinned: {json.dumps(pinned, sort_keys=True)}\n"

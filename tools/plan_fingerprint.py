@@ -99,6 +99,7 @@ def headline_queries() -> dict[str, object]:
         "text_rrf_fusion",          # two per-term windows + fused top-k
         "dedup_setsim_prefix",      # prefix postings + array_intersect verify
         "sim_maxsim_topk",          # flat codegen MaxSim: no Python eval node
+        "text_maxscore_topk",       # essential-posting prune: bounded dims only
     ]
     return {n: qs[n][0] for n in names if n in qs}
 
@@ -110,9 +111,33 @@ _PIN = os.path.join(
 )
 
 
+# Keys excluded from a query's pin because they are legitimately
+# execution-order-dependent, not load-bearing. users_rfm_segments pins its
+# internal user dim with .cache(); AQE's join-strategy choice around an
+# InMemoryRelation depends on whether the cache is warm at planning time
+# (measured in one session, back-to-back: 73 exchanges + 2 SMJ cold, 70
+# exchanges + 0 SMJ warm), so join/exchange counts flap while the
+# load-bearing invariants — the 6 digit-partitioned NTILE windows, the
+# aggregate count, no Python eval, no cartesian — stay pinned.
+VOLATILE: dict[str, set[str]] = {
+    "users_rfm_segments": {
+        "shuffle_hash_exchange",
+        "broadcast_exchange",
+        "broadcast_hash_join",
+        "sort_merge_join",
+    },
+}
+
+
+def stable(name: str, fp: dict[str, int]) -> dict[str, int]:
+    """A query's fingerprint minus its declared-volatile keys."""
+    drop = VOLATILE.get(name, set())
+    return {k: v for k, v in fp.items() if k not in drop}
+
+
 def compute_all(spark, sf_dir: str) -> dict[str, dict[str, int]]:
     return {
-        name: fingerprint(fn(spark, sf_dir))
+        name: stable(name, fingerprint(fn(spark, sf_dir)))
         for name, fn in headline_queries().items()
     }
 

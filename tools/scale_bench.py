@@ -74,7 +74,7 @@ def _events_chain():
 
 
 def _emb_chain():
-    from kalytical_spark.operators import dedup, embedding_stats, kmeans_ivf
+    from kalytical_spark.operators import colbert, dedup, embedding_stats, kmeans_ivf
 
     return [
         ("memo:kmeans_fit", lambda s, d: kmeans_ivf.fit_kmeans_cells(s, d)[0]),
@@ -82,6 +82,17 @@ def _emb_chain():
         ("emb_label_coherence", embedding_stats.emb_label_coherence),
         ("emb_centroid_drift", embedding_stats.emb_centroid_drift),
         ("dedup_embedding_pairs", dedup.dedup_embedding_pairs),
+        # late-interaction scale path: token-level fit (8x the points,
+        # constant cell size so K grows with the corpus) + probe/re-rank
+        # of a FIXED query workload (the base-replica queries: vec_ids
+        # are replicated upward, so <= base max keeps the same 20 queries
+        # at every k — production retrieval is fixed QPS against a
+        # growing corpus)
+        ("memo:token_kmeans_fit", lambda s, d: colbert.fit_token_cells(s, d)[0]),
+        (
+            "sim_maxsim_ivf_pruned",
+            lambda s, d: colbert.sim_maxsim_ivf_pruned(s, d, max_query_id=1999),
+        ),
     ]
 
 
@@ -91,7 +102,7 @@ def _textdedup_chain():
     record cardinalities next to wall time — candidate-pair mass is the
     scale story for a pruning join (a wall number alone can't show the
     filter keeping candidates subquadratic)."""
-    from kalytical_spark.operators import setsim, spans
+    from kalytical_spark.operators import maxscore, setsim, spans
 
     return [
         ("count:setsim_candidate_pairs", setsim._prefix_candidates),
@@ -99,6 +110,10 @@ def _textdedup_chain():
         ("count:span_dup_positions", spans._dup_positions),
         ("dedup_substring_spans", spans.dedup_substring_spans),
         ("dedup_substring_excise", spans.dedup_substring_excise),
+        # max-score retrieval: the prune threshold comes from per-bucket
+        # maxima, so the leg measures whether candidate work stays
+        # proportional to essential-posting mass as the corpus grows
+        ("text_maxscore_topk", maxscore.text_maxscore_topk),
     ]
 
 
