@@ -278,6 +278,27 @@ SHOWCASE = [
         "lineage is checkpoint-truncated per round, and the DuckDB twin\n"
         "unrolls the identical recurrence as MATERIALIZED CTEs.",
     ),
+    (
+        "text_maxscore_topk",
+        lambda s: _maxscore().text_maxscore_topk(s, SF),
+        "Max-score pruned retrieval: the query-term dim, the per-term\n"
+        "upper bounds, the theta thresholds and the essential split are\n"
+        "all <=16-row broadcasts; the only corpus-scale work is the\n"
+        "posting scan and the (qid, doc) aggregation over ESSENTIAL\n"
+        "postings' docs — the windows run over <=MAXSCORE_BUCKETS rows\n"
+        "per query, never a posting list. The exhaustive-scorer oracle\n"
+        "proves the prune lossless.",
+    ),
+    (
+        "sim_maxsim_ivf_pruned",
+        lambda s: _colbert().sim_maxsim_ivf_pruned(s, SF),
+        "PLAID-shaped late interaction: per-token probe (one Arrow map\n"
+        "over the broadcast centroid matrix) -> posting join -> DISTINCT\n"
+        "candidates -> flat-codegen MaxSim re-rank. Constant cell size\n"
+        "keeps per-query candidates ~constant as the corpus grows\n"
+        "(SCALE_SWEEP emb chain: probe wall flat 12-15 s from 10x to\n"
+        "100x); recall vs the exact scorer is oracle-floor-gated.",
+    ),
 ]
 
 
@@ -420,6 +441,18 @@ def _segments():
     from kalytical_spark.operators import segments
 
     return segments
+
+
+def _maxscore():
+    from kalytical_spark.operators import maxscore
+
+    return maxscore
+
+
+def _colbert():
+    from kalytical_spark.operators import colbert
+
+    return colbert
 
 
 if __name__ == "__main__":
