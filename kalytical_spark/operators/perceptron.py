@@ -139,6 +139,71 @@ ORACLE_PERCEPTRON = (
 )
 
 
+def quality_perceptron_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability report for the trained classifier: score every document
+    with the FINAL epoch's weights (the same exact-integer margin the
+    trainer used), bucket by signed decimal magnitude class of the score
+    (sign x digit-length — a data-independent log-ish binning that stays
+    pure bigint/string arithmetic in both engines), and report the
+    positive rate per bucket. The ML-eval counterpart of the training
+    trajectory: does a larger positive margin actually mean 'more likely
+    en'? Scale: one corpus scan against a 1-row broadcast weight dim,
+    then a <=40-row aggregate."""
+    feats = _features(spark, sf_dir)
+    wfin = (
+        quality_perceptron_train(spark, sf_dir)
+        .filter(F.col("epoch") == EPOCHS)
+        .select(*[F.col(f"w{i}") for i in range(_D)])
+    )
+    score = " + ".join(f"w{i} * x{i}" for i in range(_D))
+    # signed (digit-length, leading-digit) bin: ~9 sub-bins per decade,
+    # so clustered margins still spread into a readable curve
+    bucket = (
+        "CAST((CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END)"
+        " * (length(CAST(abs(s) AS STRING)) * 10"
+        "    + CAST(substring(CAST(abs(s) AS STRING), 1, 1) AS INT)) AS INT)"
+    )
+    return (
+        feats.crossJoin(F.broadcast(wfin))
+        .select("y", F.expr(score).cast("bigint").alias("s"))
+        .select(F.expr(bucket).alias("margin_class"), "y")
+        .groupBy("margin_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).cast("bigint").alias("n_pos"),
+        )
+        .withColumn(
+            "pos_rate_milli", F.expr("CAST(1000 * n_pos div n_docs AS INT)")
+        )
+    )
+
+
+ORACLE_CALIBRATION = (
+    "WITH "
+    + _oracle_ctes()
+    + f"""
+, scored AS (
+  SELECT f.y, CAST({" + ".join(f"w.w{i} * f.x{i}" for i in range(_D))} AS BIGINT) AS s
+  FROM pfeat f, pw{EPOCHS} w
+)
+SELECT CAST((CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END)
+            * (length(CAST(abs(s) AS VARCHAR)) * 10
+               + CAST(substring(CAST(abs(s) AS VARCHAR), 1, 1) AS INTEGER))
+            AS INTEGER) AS margin_class,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(1000 * SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) // COUNT(*) AS INTEGER)
+         AS pos_rate_milli
+FROM scored
+GROUP BY 1
+"""
+)
+
+
 QUERIES: dict[str, tuple] = {
     "quality_perceptron_train": (quality_perceptron_train, ORACLE_PERCEPTRON),
+    "quality_perceptron_calibration": (
+        quality_perceptron_calibration,
+        ORACLE_CALIBRATION,
+    ),
 }
