@@ -923,6 +923,115 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) of daily volume
+    per type, as an EXACT integer recurrence: on the zero-filled daily
+    grid, with milli-scaled level l and trend b,
+
+        l_1 = 1000 * c_1,                    b_1 = 0
+        l_t = (1000*c_t + l_{t-1} + b_{t-1}) div 2        (alpha = 1/2)
+        b_t = (l_t - l_{t-1} + 3*b_{t-1})    div 4        (beta  = 1/4)
+
+    — truncated integer division, which Spark `div`, Python trunc-div and
+    DuckDB `//` all agree on including negatives (b goes negative on
+    down-trends), so the whole trajectory value-hashes cross-engine. The
+    one-step-ahead forecast is l + b. This is the trend-aware complement
+    of events_ewma_daily: EWMA is level-only and windowed-closed-form;
+    Holt's recurrence is genuinely sequential, so it runs as the
+    replay.py fold shape — applyInPandas per event_type (state machines
+    parallelize ACROSS keys; each key's fold is inherently ordered), with
+    a recursive-CTE DuckDB twin advancing every type one day per
+    iteration. Scale: the daily rollup reduces the log by ~5 orders of
+    magnitude first; the fold is O(types x days)."""
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events_ms").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count("*").alias("c"))
+    spans = ev.groupBy("event_type").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    dense = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("c", F.lit(0)).cast("bigint").alias("c")
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+
+        def tdiv(a: int, d: int) -> int:
+            q = abs(a) // d
+            return q if a >= 0 else -q
+
+        l = b = None
+        levels, trends = [], []
+        for c in pdf["c"]:
+            y = 1000 * int(c)
+            if l is None:
+                l, b = y, 0
+            else:
+                l_new = tdiv(y + l + b, 2)
+                b = tdiv(l_new - l + 3 * b, 4)
+                l = l_new
+            levels.append(l)
+            trends.append(b)
+        pdf["level_milli"] = levels
+        pdf["trend_milli"] = trends
+        pdf["fc_next_milli"] = [lv + tr for lv, tr in zip(levels, trends)]
+        return pdf.rename(columns={"c": "day_count"})[
+            ["event_type", "day", "day_count", "level_milli", "trend_milli", "fc_next_milli"]
+        ]
+
+    return dense.groupBy("event_type").applyInPandas(
+        fold,
+        schema=(
+            "event_type string, day timestamp, day_count long, "
+            "level_milli long, trend_milli long, fc_next_milli long"
+        ),
+    )
+
+
+ORACLE_HOLT = """
+WITH RECURSIVE hdense AS MATERIALIZED (
+  SELECT event_type, day, c,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS INT) AS rn
+  FROM (
+    SELECT g.event_type, g.day, COALESCE(dl.c, 0) AS c
+    FROM (
+      SELECT event_type,
+             unnest(generate_series(date_trunc('day', mn), date_trunc('day', mx),
+                                    INTERVAL 1 DAY)) AS day
+      FROM (SELECT event_type, MIN(ts) AS mn, MAX(ts) AS mx
+            FROM events_ms GROUP BY 1)
+    ) g
+    LEFT JOIN (
+      SELECT event_type, date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events_ms GROUP BY 1, 2
+    ) dl ON g.event_type = dl.event_type AND g.day = dl.day
+  )
+), hfold AS (
+  SELECT event_type, rn, day, c,
+         CAST(1000 * c AS BIGINT) AS l,
+         CAST(0 AS BIGINT) AS b
+  FROM hdense WHERE rn = 1
+  UNION ALL
+  SELECT d.event_type, d.rn, d.day, d.c,
+         (1000 * d.c + f.l + f.b) // 2 AS l,
+         (((1000 * d.c + f.l + f.b) // 2) - f.l + 3 * f.b) // 4 AS b
+  FROM hfold f JOIN hdense d ON d.event_type = f.event_type AND d.rn = f.rn + 1
+)
+SELECT event_type, day, CAST(c AS BIGINT) AS day_count,
+       CAST(l AS BIGINT) AS level_milli, CAST(b AS BIGINT) AS trend_milli,
+       CAST(l + b AS BIGINT) AS fc_next_milli
+FROM hfold
+"""
+
+
 ORACLE_EWMA = f"""
 WITH daily AS (
   SELECT event_type, date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS c
@@ -952,6 +1061,7 @@ GROUP BY 1, 2
 
 QUERIES: dict[str, tuple] = {
     "events_ewma_daily": (events_ewma_daily, ORACLE_EWMA),
+    "events_holt_trend": (events_holt_trend, ORACLE_HOLT),
     "events_gap_fill_resample": (events_gap_fill_resample, ORACLE_GAP_FILL),
     "events_cusum_changepoints": (events_cusum_changepoints, ORACLE_CUSUM),
     "events_theil_sen_trend": (events_theil_sen_trend, ORACLE_THEIL_SEN),
