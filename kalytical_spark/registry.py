@@ -82,6 +82,7 @@ def _load_optional():
         "perceptron",
         "colbert",
         "maxscore",
+        "linkage",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
