@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .common import t
+from .common import SQL_NOW, t
 
 
 def events_ks_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -590,8 +590,122 @@ GROUP BY 1
 """
 
 
+def runs_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of pipeline-run durations per engine
+    (public literature: Kaplan & Meier 1958) — the right-censoring-aware
+    answer to "how long do runs live", where still-running jobs (~43% of
+    running_jobs) contribute their observed-so-far age (deterministic
+    clock now_expr) as censored observations instead of being dropped the
+    way runs_duration_stats must.
+
+    Shape: one histogram aggregate per (engine, duration) — events d and
+    censorings c — then cumulative windows over the DISTINCT-DURATION
+    frame only (bounded by the seconds range, never the run count):
+    n_risk is the descending cumulative of d+c (ties follow the standard
+    deaths-before-censors convention: a censor at t is still at risk at
+    t), and S(t) = exp(cumsum ln(1 - d/n)) snapped to integer
+    micro-units. The exhausted-risk edge (d = n at the last event time)
+    is guarded explicitly because DuckDB errors on ln(0); both engines
+    emit surv_micro = 0 from that point."""
+    from .common import now_expr
+
+    jobs = t(spark, sf_dir, "running_jobs")
+    now = now_expr(spark, sf_dir)
+    obs = jobs.select(
+        "engine",
+        F.when(
+            F.col("end_time").isNotNull(),
+            F.unix_timestamp("end_time") - F.unix_timestamp("start_time"),
+        )
+        .otherwise(F.unix_timestamp(now) - F.unix_timestamp("start_time"))
+        .cast("bigint")
+        .alias("dur_s"),
+        F.col("end_time").isNotNull().cast("int").alias("event"),
+    ).filter(F.col("dur_s") >= 0)
+    hist = obs.groupBy("engine", "dur_s").agg(
+        F.sum("event").cast("bigint").alias("d"),
+        F.sum(1 - F.col("event")).cast("bigint").alias("c"),
+    )
+    w_desc = (
+        W.partitionBy("engine")
+        .orderBy(F.desc("dur_s"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    at_risk = hist.withColumn("n_risk", F.sum(F.col("d") + F.col("c")).over(w_desc))
+    ev = at_risk.filter(F.col("d") > 0)
+    w_asc = (
+        W.partitionBy("engine")
+        .orderBy(F.asc("dur_s"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(
+            F.lit(1.0)
+            - F.col("d").cast("double") / F.col("n_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    died_out = F.max((F.col("d") >= F.col("n_risk")).cast("int")).over(w_asc)
+    return (
+        ev.withColumn("lnsum", F.sum(term).over(w_asc))
+        .withColumn("dead", died_out)
+        .select(
+            "engine",
+            "dur_s",
+            "n_risk",
+            "d",
+            F.when(F.col("dead") == 1, F.lit(0).cast("bigint"))
+            .otherwise(
+                F.expr("CAST(ROUND(1000000 * EXP(lnsum)) AS BIGINT)")
+            )
+            .alias("surv_micro"),
+        )
+    )
+
+
+ORACLE_KM = f"""
+WITH obs AS (
+  SELECT engine,
+         CAST(CASE WHEN end_time IS NOT NULL
+              THEN date_diff('second', start_time, end_time)
+              ELSE date_diff('second', start_time, {SQL_NOW}) END AS BIGINT) AS dur_s,
+         CASE WHEN end_time IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM running_jobs
+),
+hist AS (
+  SELECT engine, dur_s,
+         CAST(SUM(event) AS BIGINT) AS d,
+         CAST(SUM(1 - event) AS BIGINT) AS c
+  FROM obs WHERE dur_s >= 0 GROUP BY 1, 2
+),
+at_risk AS (
+  SELECT *, SUM(d + c) OVER (PARTITION BY engine ORDER BY dur_s DESC
+                             ROWS UNBOUNDED PRECEDING) AS n_risk
+  FROM hist
+),
+ev AS (SELECT * FROM at_risk WHERE d > 0),
+curve AS (
+  SELECT engine, dur_s, n_risk, d,
+         SUM(CASE WHEN d < n_risk
+                  THEN LN(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                  ELSE 0.0 END)
+           OVER (PARTITION BY engine ORDER BY dur_s ASC ROWS UNBOUNDED PRECEDING)
+           AS lnsum,
+         MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+           OVER (PARTITION BY engine ORDER BY dur_s ASC ROWS UNBOUNDED PRECEDING)
+           AS dead
+  FROM ev
+)
+SELECT engine, dur_s, CAST(n_risk AS BIGINT) AS n_risk, d,
+       CASE WHEN dead = 1 THEN CAST(0 AS BIGINT)
+            ELSE CAST(ROUND(1000000 * EXP(lnsum)) AS BIGINT) END AS surv_micro
+FROM curve
+"""
+
+
 QUERIES.update(
     {
         "events_gini_concentration": (events_gini_concentration, ORACLE_GINI),
+        "runs_kaplan_meier": (runs_kaplan_meier, ORACLE_KM),
     }
 )
