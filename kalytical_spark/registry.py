@@ -83,6 +83,7 @@ def _load_optional():
         "colbert",
         "maxscore",
         "linkage",
+        "zonemap",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
