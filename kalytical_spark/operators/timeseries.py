@@ -996,6 +996,107 @@ def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily volume per type
+    (the moving-average method, public literature: the classical
+    decomposition every forecasting text opens with): trend = centered
+    7-day moving average, seasonal = day-of-week mean of the detrended
+    series, residual = the rest — all in exact milli integers
+    (trend_milli = 1000*sum7 div 7; seasonal is an integer-div mean of
+    integer detrended values; truncated division agrees across Spark /
+    DuckDB including negatives). Only full-MA-window days are emitted.
+
+    Scale: the daily rollup collapses the log first; every window
+    partitions by event_type over series-length rows (ROWS BETWEEN -3
+    AND 3), and the seasonal means are a 7-row-per-type aggregate joined
+    back — never an unpartitioned window."""
+    ev = t(spark, sf_dir, "events_ms").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count("*").alias("c"))
+    spans = ev.groupBy("event_type").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    grid = spans.select(
+        "event_type",
+        "d0",
+        "d1",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    dense = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "d0",
+        "d1",
+        "day",
+        F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+    )
+    w_ma = W.partitionBy("event_type").orderBy(F.asc("day")).rowsBetween(-3, 3)
+    trended = (
+        dense.withColumn("sum7", F.sum("c").over(w_ma))
+        .filter(
+            (F.col("day") >= F.expr("d0 + INTERVAL 3 DAY"))
+            & (F.col("day") <= F.expr("d1 - INTERVAL 3 DAY"))
+        )
+        .select(
+            "event_type",
+            "day",
+            "c",
+            F.expr("CAST(1000 * sum7 div 7 AS BIGINT)").alias("trend_milli"),
+        )
+        .withColumn(
+            "det_milli", (F.lit(1000) * F.col("c") - F.col("trend_milli")).cast("bigint")
+        )
+        .withColumn("dow", F.dayofweek("day").cast("int"))
+    )
+    seasonal = trended.groupBy("event_type", "dow").agg(
+        F.expr("CAST(sum(det_milli) div count(*) AS BIGINT)").alias("seasonal_milli")
+    )
+    return trended.join(F.broadcast(seasonal), ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        F.col("c").alias("day_count"),
+        "trend_milli",
+        "seasonal_milli",
+        (F.col("det_milli") - F.col("seasonal_milli")).cast("bigint").alias("resid_milli"),
+    )
+
+
+ORACLE_SEASONAL = """
+WITH sdaily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events_ms GROUP BY 1, 2
+), sspans AS (
+  SELECT event_type, date_trunc('day', MIN(ts)) AS d0, date_trunc('day', MAX(ts)) AS d1
+  FROM events_ms GROUP BY 1
+), sgrid AS (
+  SELECT event_type, d0, d1,
+         unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM sspans
+), sdense AS (
+  SELECT g.event_type, g.d0, g.d1, g.day, COALESCE(dl.c, 0) AS c
+  FROM sgrid g LEFT JOIN sdaily dl ON g.event_type = dl.event_type AND g.day = dl.day
+), strended AS (
+  SELECT event_type, day, c,
+         CAST(1000 * sum7 // 7 AS BIGINT) AS trend_milli,
+         CAST(1000 * c - 1000 * sum7 // 7 AS BIGINT) AS det_milli,
+         CAST(1 + dayofweek(day) AS INTEGER) AS dow
+  FROM (
+    SELECT *, SUM(c) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7
+    FROM sdense
+  )
+  WHERE day >= d0 + INTERVAL 3 DAY AND day <= d1 - INTERVAL 3 DAY
+), sseasonal AS (
+  SELECT event_type, dow, CAST(SUM(det_milli) // COUNT(*) AS BIGINT) AS seasonal_milli
+  FROM strended GROUP BY 1, 2
+)
+SELECT t.event_type, t.day, t.c AS day_count, t.trend_milli, s.seasonal_milli,
+       CAST(t.det_milli - s.seasonal_milli AS BIGINT) AS resid_milli
+FROM strended t JOIN sseasonal s ON t.event_type = s.event_type AND t.dow = s.dow
+"""
+
+
 ORACLE_HOLT = """
 WITH RECURSIVE hdense AS MATERIALIZED (
   SELECT event_type, day, c,
@@ -1062,6 +1163,7 @@ GROUP BY 1, 2
 QUERIES: dict[str, tuple] = {
     "events_ewma_daily": (events_ewma_daily, ORACLE_EWMA),
     "events_holt_trend": (events_holt_trend, ORACLE_HOLT),
+    "events_seasonal_decompose": (events_seasonal_decompose, ORACLE_SEASONAL),
     "events_gap_fill_resample": (events_gap_fill_resample, ORACLE_GAP_FILL),
     "events_cusum_changepoints": (events_cusum_changepoints, ORACLE_CUSUM),
     "events_theil_sen_trend": (events_theil_sen_trend, ORACLE_THEIL_SEN),
