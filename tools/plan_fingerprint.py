@@ -55,7 +55,15 @@ _OPS: list[tuple[str, str]] = [
 
 
 def fingerprint(df) -> dict[str, int]:
-    """Execute ``df`` and count load-bearing operators in the final plan."""
+    """Execute ``df`` and count load-bearing operators in the final plan.
+
+    The session cache is cleared first: AQE's join-strategy choice around
+    an InMemoryRelation depends on whether some shared memo happens to be
+    warm from earlier work in the same session (measured: users_rfm 73
+    exchanges + 2 SMJ cold vs 70 + 0 SMJ warm; dedup_setsim_prefix
+    flapped only inside the full suite), so fingerprints are defined as
+    the COLD plan — deterministic no matter what ran before."""
+    df.sparkSession.catalog.clearCache()
     df.collect()
     # count over the FULL adaptive plan string (Final AND Initial sections
     # of every nested AdaptiveSparkPlan): AQE final sections print
@@ -111,28 +119,11 @@ _PIN = os.path.join(
 )
 
 
-# Keys excluded from a query's pin because they are legitimately
-# execution-order-dependent, not load-bearing. users_rfm_segments pins its
-# internal user dim with .cache(); AQE's join-strategy choice around an
-# InMemoryRelation depends on whether the cache is warm at planning time
-# (measured in one session, back-to-back: 73 exchanges + 2 SMJ cold, 70
-# exchanges + 0 SMJ warm), so join/exchange counts flap while the
-# load-bearing invariants — the 6 digit-partitioned NTILE windows, the
-# aggregate count, no Python eval, no cartesian — stay pinned.
-VOLATILE: dict[str, set[str]] = {
-    "users_rfm_segments": {
-        "shuffle_hash_exchange",
-        "broadcast_exchange",
-        "broadcast_hash_join",
-        "sort_merge_join",
-    },
-}
-
-
 def stable(name: str, fp: dict[str, int]) -> dict[str, int]:
-    """A query's fingerprint minus its declared-volatile keys."""
-    drop = VOLATILE.get(name, set())
-    return {k: v for k, v in fp.items() if k not in drop}
+    """Kept as the comparison seam (fingerprints are already hermetic —
+    fingerprint() clears the session cache, so the cold plan is the
+    definition and no per-query volatility carve-outs are needed)."""
+    return fp
 
 
 def compute_all(spark, sf_dir: str) -> dict[str, dict[str, int]]:
