@@ -1062,6 +1062,104 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LATE_WATERMARK_S = 10
+
+
+def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark planning audit: replay the log in ARRIVAL order (the
+    domain's deterministic ingest-lag model, received = ts + event_id%30
+    seconds — domain.py's lifecycle formula applied to the raw log) and
+    count, per type, the events a LATE_WATERMARK_S-second watermark would
+    drop — event time below the high-watermark (max event time seen
+    strictly before this arrival) minus the delay. This is the batch
+    oracle for sizing the streaming layer's withWatermark horizon: the
+    late rate and max lateness tell you what delay bound loses what data.
+
+    The running high-watermark is a TOTAL-ORDER prefix max; here it is
+    decomposed so no unpartitioned window plans: prefix max within each
+    arrival-hour bucket plus a triangular join over the |hours|-row
+    hour-max frame (the events_cumulative_users two-level shape). The
+    oracle computes the SAME quantity with a plain global window, so the
+    green hash proves the decomposition. Null-ordering pitfalls are
+    avoided with an integer sentinel instead of engine greatest()-null
+    semantics."""
+    ev = t(spark, sf_dir, "events_ms").select(
+        "event_type",
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        (F.unix_millis("ts") + (F.col("event_id") % 30) * 1000).alias("arr_ms"),
+    )
+    base = ev.withColumn("hr", F.expr("arr_ms div 3600000"))
+    w_in = (
+        W.partitionBy("hr")
+        .orderBy("arr_ms", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    sent = -(2**62)
+    within = base.withColumn(
+        "pmax", F.coalesce(F.max("ts_ms").over(w_in), F.lit(sent))
+    )
+    hr_max = base.groupBy("hr").agg(F.max("ts_ms").alias("hmax"))
+    a, b = hr_max.alias("a"), hr_max.alias("b")
+    offsets = (
+        a.join(b, F.col("b.hr") < F.col("a.hr"), "left")
+        .groupBy(F.col("a.hr").alias("hr"))
+        .agg(F.coalesce(F.max("b.hmax"), F.lit(sent)).alias("off"))
+    )
+    flagged = (
+        within.join(F.broadcast(offsets), "hr")
+        .withColumn("hwm", F.greatest("pmax", "off"))
+        .withColumn(
+            "late",
+            (F.col("ts_ms") < F.col("hwm") - F.lit(LATE_WATERMARK_S * 1000)).cast("int"),
+        )
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("late").cast("bigint").alias("n_late"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("late") == 1,
+                    F.expr("(hwm - ts_ms) div 1000"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("max_lateness_s"),
+        F.expr("CAST(1000 * sum(late) div count(*) AS INT)").alias("late_rate_milli"),
+    )
+
+
+ORACLE_LATE = f"""
+WITH lbase AS (
+  SELECT event_type, event_id,
+         CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+         CAST(epoch_ms(ts) + (event_id % 30) * 1000 AS BIGINT) AS arr_ms
+  FROM events_ms
+),
+lflag AS (
+  SELECT event_type, ts_ms,
+         COALESCE(MAX(ts_ms) OVER (ORDER BY arr_ms, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  {-(2**62)}) AS hwm
+  FROM lbase
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN ts_ms < hwm - {LATE_WATERMARK_S * 1000} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       CAST(COALESCE(MAX(CASE WHEN ts_ms < hwm - {LATE_WATERMARK_S * 1000}
+                              THEN (hwm - ts_ms) // 1000 END), 0) AS BIGINT)
+         AS max_lateness_s,
+       CAST(1000 * SUM(CASE WHEN ts_ms < hwm - {LATE_WATERMARK_S * 1000} THEN 1 ELSE 0 END)
+            // COUNT(*) AS INTEGER) AS late_rate_milli
+FROM lflag
+GROUP BY 1
+"""
+
+
 ORACLE_SEASONAL = """
 WITH sdaily AS (
   SELECT event_type, date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS c
@@ -1164,6 +1262,7 @@ QUERIES: dict[str, tuple] = {
     "events_ewma_daily": (events_ewma_daily, ORACLE_EWMA),
     "events_holt_trend": (events_holt_trend, ORACLE_HOLT),
     "events_seasonal_decompose": (events_seasonal_decompose, ORACLE_SEASONAL),
+    "events_late_arrival_audit": (events_late_arrival_audit, ORACLE_LATE),
     "events_gap_fill_resample": (events_gap_fill_resample, ORACLE_GAP_FILL),
     "events_cusum_changepoints": (events_cusum_changepoints, ORACLE_CUSUM),
     "events_theil_sen_trend": (events_theil_sen_trend, ORACLE_THEIL_SEN),
