@@ -73,10 +73,22 @@ def _universe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.unionByName(mutated)
 
 
+# session-scoped memo (the kmeans_ivf._FIT_CACHE convention): the blocked
+# pair frame feeds BOTH the weights report and the scoring pass — without
+# it each query re-runs the levenshtein verification over every pair
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked candidate pairs with the four agreement flags. The $10
-    price bucket goes through an exact decimal cents cast (a double*100
-    truncation would misbucket the .99 boundary)."""
+    """Blocked candidate pairs with the four agreement flags, cached per
+    (session, sf_dir). The $10 price bucket goes through an exact decimal
+    cents cast (a double*100 truncation would misbucket the .99
+    boundary)."""
+    from .common import app_key
+
+    memo_key = (app_key(spark), sf_dir)
+    if memo_key in _PAIRS_CACHE:
+        return _PAIRS_CACHE[memo_key]
     u = _universe(spark, sf_dir)
     sides = {}
     for s in ("a", "b"):
@@ -90,7 +102,7 @@ def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) div 1000"
             ).alias(f"pb_{s}"),
         )
-    return (
+    pairs = (
         sides["a"]
         .join(sides["b"], "p_size")
         .filter(F.col("key_a") < F.col("key_b"))
@@ -102,7 +114,10 @@ def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("type_a") == F.col("type_b")).cast("int").alias("ag_type"),
             (F.col("pb_a") == F.col("pb_b")).cast("int").alias("ag_price"),
         )
+        .cache()
     )
+    _PAIRS_CACHE[memo_key] = pairs
+    return pairs
 
 
 def _weights(pairs: DataFrame) -> DataFrame:

@@ -84,6 +84,7 @@ def _load_optional():
         "maxscore",
         "linkage",
         "zonemap",
+        "dsir",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
