@@ -805,10 +805,92 @@ FROM c
 """
 
 
+OPE_ARMS = 4
+OPE_REWARD_MIN = 50.0  # reward = 1{value > this} (integer reward signal)
+
+
+def events_offpolicy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation (public literature: Horvitz-Thompson inverse
+    propensity scoring; SNIPS per Swaminathan & Joachims 2015): estimate
+    what a TARGET assignment policy would have earned from logged
+    randomized traffic, without running it. The logging policy is the
+    deterministic uniform hash arm = md5(event_id) % OPE_ARMS (known
+    propensity 1/K — the md5 trick every deterministic sampler in the
+    repo uses); the target policy is the context rule arm = user_id %
+    OPE_ARMS; reward is the integer signal value > OPE_REWARD_MIN.
+
+    Exact integers end to end: IPS = K/N * sum(r * match) and SNIPS =
+    sum(r * match)/sum(match) are emitted in micro-units via integer
+    division from exact counts, with the logged mean reward alongside
+    for comparison. One scan, one small aggregate per type."""
+    ev = t(spark, sf_dir, "events_ms")
+    base = ev.select(
+        "event_type",
+        F.expr(
+            f"CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+            f" % {OPE_ARMS}"
+        ).alias("a_log"),
+        (F.col("user_id") % OPE_ARMS).cast("bigint").alias("a_tgt"),
+        (F.col("value") > OPE_REWARD_MIN).cast("bigint").alias("r"),
+    ).withColumn("match", (F.col("a_log") == F.col("a_tgt")).cast("bigint"))
+    return (
+        base.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("match").cast("bigint").alias("n_match"),
+            F.sum(F.col("r") * F.col("match")).cast("bigint").alias("sum_r_match"),
+            F.sum("r").cast("bigint").alias("sum_r_logged"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_match",
+            "sum_r_match",
+            F.expr(
+                f"CAST((1000000 * {OPE_ARMS} * sum_r_match) div n AS BIGINT)"
+            ).alias("ips_micro"),
+            F.expr(
+                "CASE WHEN n_match = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE CAST((1000000 * sum_r_match) div n_match AS BIGINT) END"
+            ).alias("snips_micro"),
+            F.expr("CAST((1000000 * sum_r_logged) div n AS BIGINT)").alias(
+                "logged_mean_micro"
+            ),
+        )
+    )
+
+
+ORACLE_OPE = f"""
+WITH obase AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT
+              % {OPE_ARMS} AS BIGINT) AS a_log,
+         CAST(user_id % {OPE_ARMS} AS BIGINT) AS a_tgt,
+         CAST(CASE WHEN value > {OPE_REWARD_MIN} THEN 1 ELSE 0 END AS BIGINT) AS r
+  FROM events_ms
+),
+om AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN a_log = a_tgt THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         CAST(SUM(r * CASE WHEN a_log = a_tgt THEN 1 ELSE 0 END) AS BIGINT) AS sum_r_match,
+         CAST(SUM(r) AS BIGINT) AS sum_r_logged
+  FROM obase GROUP BY 1
+)
+SELECT event_type, n, n_match, sum_r_match,
+       CAST((1000000 * {OPE_ARMS} * sum_r_match) // n AS BIGINT) AS ips_micro,
+       CASE WHEN n_match = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((1000000 * sum_r_match) // n_match AS BIGINT) END AS snips_micro,
+       CAST((1000000 * sum_r_logged) // n AS BIGINT) AS logged_mean_micro
+FROM om
+"""
+
+
 QUERIES.update(
     {
         "events_gini_concentration": (events_gini_concentration, ORACLE_GINI),
         "runs_kaplan_meier": (runs_kaplan_meier, ORACLE_KM),
         "events_cuped_adjustment": (events_cuped_adjustment, ORACLE_CUPED),
+        "events_offpolicy_ips": (events_offpolicy_ips, ORACLE_OPE),
     }
 )
