@@ -1062,6 +1062,133 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QTREND_TAU_MILLI = 900  # fit the 90th-percentile trend line
+QTREND_SLOPES = [100 * s for s in range(-20, 21)]  # milli-count/day grid
+
+
+def events_quantile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile regression of the daily-volume trend per type (public
+    literature: Koenker & Bassett 1978), fit by EXACT INTEGER grid
+    search: for each candidate slope on a fixed milli grid, the optimal
+    intercept for quantile tau is the lower tau-quantile of the
+    residuals (by explicit rank — the classic QR fact that the check
+    loss is minimized at a residual quantile), and the pinball loss is
+    pure bigint arithmetic (tau and 1-tau in milli). The argmin row per
+    type is the fitted 90th-percentile trend — the robust "how fast is
+    the CEILING of daily traffic growing" number OLS can't give.
+
+    Scale: the corpus collapses to the daily rollup first; the grid
+    cross is |types| x |grid| x |days| (~6k rows here), windows
+    partition by (type, slope) — series-sized frames only."""
+    ev = t(spark, sf_dir, "events_ms")
+    daily = (
+        ev.select("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    base = daily.join(
+        daily.groupBy(F.col("event_type").alias("et")).agg(F.min("day").alias("day0")),
+        F.col("event_type") == F.col("et"),
+    ).select(
+        "event_type",
+        F.datediff("day", "day0").cast("bigint").alias("x"),
+        (F.lit(1000) * F.col("n")).cast("bigint").alias("y_milli"),
+    )
+    grid = spark.createDataFrame(
+        [(s,) for s in QTREND_SLOPES], "slope_milli long"
+    )
+    resid = base.crossJoin(F.broadcast(grid)).select(
+        "event_type",
+        "slope_milli",
+        "x",
+        (F.col("y_milli") - F.col("slope_milli") * F.col("x")).alias("r_milli"),
+    )
+    w_rank = W.partitionBy("event_type", "slope_milli").orderBy(
+        F.asc("r_milli"), F.asc("x")
+    )
+    counted = resid.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "n_days", F.count("*").over(W.partitionBy("event_type", "slope_milli"))
+    )
+    q = counted.filter(
+        F.col("rn") == F.expr(f"(({QTREND_TAU_MILLI} * n_days + 999) div 1000)")
+    ).select("event_type", "slope_milli", F.col("r_milli").alias("icept_milli"))
+    tau, omt = QTREND_TAU_MILLI, 1000 - QTREND_TAU_MILLI
+    loss = (
+        resid.join(q, ["event_type", "slope_milli"])
+        .groupBy("event_type", "slope_milli", "icept_milli")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN r_milli >= icept_milli THEN {tau} * (r_milli - icept_milli) "
+                    f"ELSE {omt} * (icept_milli - r_milli) END"
+                )
+            )
+            .cast("bigint")
+            .alias("pinball_loss")
+        )
+    )
+    w_best = W.partitionBy("event_type").orderBy(
+        F.asc("pinball_loss"), F.asc("slope_milli")
+    )
+    return (
+        loss.withColumn("brk", F.row_number().over(w_best))
+        .filter(F.col("brk") == 1)
+        .select(
+            "event_type",
+            F.lit(QTREND_TAU_MILLI).cast("int").alias("tau_milli"),
+            "slope_milli",
+            "icept_milli",
+            "pinball_loss",
+        )
+    )
+
+
+ORACLE_QTREND = f"""
+WITH qdaily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events_ms GROUP BY 1, 2
+),
+qbase AS (
+  SELECT d.event_type,
+         CAST(date_diff('day', m.day0, d.day) AS BIGINT) AS x,
+         CAST(1000 * d.n AS BIGINT) AS y_milli
+  FROM qdaily d JOIN (SELECT event_type, MIN(day) AS day0 FROM qdaily GROUP BY 1) m
+    ON d.event_type = m.event_type
+),
+qgrid AS (SELECT CAST(100 * s.i AS BIGINT) AS slope_milli
+          FROM unnest(range(-20, 21)) AS s(i)),
+qresid AS (
+  SELECT event_type, slope_milli, x, y_milli - slope_milli * x AS r_milli
+  FROM qbase CROSS JOIN qgrid
+),
+qq AS (
+  SELECT event_type, slope_milli, r_milli AS icept_milli FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type, slope_milli
+                                 ORDER BY r_milli, x) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type, slope_milli) AS n_days
+    FROM qresid
+  ) WHERE rn = ({QTREND_TAU_MILLI} * n_days + 999) // 1000
+),
+qloss AS (
+  SELECT r.event_type, r.slope_milli, q.icept_milli,
+         CAST(SUM(CASE WHEN r.r_milli >= q.icept_milli
+                       THEN {QTREND_TAU_MILLI} * (r.r_milli - q.icept_milli)
+                       ELSE {1000 - QTREND_TAU_MILLI} * (q.icept_milli - r.r_milli) END)
+              AS BIGINT) AS pinball_loss
+  FROM qresid r JOIN qq q USING (event_type, slope_milli)
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, CAST({QTREND_TAU_MILLI} AS INTEGER) AS tau_milli,
+       slope_milli, icept_milli, pinball_loss
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY pinball_loss, slope_milli) AS brk
+  FROM qloss
+) WHERE brk = 1
+"""
+
+
 LATE_WATERMARK_S = 10
 
 
@@ -1263,6 +1390,7 @@ QUERIES: dict[str, tuple] = {
     "events_holt_trend": (events_holt_trend, ORACLE_HOLT),
     "events_seasonal_decompose": (events_seasonal_decompose, ORACLE_SEASONAL),
     "events_late_arrival_audit": (events_late_arrival_audit, ORACLE_LATE),
+    "events_quantile_trend": (events_quantile_trend, ORACLE_QTREND),
     "events_gap_fill_resample": (events_gap_fill_resample, ORACLE_GAP_FILL),
     "events_cusum_changepoints": (events_cusum_changepoints, ORACLE_CUSUM),
     "events_theil_sen_trend": (events_theil_sen_trend, ORACLE_THEIL_SEN),
