@@ -52,13 +52,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import app_key, t
+from .common import app_key, session_memo, t
 
 BPE_MERGES = 12
 
 # both bpe queries share one trained trajectory per (session, sf_dir):
 # (merge_table_df, final_state_df), both localCheckpoint-backed
-_BPE_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+_BPE_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = session_memo({})
 
 _FOLD_MERGE = """
 aggregate(

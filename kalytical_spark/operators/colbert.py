@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .common import t
+from .common import session_memo, t
 from .similarity import QUERY_STRIDE, TOP_K
 
 MAXSIM_NTOK = 8  # token vectors per document
@@ -118,7 +118,7 @@ TOK_FIT_SAMPLE = 65536  # Lloyd's training-sample cap (md5-smallest tokens)
 _TOK_ITERS = 5
 
 # session-scoped memo, the fit_kmeans_cells._FIT_CACHE convention
-_TOK_FIT_CACHE: dict[tuple[int, str], tuple] = {}
+_TOK_FIT_CACHE: dict[tuple[int, str], tuple] = session_memo({})
 
 
 def _token_view(emb: DataFrame) -> DataFrame:

@@ -72,7 +72,27 @@ def app_key(spark: SparkSession) -> str:
     return spark.sparkContext.applicationId
 
 
-_NOW_CACHE: dict[tuple[str, str], object] = {}
+# Central registry of session-scoped memo dicts. Modules wrap their memo
+# dicts in session_memo() so hermetic tooling (the plan-fingerprint gate)
+# can reset a long-lived session to fresh-build state: a warm memo returns
+# a frame whose caches clearCache() already dropped, which executes in a
+# THIRD shape that is neither cold nor warm — reset_session_state clears
+# both layers so the next build caches exactly like a fresh session.
+SESSION_MEMOS: list[dict] = []
+
+
+def session_memo(d: dict) -> dict:
+    SESSION_MEMOS.append(d)
+    return d
+
+
+def reset_session_state(spark: SparkSession) -> None:
+    spark.catalog.clearCache()
+    for d in SESSION_MEMOS:
+        d.clear()
+
+
+_NOW_CACHE: dict[tuple[str, str], object] = session_memo({})
 
 
 def now_expr(spark: SparkSession, sf_dir: str) -> Column:

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import app_key
+from .common import app_key, session_memo
 from .dedup import LSH_VERIFY_THRESHOLD, _sql_minhash_lsh_ctes, dedup_minhash_lsh
 
 MAX_CC_ITERS = 50
@@ -34,7 +34,7 @@ MAX_CC_ITERS = 50
 # share one labels computation per sf_dir (replay._DECISIONS_CACHE
 # precedent); the labels DataFrame stays cached. Keyed by (session,
 # sf_dir) — a bare sf_dir key would hand a dead DataFrame to a new session.
-_CC_CACHE: dict[tuple[int, str], DataFrame] = {}
+_CC_CACHE: dict[tuple[int, str], DataFrame] = session_memo({})
 
 
 def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .common import app_key, t
+from .common import app_key, session_memo, t
 from .dedup import (
     LSH_VERIFY_THRESHOLD,
     _sql_minhash_lsh_ctes,
@@ -52,7 +52,7 @@ assert NEAR_DUP_JACCARD >= LSH_VERIFY_THRESHOLD, (
 # builds) — without it each re-runs the quality window + dup resolution.
 # Cached lazily (one per-doc row; tiny); keyed by (session, sf_dir) like
 # dedup._PAIR_CACHE / components._CC_CACHE.
-_FATE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_FATE_CACHE: dict[tuple[int, str], DataFrame] = session_memo({})
 
 
 def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

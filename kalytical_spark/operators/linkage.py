@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import t
+from .common import session_memo, t
 
 PLANT_OFFSET = 9 << 40
 PLANT_MOD = 89
@@ -76,7 +76,7 @@ def _universe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # session-scoped memo (the kmeans_ivf._FIT_CACHE convention): the blocked
 # pair frame feeds BOTH the weights report and the scoring pass — without
 # it each query re-runs the levenshtein verification over every pair
-_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = session_memo({})
 
 
 def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import t
+from .common import session_memo, t
 
 EPOCHS = 8
 
@@ -56,7 +56,7 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # session-scoped memo (the kmeans_ivf._FIT_CACHE convention): training is
 # a fixed 8-epoch job shared by the trajectory query AND the calibration
 # report — the localCheckpoint chain makes re-entry cheap, but not free
-_TRAIN_CACHE: dict[tuple[str, str], DataFrame] = {}
+_TRAIN_CACHE: dict[tuple[str, str], DataFrame] = session_memo({})
 
 
 def quality_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:

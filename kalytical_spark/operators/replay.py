@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..streaming.transitions import TriggerState, apply_delivery, sources_repr
-from .common import app_key, t
+from .common import app_key, session_memo, t
 
 _DECISION_SCHEMA = T.StructType(
     [
@@ -80,7 +80,7 @@ def _fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 # per-(session, sf) cache: the summary and downstream consumers reuse the
 # folded ledger instead of recomputing the whole replay
-_DECISIONS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_DECISIONS_CACHE: dict[tuple[int, str], DataFrame] = session_memo({})
 
 
 def _fires_simple(deliveries: DataFrame) -> DataFrame:

@@ -54,16 +54,26 @@ _OPS: list[tuple[str, str]] = [
 ]
 
 
-def fingerprint(df) -> dict[str, int]:
-    """Execute ``df`` and count load-bearing operators in the final plan.
+def fingerprint(df_or_build, spark=None) -> dict[str, int]:
+    """Count load-bearing operators of the executed plan — defined as the
+    FRESH-SESSION plan: AQE's join-strategy choice around an
+    InMemoryRelation depends on whether shared memos are warm (measured:
+    users_rfm 73 exchanges + 2 SMJ cold vs 70 + 0 SMJ warm; setsim and
+    the LSH mine flapped only inside the full suite — and a warm memo
+    frame executed after clearCache() runs UNCACHED, a third shape). So
+    pass a zero-arg BUILDER plus the session: the session caches AND the
+    module-level memo dicts are reset (common.reset_session_state), then
+    the query is built and executed exactly as a fresh session would.
+    Passing a prebuilt DataFrame skips the memo reset (only safe for
+    memo-free queries, e.g. the injected-repartition teeth test)."""
+    from kalytical_spark.operators.common import reset_session_state
 
-    The session cache is cleared first: AQE's join-strategy choice around
-    an InMemoryRelation depends on whether some shared memo happens to be
-    warm from earlier work in the same session (measured: users_rfm 73
-    exchanges + 2 SMJ cold vs 70 + 0 SMJ warm; dedup_setsim_prefix
-    flapped only inside the full suite), so fingerprints are defined as
-    the COLD plan — deterministic no matter what ran before."""
-    df.sparkSession.catalog.clearCache()
+    if callable(df_or_build):
+        reset_session_state(spark)
+        df = df_or_build()
+    else:
+        df = df_or_build
+        df.sparkSession.catalog.clearCache()
     df.collect()
     # count over the FULL adaptive plan string (Final AND Initial sections
     # of every nested AdaptiveSparkPlan): AQE final sections print
@@ -128,7 +138,10 @@ def stable(name: str, fp: dict[str, int]) -> dict[str, int]:
 
 def compute_all(spark, sf_dir: str) -> dict[str, dict[str, int]]:
     return {
-        name: stable(name, fingerprint(fn(spark, sf_dir)))
+        name: stable(
+            name,
+            fingerprint(lambda fn=fn: fn(spark, sf_dir), spark),
+        )
         for name, fn in headline_queries().items()
     }
 
