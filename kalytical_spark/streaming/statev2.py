@@ -322,3 +322,161 @@ def pipeline_ledger_stream_warm(
             initialState=initial.groupBy("pipeline_uuid"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Holt forecaster: the exact integer level+trend recurrence of
+# operators/timeseries.events_holt_trend, maintained incrementally in keyed
+# state as days COMPLETE (event-time timers close the last day).
+
+DAY_MS = 86_400_000
+
+HOLT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("last_day", T.TimestampType()),
+        T.StructField("level_milli", T.LongType()),
+        T.StructField("trend_milli", T.LongType()),
+        T.StructField("fc_next_milli", T.LongType()),
+    ]
+)
+
+_HOLT_SCHEMA = T.StructType(
+    [
+        T.StructField("fday", T.LongType()),  # last FOLDED day (epoch ms)
+        T.StructField("l", T.LongType()),
+        T.StructField("b", T.LongType()),
+        T.StructField("has", T.LongType()),  # 0 until the first fold
+    ]
+)
+
+_PEND_SCHEMA = T.StructType(
+    [
+        T.StructField("pday", T.LongType()),  # accumulating day (epoch ms)
+        T.StructField("c", T.LongType()),
+    ]
+)
+
+
+def _tdiv(a: int, d: int) -> int:
+    """Truncated integer division (toward zero) — the convention Spark
+    `div` and DuckDB `//` share; Python `//` floors, so spell it out."""
+    q = abs(a) // d
+    return q if a >= 0 else -q
+
+
+class HoltTrendProcessor(StatefulProcessor):
+    """Streaming twin of events_holt_trend (the batch operator; identical
+    integer recurrence, so the two can never drift):
+
+        l_1 = 1000*c_1, b_1 = 0
+        l_t = (1000*c_t + l + b) div 2 ; b_t = (l_t - l + 3*b) div 4
+
+    The key's CURRENT day accumulates in a ValueState; a row for a newer
+    day finalizes it — folding zero-count days for any calendar gap first,
+    exactly like the batch dense grid — and re-arms the event-time timer
+    at the new day's end. The LAST day of the stream has no newer row, so
+    the WATERMARK closes it (handleExpiredTimer), emitting the final
+    (level, trend, one-step forecast) row.
+
+    Split-point invariance holds when per-key arrival respects event-time
+    order across micro-batches (the e2e test feeds time-ordered files);
+    a day older than the accumulating one is late-beyond-horizon and is
+    dropped, which is precisely withWatermark semantics. State per key is
+    two fixed-width records — independent of event volume."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._holt = handle.getValueState("holt", _HOLT_SCHEMA)
+        self._pend = handle.getValueState("pend", _PEND_SCHEMA)
+
+    @staticmethod
+    def _ms(ts) -> int:
+        return int(pd.Timestamp(ts).value // 1_000_000)
+
+    def _fold_day(self, target_ms: int, y_milli: int) -> None:
+        fday, l, b, has = (
+            self._holt.get() if self._holt.exists() else (None, 0, 0, 0)
+        )
+        if not has:
+            self._holt.update((target_ms, y_milli, 0, 1))
+            return
+        l_new = _tdiv(y_milli + l + b, 2)
+        b_new = _tdiv(l_new - l + 3 * b, 4)
+        self._holt.update((target_ms, l_new, b_new, 1))
+
+    def _finalize_pending(self) -> None:
+        """Fold the accumulating day, zero-filling any calendar gap since
+        the last folded day first (the batch dense-grid semantics)."""
+        pday, c = self._pend.get()
+        if self._holt.exists() and self._holt.get()[3]:
+            gap = self._holt.get()[0] + DAY_MS
+            while gap < pday:
+                self._fold_day(gap, 0)
+                gap += DAY_MS
+        self._fold_day(pday, 1000 * int(c))
+        self._pend.clear()
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        arrived: dict[int, int] = {}
+        for pdf in rows:
+            for d, c in pdf["day"].value_counts().items():
+                arrived[self._ms(d)] = arrived.get(self._ms(d), 0) + int(c)
+        for day_ms in sorted(arrived):
+            cnt = arrived[day_ms]
+            if self._pend.exists():
+                pday, c = self._pend.get()
+                if day_ms == pday:
+                    self._pend.update((pday, c + cnt))
+                    continue
+                if day_ms < pday:
+                    continue  # late beyond the accumulating day: dropped
+                self._handle.deleteTimer(pday + DAY_MS)
+                self._finalize_pending()
+            self._pend.update((day_ms, cnt))
+            self._handle.registerTimer(day_ms + DAY_MS)
+        return iter(())
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator[pd.DataFrame]:
+        if not self._pend.exists():
+            return
+        pday, _c = self._pend.get()
+        if pday + DAY_MS != expiredTimerInfo.getExpiryTimeInMs():
+            return
+        self._finalize_pending()
+        fday, l, b, _has = self._holt.get()
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": key[0],
+                    "last_day": pd.Timestamp(fday, unit="ms"),
+                    "level_milli": l,
+                    "trend_milli": b,
+                    "fc_next_milli": l + b,
+                }
+            ]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def holt_trend_stream(events_stream: DataFrame, watermark: str = "0 seconds") -> DataFrame:
+    """Wire the Holt processor in event-time mode: ``events_stream`` needs
+    (event_type, ts) columns; days are truncated here so the stream and
+    the batch operator share one day definition."""
+    from pyspark.sql import functions as F
+
+    return (
+        events_stream.select(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .withWatermark("day", watermark)
+        .groupBy("event_type")
+        .transformWithStateInPandas(
+            statefulProcessor=HoltTrendProcessor(),
+            outputStructType=HOLT_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )

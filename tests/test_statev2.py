@@ -641,3 +641,89 @@ def test_warm_start_ledger_resumes_from_batch_snapshot(spark):
     for r in rows:  # memory sink preserves batch order
         got[r.pipeline_uuid] = (r.n_events, r.last_subtype)
     assert got == want and want
+
+
+# ---------------------------------------------------------------------------
+# HoltTrendProcessor: the streaming twin of the batch Holt recurrence
+
+
+def test_holt_stream_matches_batch(spark):
+    """End-to-end through the real state server: replay the event log in
+    time-ordered chunks, close the final day with the far-future sentinel
+    (watermark-fired timer), and require the final (level, trend,
+    forecast) per type to equal the BATCH operator's last-day row — the
+    stream==batch equivalence contract every stateful operator here
+    carries, now for a numeric recurrence."""
+    from kalytical_spark.operators.timeseries import events_holt_trend
+
+    catalog.register(spark, SF_SMALL)
+    batch_last = {}
+    for r in events_holt_trend(spark, SF_SMALL).collect():
+        cur = batch_last.get(r.event_type)
+        if cur is None or r.day > cur[0]:
+            batch_last[r.event_type] = (
+                r.day,
+                r.level_milli,
+                r.trend_milli,
+                r.fc_next_milli,
+            )
+
+    ev = spark.table("events_ms").select("event_type", "ts")
+    events = [(r.event_type, r.ts) for r in ev.collect()]
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events")
+        os.makedirs(src)
+        ordered = sorted(events, key=lambda e: (e[1], e[0]))
+        third = max(1, len(ordered) // 3)
+        chunks = [ordered[:third], ordered[third : 2 * third], ordered[2 * third :]]
+        sentinel_t = max(t for _, t in events) + pd.Timedelta(days=365)
+        chunks.append([("__sentinel__", sentinel_t)])
+        for i, ch in enumerate(chunks):
+            pdf = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "event_type": [et for et, _ in ch],
+                        "ts": [t for _, t in ch],
+                    }
+                ),
+                schema=ev.schema,
+            )
+            pdf.coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "b*"))
+        )
+        q = (
+            statev2.holt_trend_stream(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("holt_e2e")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(180)
+        finally:
+            q.stop()
+        rows = spark.sql("SELECT * FROM holt_e2e").collect()
+    if prev is not None:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    got = {
+        r.event_type: (r.last_day, r.level_milli, r.trend_milli, r.fc_next_milli)
+        for r in rows
+        if r.event_type != "__sentinel__"
+    }
+    assert set(got) == set(batch_last) and batch_last
+    for et, (day, l, b, fc) in batch_last.items():
+        gday, gl, gb, gfc = got[et]
+        assert (gday, gl, gb, gfc) == (day, l, b, fc), et
