@@ -224,6 +224,77 @@ def bench_statev2(spark, n_files: int) -> dict:
     }
 
 
+def bench_holt(spark, n_files: int) -> dict:
+    """The streaming Holt forecaster (event-time timers + day
+    accumulation). Unlike the ledger benches, the replay must be
+    TIME-ORDERED (random file splits would make whole days late beyond
+    the accumulating one), so chunks are contiguous time ranges plus the
+    sentinel file that closes the final day."""
+    import pandas as pd
+
+    from kalytical_spark.streaming import statev2
+
+    src = os.path.join(SCRATCH, "events_holt")
+    ckpt = os.path.join(SCRATCH, "ckpt_holt")
+    for d in (src, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    ev = spark.table("events_ms").select("event_type", "ts")
+    n_events = ev.count()
+    # bench-tool chunker: contiguous time ranges via ntile (the global
+    # window is fine here — this is replay preparation, not a query)
+    chunk = ev.withColumn(
+        "chunk", F.ntile(n_files).over(W.orderBy("ts", "event_type")) - 1
+    )
+    for i in range(n_files):
+        chunk.filter(f"chunk = {i}").select("event_type", "ts").coalesce(1).write.parquet(
+            os.path.join(src, f"b{i}")
+        )
+    sentinel_t = ev.agg({"ts": "max"}).collect()[0][0] + pd.Timedelta(days=365)
+    spark.createDataFrame(
+        pd.DataFrame({"event_type": ["__sentinel__"], "ts": [sentinel_t]})
+    ).coalesce(1).write.parquet(os.path.join(src, f"b{n_files}"))
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    schema = spark.read.parquet(os.path.join(src, "b0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "b*"))
+    )
+    t0 = time.time()
+    q = (
+        statev2.holt_trend_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_bench_holt")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    if prev is not None:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    n_final = spark.sql(
+        "SELECT COUNT(*) FROM stream_bench_holt WHERE event_type <> '__sentinel__'"
+    ).collect()[0][0]
+    return {
+        "events_total": n_events,
+        "final_rows": n_final,
+        "wall_sec": round(wall, 3),
+        "events_per_sec": round(n_events / wall, 1),
+    }
+
+
 def main() -> None:
     from kalytical_spark import catalog
     from kalytical_spark.session import get_spark
@@ -242,6 +313,11 @@ def main() -> None:
         "incubation": bench_incubation(spark, sf_dir, n_files),
         "statev2_ledger": (
             bench_statev2(spark, n_files)
+            if _HAS_PROTOBUF
+            else {"skipped": "no google.protobuf in this container"}
+        ),
+        "holt_forecaster": (
+            bench_holt(spark, n_files)
             if _HAS_PROTOBUF
             else {"skipped": "no google.protobuf in this container"}
         ),
