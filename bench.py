@@ -182,6 +182,7 @@ def main() -> None:
             for k in (
                 "incubation",
                 "statev2_ledger",
+                "holt_forecaster",
                 "hll_sink",
                 "cms_sink",
                 "quantile_sink",
