@@ -886,11 +886,94 @@ FROM om
 """
 
 
+# chi-square critical value at alpha=0.05 for df = OPE_ARMS - 1 = 3, in
+# milli units — a literal shared by both engines (no distribution math
+# in-engine)
+SRM_CRIT_MILLI_DF3 = 7815
+
+
+def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check (the experimentation-platform guardrail
+    run before ANY A/B readout): chi-square of the logged arm counts
+    against the intended uniform split, per event type. The arm
+    assignment is events_offpolicy_ips's md5 hash, so this query is the
+    validity check for that query's 'known propensity' premise.
+
+    Exact integers: with K arms and n rows, chi2 = sum((c_a - n/K)^2 /
+    (n/K)) rescaled by K*n gives chi2_kn = K * sum((K*c_a - n)^2) —
+    integers throughout; the milli statistic is chi2_milli = 1000 *
+    chi2_kn div (K*K*n) (one truncated division at the end). Flag when
+    chi2_milli exceeds the shared df=3 critical literal."""
+    ev = t(spark, sf_dir, "events_ms")
+    k = OPE_ARMS
+    per_arm = (
+        ev.select(
+            "event_type",
+            F.expr(
+                f"CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+                f" % {k}"
+            ).alias("arm"),
+        )
+        .groupBy("event_type", "arm")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    totals = per_arm.groupBy(F.col("event_type").alias("et")).agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("int").alias("arms_seen"),
+    )
+    # chi2 = (1/(K*n)) * sum((K*c_a - n)^2); arms with zero rows never
+    # appear (they would add n^2) — arms_seen is emitted so the hash pins
+    # that all K arms materialized on this fixture
+    return (
+        per_arm.join(F.broadcast(totals), per_arm.event_type == F.col("et"))
+        .groupBy("event_type", "n", "arms_seen")
+        .agg(
+            F.sum(
+                (F.lit(k) * F.col("c") - F.col("n"))
+                * (F.lit(k) * F.col("c") - F.col("n"))
+            )
+            .cast("bigint")
+            .alias("s2")
+        )
+        .select(
+            "event_type",
+            "n",
+            "arms_seen",
+            F.expr(f"CAST(1000 * s2 div ({k} * n) AS BIGINT)").alias("chi2_milli"),
+        )
+        .withColumn("srm_flag", F.col("chi2_milli") > SRM_CRIT_MILLI_DF3)
+    )
+
+
+ORACLE_SRM = f"""
+WITH sper AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT
+              % {OPE_ARMS} AS BIGINT) AS arm,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events_ms GROUP BY 1, 2
+),
+stot AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS INTEGER) AS arms_seen
+  FROM sper GROUP BY 1
+)
+SELECT p.event_type, t.n, t.arms_seen,
+       CAST(1000 * SUM(({OPE_ARMS} * p.c - t.n) * ({OPE_ARMS} * p.c - t.n))
+            // ({OPE_ARMS} * t.n) AS BIGINT) AS chi2_milli,
+       CAST(1000 * SUM(({OPE_ARMS} * p.c - t.n) * ({OPE_ARMS} * p.c - t.n))
+            // ({OPE_ARMS} * t.n) AS BIGINT) > {SRM_CRIT_MILLI_DF3} AS srm_flag
+FROM sper p JOIN stot t USING (event_type)
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES.update(
     {
         "events_gini_concentration": (events_gini_concentration, ORACLE_GINI),
         "runs_kaplan_meier": (runs_kaplan_meier, ORACLE_KM),
         "events_cuped_adjustment": (events_cuped_adjustment, ORACLE_CUPED),
         "events_offpolicy_ips": (events_offpolicy_ips, ORACLE_OPE),
+        "events_srm_check": (events_srm_check, ORACLE_SRM),
     }
 )
