@@ -25,6 +25,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # session at a time. Track the current one and re-register (unpersisting the
 # previous domain caches) whenever a query targets a different sf_dir — the
 # driver mixes sf0.001 (entry smoke) and sf0.01 (oracle gate) on one session.
+# Registered as session memos FROM operators.common (which imports this
+# module, so the registration lives there to avoid the import cycle):
+# after common.reset_session_state (the plan-fingerprint gate) the guard
+# must NOT short-circuit, or the domain views stay registered-but-uncached
+# — a shape neither a fresh nor a warm session ever has.
 _CURRENT_SF: dict[tuple[str, int], str] = {}
 _CACHED_DFS: dict[tuple[str, int], list[DataFrame]] = {}
 

@@ -92,6 +92,15 @@ def reset_session_state(spark: SparkSession) -> None:
         d.clear()
 
 
+# catalog's registration guard and cache list are session memos too (the
+# registration lives HERE because catalog is imported above — a
+# session_memo import from catalog.py would be circular): if the guard
+# survived a reset, domain views would stay registered-but-uncached, a
+# shape neither a fresh nor a warm session ever has.
+SESSION_MEMOS.append(catalog._CURRENT_SF)
+SESSION_MEMOS.append(catalog._CACHED_DFS)
+
+
 _NOW_CACHE: dict[tuple[str, str], object] = session_memo({})
 
 
