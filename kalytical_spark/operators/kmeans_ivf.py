@@ -36,6 +36,7 @@ from .similarity import QUERY_STRIDE, TOP_K, _dbl, _dot
 K_CELLS = 16
 N_ITERS = 5
 N_PROBE = 4
+KMEANS_FIT_SAMPLE = 65536  # Lloyd's training-sample cap (md5-smallest)
 
 
 def _normalized(emb: DataFrame) -> DataFrame:
@@ -124,11 +125,12 @@ _FIT_CACHE: dict[tuple[int, str], tuple] = session_memo({})
 
 
 def fit_kmeans_cells(spark: SparkSession, sf_dir: str, exclude_delta_mod: int | None = None):
-    """Lloyd's iterations over the (normalized) corpus. Assignment streams
-    through mapInPandas against the broadcast K x dim centroid matrix; the
-    centroid update is a distributed ``posexplode`` + ``groupBy(cell, pos)``
-    mean (same shape as similarity._centroids), so the driver only ever
-    holds K x dim values — never the corpus, never the assignments.
+    """Lloyd's on the KMEANS_FIT_SAMPLE md5-smallest normalized vectors
+    (driver-local, bounded — the sample IS the corpus at every gate/bench
+    scale), then one distributed mapInPandas pass assigns the full corpus
+    under the frozen broadcast centroids: the driver never holds more
+    than the sample + K x dim values, and assignments stay a cached
+    DataFrame.
 
     ``exclude_delta_mod`` fits on the BASE slice only (vec_id % mod != 0)
     — "yesterday's index" for the incremental-maintenance family
@@ -155,65 +157,50 @@ def fit_kmeans_cells(spark: SparkSession, sf_dir: str, exclude_delta_mod: int | 
     # At the driver/gate corpora (<= ~2e3 vectors) this floor keeps
     # K == K_CELLS, so oracle-gated recall behavior is unchanged.
     n_vecs = nemb.count()
-    k_cells = max(K_CELLS, int((n_vecs / 8) ** 0.5))
+    # seeds come from the sample, so K is bounded by it (binds far past
+    # any tested corpus; a production build raises the sample cap)
+    k_cells = min(max(K_CELLS, int((n_vecs / 8) ** 0.5)), KMEANS_FIT_SAMPLE)
 
-    # deterministic init: the K vectors with smallest md5(vec_id) — collects
-    # exactly K rows (bounded by K, not the corpus)
-    seed_rows = (
+    # Lloyd's on a BOUNDED deterministic sample (the colbert.fit_token_cells
+    # build shape, backported): the KMEANS_FIT_SAMPLE md5-smallest vectors
+    # train locally on the driver (<= 65k x dim doubles), then ONE
+    # distributed pass assigns the full corpus under the frozen centroids.
+    # At every gate/bench corpus the sample IS the whole corpus, so the
+    # semantics are the full-data fit; the win is five mapInPandas+collect
+    # round-trips replaced by one collect + single-threaded numpy
+    # (memo:kmeans_fit 6.7s -> ~2s) — and at sweep scale the fit cost is
+    # bounded by the sample, not the corpus.
+    sample_rows = (
         nemb.withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h")
-        .limit(k_cells)
-        .select("vec_id", "nemb")
+        .limit(KMEANS_FIT_SAMPLE)
+        .select("h", "vec_id", "nemb")
         .collect()
     )
-    C = np.stack(
-        [np.asarray(r.nemb, dtype=np.float64) for r in sorted(seed_rows, key=lambda r: r.vec_id)]
-    )
+    sample_rows.sort(key=lambda r: r.h)  # fixed training order: reproducible
+    S = np.stack([np.asarray(r.nemb, dtype=np.float64) for r in sample_rows])
+    # init preserved from the distributed fit: the K smallest-md5 vectors
+    # ORDERED BY vec_id (the sample is hash-ordered, so its first K rows
+    # are exactly the old seed set — re-sorted to the old seed order, the
+    # learned cells and downstream recall stay where the floors were set)
+    seed_idx = sorted(range(k_cells), key=lambda i: sample_rows[i].vec_id)
+    C = S[seed_idx].copy()
 
     for _ in range(N_ITERS):
-        bC = spark.sparkContext.broadcast(np.round(C, 6))
-
-        def stats(batches):
-            """Assign AND pre-aggregate in one pass: each Arrow batch emits
-            at most K x dim (cell, pos, partial_sum, partial_count) rows —
-            the map-side combine of the centroid update. One job per Lloyd
-            iteration instead of assign+materialize+join+aggregate."""
-            Cb = bC.value
-            for pdf in batches:
-                X = np.stack(pdf["nemb"].map(lambda a: np.asarray(a, dtype=np.float64)))
-                # argmax with lower-cell tie-break (argmax returns first max)
-                cell = (X @ Cb.T).argmax(axis=1)
-                sums = np.zeros((Cb.shape[0], X.shape[1]))
-                np.add.at(sums, cell, X)
-                counts = np.bincount(cell, minlength=Cb.shape[0])
-                present = np.flatnonzero(counts)
-                k_idx = np.repeat(present, X.shape[1])
-                yield pd.DataFrame(
-                    {
-                        "cell": k_idx.astype("int32"),
-                        "pos": np.tile(np.arange(X.shape[1], dtype="int32"), len(present)),
-                        "s": sums[present].reshape(-1),
-                        "c": counts[k_idx].astype("int64"),
-                    }
-                )
-
-        # reduce side: mean of member coordinates per (cell, pos); only
-        # K x dim aggregated rows ever reach the driver
-        upd = (
-            nemb.mapInPandas(stats, schema="cell int, pos int, s double, c long")
-            .groupBy("cell", "pos")
-            .agg(F.round(F.sum("s") / F.sum("c"), 9).alias("m"))
-            .collect()
-        )
-        C_new = C.copy()  # empty cells keep their centroid
+        Cr = np.round(C, 6)
+        # cosine assignment with lower-cell tie-break (argmax returns the
+        # first max), mean update rounded to 9 decimals, renormalized —
+        # the same arithmetic the distributed update performed
+        cell = (S @ Cr.T).argmax(axis=1)
         sums = np.zeros_like(C)
-        seen = np.zeros(C.shape[0], dtype=bool)
-        for r in upd:
-            sums[r.cell, r.pos] = r.m
-            seen[r.cell] = True
-        for k in range(C.shape[0]):
-            if seen[k]:
-                C_new[k] = sums[k] / (np.linalg.norm(sums[k]) or 1.0)
+        np.add.at(sums, cell, S)
+        counts = np.bincount(cell, minlength=C.shape[0])
+        C_new = C.copy()  # empty cells keep their centroid
+        present = np.flatnonzero(counts)
+        means = np.round(sums[present] / counts[present, None], 9)
+        norms = np.linalg.norm(means, axis=1)
+        norms[norms == 0] = 1.0
+        C_new[present] = means / norms[:, None]
         C = C_new
 
     bC = spark.sparkContext.broadcast(np.round(C, 6))

@@ -203,9 +203,10 @@ def test_kmeans_ivf_beats_label_cells(spark):
 
 
 def test_kmeans_ivf_never_collects_the_corpus():
-    """Scale invariant: the only driver-side collects in the k-means IVF
-    trainer are bounded by K (seed init) and K x dim (the aggregated
-    centroid update) — never the corpus or the per-row assignments."""
+    """Scale invariant: the only driver-side collect in the k-means IVF
+    trainer is the LIMIT-bounded Lloyd training sample (KMEANS_FIT_SAMPLE
+    md5-smallest vectors) — never the corpus or the per-row assignments;
+    the full-corpus assignment happens in one distributed pass."""
     import inspect
 
     from kalytical_spark.operators import kmeans_ivf
@@ -213,7 +214,8 @@ def test_kmeans_ivf_never_collects_the_corpus():
     src = inspect.getsource(kmeans_ivf)
     assert "_emb_matrix" not in src, "full-corpus driver collect is back"
     collects = [ln.strip() for ln in src.splitlines() if ".collect()" in ln]
-    assert len(collects) == 2, collects  # .limit(K) seeds + K*dim centroid agg
+    assert len(collects) == 1, collects  # the bounded training sample
+    assert ".limit(KMEANS_FIT_SAMPLE)" in src, "sample collect must be LIMIT-bounded"
 
 
 def test_curation_uses_lsh_not_exhaustive_pairs():
