@@ -1,0 +1,353 @@
+"""Held-out language-model estimation over the documents table — the
+model-based corpus-quality tier above text.py's self-fit surprisals:
+
+* ``text_stupid_backoff`` — Stupid Backoff bigram scoring (Brants et al.
+  2007, "Large Language Models in Machine Translation") with a genuine
+  train/score hash split, so the backoff path actually fires on unseen
+  bigrams (a self-fit model never backs off — the gap the surprisal
+  queries can't cover).
+* ``text_good_turing`` — Good-Turing frequency-of-frequencies smoothing
+  (the classic unseen-mass estimator): adjusted counts r* = (r+1)·N_{r+1}
+  / N_r for the low-count head where smoothing matters.
+* ``text_zipf_ols`` — Zipf power-law fit of the rank-frequency head by
+  exact-integer OLS in quantized log-log space; the slope is the standard
+  one-number corpus-naturalness diagnostic (natural text ≈ -1).
+
+Exactness convention (the text.py family's): every per-term value is
+quantized ONCE to integer micro/milli units (one ln per distinct term /
+point), all accumulation is BIGINT, and divisions are the truncating
+`div` (Spark) / `//` (DuckDB) pair, which agree including negatives.
+Nothing float is ever summed.
+
+Scale: token explosion is partition-local; every model table (unigram,
+bigram vocab) is unbounded at web scale, so model joins are shuffle_hash
+keyed on the token(s) — never forced broadcasts; scalar totals ride
+1-row broadcasts. The Zipf head is a TakeOrderedAndProject top-k
+(ZIPF_HEAD_K rows) so its rank window is bounded by construction.
+
+Reference parity: the reference has no LM surface (closest analog is the
+prefix listing in ``data_provider.py``); this family exists for the
+mandated LLM-training-data quality tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .common import t
+
+# alpha = 0.4 exactly (Brants et al.'s published constant), in micro-units
+SB_ALPHA_MICRO = 400_000
+# md5 first byte < 128 -> ~50% of docs train the model, the rest are scored
+SB_TRAIN_LT = 128
+# rank-frequency head size for the Zipf fit (top-k bounds the rank window)
+ZIPF_HEAD_K = 100
+# Good-Turing is only meaningful on the low-count head
+GT_MAX_R = 10
+
+
+def _bucket(col: F.Column) -> F.Column:
+    """First md5 byte of the stable key as 0..255 (split_assign_stats
+    convention, preprocess.py)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 2), 16, 10).cast("bigint")
+
+
+def _bigrams(df: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) adjacent-token pairs — the arrays_zip slice pair
+    (text.py bigram convention), entirely JVM-side."""
+    ts = F.split(F.col("text"), " ")
+    return (
+        df.filter(F.size(ts) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(ts, 1, F.size(ts) - 1).alias("w1"),
+                    F.slice(ts, 2, F.size(ts) - 1).alias("w2"),
+                )
+            ).alias("bgr"),
+        )
+        .select("doc_id", F.col("bgr.w1").alias("w1"), F.col("bgr.w2").alias("w2"))
+    )
+
+
+def text_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid Backoff bigram score of held-out documents:
+
+        S(w2|w1) = c(w1 w2) / c(w1)          if the bigram was seen in train
+                 = 0.4 * c(w2) / N           otherwise (backoff to unigram)
+
+    fit on the ~50% md5-split train half, scored on the other half — the
+    held-out design is what makes the backoff branch real (scoring the
+    training corpus with itself never backs off). Per-doc output: bigram
+    count, how often backoff fired, and the exact integer score mass.
+
+    Determinism: S is quantized per OCCURRENCE via one truncating integer
+    division of exact counts ((1e6*c12) div c1, or (4e5*c2) div N), so
+    per-doc accumulation is pure BIGINT; c12 non-null implies c1 non-null
+    (a train bigram's w1 is a train token). Unseen w2 contributes exactly
+    0. Bounded: 1e6*c12 <= 1e6*N — bigint-safe through ~9e12 train tokens.
+
+    Scale: two model tables (bigram, unigram vocab — unbounded) join
+    shuffle_hash on their token keys; the train-token total N is a 1-row
+    broadcast. One groupBy(doc_id) finishes it — map-side combinable."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    split = docs.withColumn("b", _bucket(F.col("doc_id")))
+    train = split.filter(F.col("b") < SB_TRAIN_LT).select("doc_id", "text")
+    score = split.filter(F.col("b") >= SB_TRAIN_LT).select("doc_id", "text")
+
+    c12 = _bigrams(train).groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    tr_tok = train.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    cu = tr_tok.groupBy("tok").agg(F.count("*").alias("cu"))
+    n_train = tr_tok.groupBy().agg(F.count("*").alias("n_train"))
+
+    scored = (
+        _bigrams(score)
+        .join(c12.hint("shuffle_hash"), ["w1", "w2"], "left")
+        .join(
+            cu.select(F.col("tok").alias("w1"), F.col("cu").alias("c1")).hint(
+                "shuffle_hash"
+            ),
+            "w1",
+            "left",
+        )
+        .join(
+            cu.select(F.col("tok").alias("w2"), F.col("cu").alias("c2")).hint(
+                "shuffle_hash"
+            ),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST(CASE WHEN c12 IS NOT NULL THEN (1000000 * c12) div c1 "
+                f"ELSE ({SB_ALPHA_MICRO} * coalesce(c2, 0)) div n_train END "
+                f"AS BIGINT)"
+            ).alias("s_micro"),
+            F.col("c12").isNull().cast("int").alias("is_backoff"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("is_backoff").cast("bigint").alias("n_backoff"),
+        F.sum("s_micro").cast("bigint").alias("score_micro"),
+        F.round(F.sum("s_micro").cast("double") / 1e6 / F.count("*"), 4).alias(
+            "avg_score"
+        ),
+    )
+
+
+ORACLE_STUPID_BACKOFF = f"""
+WITH sb_split AS (
+  SELECT doc_id, text,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) AS b
+  FROM documents
+), sb_train AS (
+  SELECT doc_id, text FROM sb_split WHERE b < {SB_TRAIN_LT}
+), sb_score AS (
+  SELECT doc_id, text FROM sb_split WHERE b >= {SB_TRAIN_LT}
+), tr_bg AS (
+  SELECT ts[i] AS w1, ts[i+1] AS w2
+  FROM (SELECT string_split(text, ' ') AS ts FROM sb_train),
+       unnest(range(1, len(ts))) AS u(i)
+  WHERE len(ts) >= 2
+), c12 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM tr_bg GROUP BY 1, 2
+), tr_tok AS (
+  SELECT tok FROM (SELECT string_split(text, ' ') AS ts FROM sb_train),
+       unnest(ts) AS u(tok)
+), cu AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu FROM tr_tok GROUP BY 1
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM tr_tok
+), sc_bg AS (
+  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM sb_score),
+       unnest(range(1, len(ts))) AS u(i)
+  WHERE len(ts) >= 2
+), sb_scored AS (
+  SELECT s.doc_id,
+         CAST(CASE WHEN c12.c12 IS NOT NULL THEN (1000000 * c12.c12) // u1.cu
+              ELSE ({SB_ALPHA_MICRO} * COALESCE(u2.cu, 0)) // n.n_train END
+              AS BIGINT) AS s_micro,
+         CASE WHEN c12.c12 IS NULL THEN 1 ELSE 0 END AS is_backoff
+  FROM sc_bg s
+  LEFT JOIN c12 ON s.w1 = c12.w1 AND s.w2 = c12.w2
+  LEFT JOIN cu u1 ON u1.tok = s.w1
+  LEFT JOIN cu u2 ON u2.tok = s.w2
+  CROSS JOIN n
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(is_backoff) AS BIGINT) AS n_backoff,
+       CAST(SUM(s_micro) AS BIGINT) AS score_micro,
+       ROUND(CAST(SUM(s_micro) AS DOUBLE) / 1e6 / COUNT(*), 4) AS avg_score
+FROM sb_scored
+GROUP BY doc_id
+"""
+
+
+def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing smoothed counts for the low-frequency head of the
+    TRIGRAM type distribution: the frequency-of-frequencies table
+    N_r = |{g : c(g) = r}| and the adjusted count r* = (r+1)·N_{r+1}/N_r
+    for r <= GT_MAX_R — the classic estimator of the probability mass the
+    corpus hides in rare/unseen types (r=1's N_1/N is the standard
+    unseen-mass estimate; r* is what a Katz-backoff LM substitutes for
+    raw counts). Trigrams are where smoothing matters: the unigram
+    distribution of any real corpus has no count-1..10 head worth
+    smoothing, the trigram type space is sparse at every corpus size.
+
+    Determinism: r* is one truncating integer division of exact BIGINTs
+    ((1e6·(r+1)·N_{r+1}) div N_r); everything else is counts.
+
+    Scale: two cascaded map-side-combinable groupBys (trigram -> count,
+    count -> N_r); the first is the only row-multiplying step (explode is
+    partition-local), the second's output is at most |distinct counts|
+    rows — tiny. The r+1 self-join runs on that tiny frame."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    ts = F.split(F.col("text"), " ")
+    grams = docs.filter(F.size(ts) >= 3).select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(ts, 1, F.size(ts) - 2).alias("w1"),
+                F.slice(ts, 2, F.size(ts) - 2).alias("w2"),
+                F.slice(ts, 3, F.size(ts) - 2).alias("w3"),
+            )
+        ).alias("g")
+    ).select(F.concat_ws(" ", "g.w1", "g.w2", "g.w3").alias("gram"))
+    cw = grams.groupBy("gram").agg(F.count("*").alias("c"))
+    ff = cw.groupBy("c").agg(F.count("*").alias("n_r")).select(
+        F.col("c").alias("r"), "n_r"
+    )
+    nxt = ff.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next"))
+    return (
+        ff.join(nxt, "r", "left")
+        .filter(F.col("r") <= GT_MAX_R)
+        .select(
+            "r",
+            "n_r",
+            F.coalesce("n_r_next", F.lit(0)).cast("bigint").alias("n_r_next"),
+            F.expr(
+                "CAST((1000000 * (r + 1) * coalesce(n_r_next, 0)) div n_r AS BIGINT)"
+            ).alias("rstar_micro"),
+        )
+    )
+
+
+ORACLE_GOOD_TURING = f"""
+WITH gt_grams AS (
+  SELECT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+  FROM (SELECT string_split(text, ' ') AS ts FROM documents),
+       unnest(range(1, len(ts) - 1)) AS u(i)
+  WHERE len(ts) >= 3
+), gt_cw AS (
+  SELECT gram, CAST(COUNT(*) AS BIGINT) AS c FROM gt_grams GROUP BY 1
+), gt_ff AS (
+  SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r FROM gt_cw GROUP BY 1
+)
+SELECT f.r, f.n_r,
+       CAST(COALESCE(g.n_r, 0) AS BIGINT) AS n_r_next,
+       CAST((1000000 * (f.r + 1) * COALESCE(g.n_r, 0)) // f.n_r AS BIGINT)
+         AS rstar_micro
+FROM gt_ff f LEFT JOIN gt_ff g ON g.r = f.r + 1
+WHERE f.r <= {GT_MAX_R}
+"""
+
+
+def text_zipf_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit of the token rank-frequency head: OLS of
+    ln(count) on ln(rank) over the top-ZIPF_HEAD_K tokens. Natural text
+    lands near slope -1; a flat slope flags templated/duplicated corpora,
+    a cliff flags a degenerate vocabulary — the one-number diagnostic run
+    before committing a crawl snapshot to training.
+
+    Determinism: each head point is quantized ONCE to integer MILLI-NATS
+    (round(ln·1e3)); the five OLS sums are exact BIGINT; slope and
+    intercept come out through the truncating div pair (negative-safe —
+    the slope numerator is negative by construction). Magnitudes: |x|<=
+    ln(k)·1e3, |y|<=ln(N)·1e3 (~3.5e4 at 1e15 tokens), so k·Σxy·1e6 stays
+    under 2^63 at any conceivable corpus size.
+
+    Scale: one map-side-combinable token count, then a
+    TakeOrderedAndProject top-k ((count desc, token) unique tie-break) —
+    the rank window runs over exactly ZIPF_HEAD_K rows by construction,
+    never an unbounded global window."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    cw = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    head = cw.orderBy(F.col("c").desc(), F.col("tok")).limit(ZIPF_HEAD_K)
+    # window input is the k-row head — bounded by the LIMIT above
+    rank_w = W.orderBy(F.col("c").desc(), F.col("tok"))
+    pts = head.select(
+        F.row_number().over(rank_w).alias("rank"), F.col("c")
+    ).select(
+        F.expr("CAST(ROUND(ln(CAST(rank AS DOUBLE)) * 1000) AS BIGINT)").alias(
+            "x_milli"
+        ),
+        F.expr("CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1000) AS BIGINT)").alias("y_milli"),
+    )
+    agg = pts.agg(
+        F.count("*").alias("k"),
+        F.sum("x_milli").alias("sx"),
+        F.sum("y_milli").alias("sy"),
+        F.sum(F.col("x_milli") * F.col("x_milli")).alias("sxx"),
+        F.sum(F.col("x_milli") * F.col("y_milli")).alias("sxy"),
+    )
+    return agg.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.expr(
+            "CAST((1000000 * (k * sxy - sx * sy)) div (k * sxx - sx * sx) AS BIGINT)"
+        ).alias("slope_micro"),
+        F.expr(
+            "CAST((sy - ((1000000 * (k * sxy - sx * sy)) div (k * sxx - sx * sx))"
+            " * sx div 1000000) div k AS BIGINT)"
+        ).alias("intercept_milli"),
+        F.expr(
+            "ROUND(CAST((1000000 * (k * sxy - sx * sy)) div (k * sxx - sx * sx)"
+            " AS DOUBLE) / 1e6, 4)"
+        ).alias("slope"),
+    )
+
+
+ORACLE_ZIPF = f"""
+WITH zf_toks AS (
+  SELECT tok FROM (SELECT string_split(text, ' ') AS ts FROM documents),
+       unnest(ts) AS u(tok)
+), zf_cw AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM zf_toks GROUP BY 1
+), zf_head AS (
+  SELECT tok, c FROM zf_cw ORDER BY c DESC, tok LIMIT {ZIPF_HEAD_K}
+), zf_pts AS (
+  SELECT CAST(ROUND(ln(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS DOUBLE))
+              * 1000) AS BIGINT) AS x_milli,
+         CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1000) AS BIGINT) AS y_milli
+  FROM zf_head
+), zf_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(x_milli) AS BIGINT) AS sx,
+         CAST(SUM(y_milli) AS BIGINT) AS sy,
+         CAST(SUM(x_milli * x_milli) AS BIGINT) AS sxx,
+         CAST(SUM(x_milli * y_milli) AS BIGINT) AS sxy
+  FROM zf_pts
+)
+SELECT k,
+       CAST((1000000 * (k * sxy - sx * sy)) // (k * sxx - sx * sx) AS BIGINT)
+         AS slope_micro,
+       CAST((sy - ((1000000 * (k * sxy - sx * sy)) // (k * sxx - sx * sx))
+             * sx // 1000000) // k AS BIGINT) AS intercept_milli,
+       ROUND(CAST((1000000 * (k * sxy - sx * sy)) // (k * sxx - sx * sx)
+             AS DOUBLE) / 1e6, 4) AS slope
+FROM zf_agg
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "text_stupid_backoff": (text_stupid_backoff, ORACLE_STUPID_BACKOFF),
+    "text_good_turing": (text_good_turing, ORACLE_GOOD_TURING),
+    "text_zipf_ols": (text_zipf_ols, ORACLE_ZIPF),
+}

@@ -85,6 +85,7 @@ def _load_optional():
         "linkage",
         "zonemap",
         "dsir",
+        "lm",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))

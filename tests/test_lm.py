@@ -1,0 +1,77 @@
+"""Held-out LM family invariants: Stupid Backoff's split/score algebra,
+Good-Turing's frequency-of-frequencies identities, Zipf fit sanity."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from kalytical_spark.operators import lm
+from kalytical_spark.operators.common import t
+from tests.conftest import SF_ORACLE
+
+
+def test_stupid_backoff_invariants(spark):
+    rows = lm.text_stupid_backoff(spark, SF_ORACLE).collect()
+    assert rows
+    docs = t(spark, SF_ORACLE, "documents")
+    n_docs = docs.count()
+    # held-out split: only the score half appears, and it is a real split
+    assert 0 < len(rows) < n_docs
+    for r in rows:
+        assert 0 <= r.n_backoff <= r.n_bigrams
+        # every per-position score is in [0, 1e6], so the doc total is too
+        assert 0 <= r.score_micro <= r.n_bigrams * 1_000_000
+        assert abs(r.avg_score - round(r.score_micro / 1e6 / r.n_bigrams, 4)) < 1e-12
+    # the held-out design must make the backoff branch real somewhere
+    assert sum(r.n_backoff for r in rows) > 0
+    # ... but seen bigrams must dominate (the model trains on half the corpus)
+    assert sum(r.n_backoff for r in rows) < sum(r.n_bigrams for r in rows)
+
+
+def test_stupid_backoff_score_halves_disjoint(spark):
+    scored_ids = {
+        r.doc_id for r in lm.text_stupid_backoff(spark, SF_ORACLE).collect()
+    }
+    buckets = {
+        r.doc_id: r.b
+        for r in t(spark, SF_ORACLE, "documents")
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+            .cast("bigint")
+            .alias("b"),
+        )
+        .collect()
+    }
+    for doc_id in scored_ids:
+        assert buckets[doc_id] >= lm.SB_TRAIN_LT
+
+
+def test_good_turing_identities(spark):
+    rows = {r.r: r for r in lm.text_good_turing(spark, SF_ORACLE).collect()}
+    assert rows, "trigram type space must have a low-count head"
+    for r, row in rows.items():
+        assert 1 <= r <= lm.GT_MAX_R
+        assert row.n_r > 0
+        # adjacent rows agree on the shared N_{r+1}
+        if r + 1 in rows:
+            assert row.n_r_next == rows[r + 1].n_r
+        assert row.rstar_micro == (1_000_000 * (r + 1) * row.n_r_next) // row.n_r
+    # Good-Turing on a natural-ish corpus discounts singletons: r*=1 < 1
+    if 1 in rows and 2 in rows:
+        assert rows[1].rstar_micro < 2_000_000
+
+
+def test_zipf_fit_shape(spark):
+    row = lm.text_zipf_ols(spark, SF_ORACLE).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert 2 <= r.k <= lm.ZIPF_HEAD_K
+    # frequency is non-increasing in rank, so the fitted slope is <= 0
+    assert r.slope_micro <= 0
+    assert r.slope == round(r.slope_micro / 1e6, 4)
+    # intercept_milli approximates ln(c_max) in milli-nats: same sign, sane scale
+    assert r.intercept_milli > 0
+    assert r.intercept_milli < math.log(10**15) * 1000
