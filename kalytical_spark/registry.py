@@ -86,6 +86,7 @@ def _load_optional():
         "zonemap",
         "dsir",
         "lm",
+        "drift",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
