@@ -87,6 +87,7 @@ def _load_optional():
         "dsir",
         "lm",
         "drift",
+        "weaklabel",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
