@@ -511,3 +511,108 @@ SELECT node, CAST(lbl AS BIGINT) AS community FROM l{_LPA_ROUNDS}"""
 
 
 QUERIES["graph_label_propagation"] = (graph_label_propagation, _lpa_oracle())
+
+
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction on the co-purchase graph: for every
+    NON-adjacent part pair with at least one shared neighbor, score the
+    missing edge by Jaccard overlap of neighborhoods and by Adamic-Adar
+    (common neighbors down-weighted by ln(degree) — rare shared neighbors
+    count more), and emit the top-20 predicted links. The recommender-
+    system classic ("customers who bought X also bought Y, soon").
+
+    Determinism: jaccard_micro is one truncating div of exact counts;
+    each Adamic-Adar term is quantized ONCE per wedge to round(1e6 /
+    ln(deg_z)) and summed as BIGINT (deg_z >= 2 always: a common neighbor
+    touches both endpoints, so ln never sees 1). Tie-break (score, p, q).
+
+    Scale: wedge enumeration through the shared support-pruned edge list
+    (_copurchase_edges — the part-dimension graph, orders smaller than
+    the fact table); candidate mass is sum(deg_z^2) over that pruned
+    graph, the same budget the triangle census pays, and existing edges
+    leave via one anti-join before any scoring. Top-k is a
+    TakeOrderedAndProject, never a global sort."""
+    from .sketches import _copurchase_edges
+
+    und = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    adj = und.select(F.col("u").alias("p"), F.col("v").alias("q")).union(
+        und.select(F.col("v").alias("p"), F.col("u").alias("q"))
+    )
+    deg = adj.groupBy("p").agg(F.count("*").cast("bigint").alias("d"))
+    # wedges: p - z - q with p < q, carrying z's degree for Adamic-Adar
+    left = adj.select(F.col("q").alias("z"), F.col("p"))
+    right = adj.select(F.col("p").alias("z"), F.col("q"))
+    wedges = (
+        left.join(right, "z")
+        .filter(F.col("p") < F.col("q"))
+        .join(deg.select(F.col("p").alias("z"), F.col("d").alias("dz")), "z")
+    )
+    cand = (
+        wedges.groupBy("p", "q")
+        .agg(
+            F.count("*").cast("bigint").alias("cn"),
+            F.sum(
+                F.expr("CAST(ROUND(1e6 / ln(CAST(dz AS DOUBLE))) AS BIGINT)")
+            ).alias("aa_micro"),
+        )
+        .join(und, (F.col("p") == F.col("u")) & (F.col("q") == F.col("v")), "anti")
+    )
+    scored = (
+        cand.join(deg.select(F.col("p"), F.col("d").alias("deg_p")), "p")
+        .join(deg.select(F.col("p").alias("q"), F.col("d").alias("deg_q")).hint("shuffle_hash"), "q")
+        .select(
+            "p",
+            "q",
+            "cn",
+            "deg_p",
+            "deg_q",
+            F.expr(
+                "CAST((1000000 * cn) div (deg_p + deg_q - cn) AS BIGINT)"
+            ).alias("jaccard_micro"),
+            "aa_micro",
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard_micro").desc(), F.col("p"), F.col("q")
+    ).limit(20)
+
+
+def _link_prediction_oracle() -> str:
+    from .sketches import ORACLE_TRIANGLES
+
+    und_cte = ORACLE_TRIANGLES.split("), tri AS")[0].strip()
+    assert und_cte.startswith("WITH und AS (")
+    und_body = und_cte[len("WITH und AS (") :]
+    return (
+        "WITH lp_und AS MATERIALIZED ("
+        + und_body
+        + """),
+lp_adj AS MATERIALIZED (
+  SELECT u AS p, v AS q FROM lp_und
+  UNION ALL SELECT v AS p, u AS q FROM lp_und
+), lp_deg AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM lp_adj GROUP BY 1
+), lp_cand AS (
+  SELECT l.p, r.q, CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM(CAST(ROUND(1e6 / ln(CAST(dz.d AS DOUBLE))) AS BIGINT))
+              AS BIGINT) AS aa_micro
+  FROM (SELECT q AS z, p FROM lp_adj) l
+  JOIN (SELECT p AS z, q FROM lp_adj) r ON l.z = r.z
+  JOIN lp_deg dz ON dz.p = l.z
+  WHERE l.p < r.q
+    AND NOT EXISTS (SELECT 1 FROM lp_und e WHERE e.u = l.p AND e.v = r.q)
+  GROUP BY 1, 2
+)
+SELECT c.p, c.q, c.cn, dp.d AS deg_p, dq.d AS deg_q,
+       CAST((1000000 * c.cn) // (dp.d + dq.d - c.cn) AS BIGINT)
+         AS jaccard_micro,
+       c.aa_micro
+FROM lp_cand c
+JOIN lp_deg dp ON dp.p = c.p
+JOIN lp_deg dq ON dq.p = c.q
+ORDER BY jaccard_micro DESC, c.p, c.q
+LIMIT 20"""
+    )
+
+
+QUERIES["graph_link_prediction"] = (graph_link_prediction, _link_prediction_oracle())
