@@ -88,6 +88,7 @@ def _load_optional():
         "lm",
         "drift",
         "weaklabel",
+        "pairscore",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
