@@ -1,0 +1,161 @@
+"""Corpus-level diagnostics: novelty decay across ingest order and the
+language-ID confusion matrix — the two tables a crawl pipeline reads
+before deciding whether another snapshot is worth ingesting and whether
+its language router can be trusted.
+
+* ``docs_ngram_novelty`` — per ingest-order decile, what fraction of
+  distinct trigrams are NOVEL (first seen in that doc): the marginal-
+  value-of-more-data curve. A healthy growing corpus decays slowly; a
+  re-crawl of the same sites collapses toward zero and tells you to
+  stop paying for ingest.
+* ``text_langid_confusion`` — true-language × predicted-language counts
+  with per-true-language share, on top of text.py's profile-overlap
+  language router. The confusion matrix is the standard router health
+  check (and on this shared-vocabulary synthetic corpus it SHOWS the
+  router at near-chance — the operator proves the eval machinery, the
+  corpus proves nothing).
+
+Exactness: counts and truncating divs only. Scale: novelty is one
+distinct-gram explode, one map-side-combinable min(doc_id) per gram
+(vocab-sized, shuffle_hash join back), one decile rollup; first-seen
+attribution via min is order-free and deterministic. The confusion
+matrix aggregates the router's per-doc argmax output — dimension-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import t
+from .text import ORACLE_LANGID, text_langid_predict
+
+NOVELTY_DECILES = 10
+
+
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram novelty by ingest-order decile: a gram is credited as novel
+    to the SMALLEST doc_id containing it (doc_id is the ingest-order
+    proxy); each decile reports its distinct-gram mass, how much of it was
+    novel, and the novelty rate in milli. The decay of novelty_milli
+    across deciles is the dedup-ROI / data-value curve.
+
+    Determinism: min(doc_id) attribution is order-free; deciles come from
+    the closed-form bucket (doc_id · 10) div (max_doc_id + 1) — no NTILE,
+    no unpartitioned window.
+
+    Scale: one partition-local gram explode with per-doc dedup
+    (array_distinct before exploding), one map-side-combinable groupBy
+    gram (vocab-sized output), one shuffle_hash join back on gram, one
+    tiny rollup. The max-doc-id scalar rides a 1-row broadcast."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    ts = F.split(F.col("text"), " ")
+    grams = docs.filter(F.size(ts) >= 3).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(split(text, ' ')) - 3),"
+                    " i -> concat_ws(' ', split(text, ' ')[i],"
+                    " split(text, ' ')[i+1], split(text, ' ')[i+2]))"
+                )
+            )
+        ).alias("gram"),
+    )
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first_seen.hint("shuffle_hash"), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("bigint")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    max_id = docs.groupBy().agg(F.max("doc_id").alias("max_id"))
+    return (
+        per_doc.crossJoin(F.broadcast(max_id))
+        .withColumn(
+            "decile",
+            F.expr(f"CAST((doc_id * {NOVELTY_DECILES}) div (max_id + 1) AS BIGINT)"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_distinct_grams").cast("bigint").alias("n_grams"),
+            F.sum("n_novel").cast("bigint").alias("n_novel"),
+            F.expr(
+                "CAST((1000 * SUM(n_novel)) div SUM(n_distinct_grams) AS BIGINT)"
+            ).alias("novelty_milli"),
+        )
+    )
+
+
+ORACLE_NOVELTY = f"""
+WITH nv_grams AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       unnest(range(1, len(ts) - 1)) AS u(i)
+  WHERE len(ts) >= 3
+), nv_first AS (
+  SELECT gram, MIN(doc_id) AS first_doc FROM nv_grams GROUP BY 1
+), nv_per_doc AS (
+  SELECT g.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+         CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+  FROM nv_grams g JOIN nv_first f USING (gram)
+  GROUP BY 1
+), nv_max AS (
+  SELECT MAX(doc_id) AS max_id FROM documents
+)
+SELECT CAST((d.doc_id * {NOVELTY_DECILES}) // (m.max_id + 1) AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_distinct_grams) AS BIGINT) AS n_grams,
+       CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+       CAST((1000 * SUM(n_novel)) // SUM(n_distinct_grams) AS BIGINT)
+         AS novelty_milli
+FROM nv_per_doc d CROSS JOIN nv_max m
+GROUP BY 1
+"""
+
+
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-router confusion matrix: (true lang, predicted lang,
+    count, per-true-language share in milli). Composes text.py's
+    text_langid_predict router — the matrix is the eval artifact the
+    router ships with.
+
+    Exactness: counts and one truncating div. Scale: aggregates the
+    router's per-doc output down to |langs|² rows."""
+    pred = text_langid_predict(spark, sf_dir)
+    cm = pred.groupBy("lang", "predicted_lang").agg(F.count("*").alias("n_docs"))
+    tot = cm.groupBy("lang").agg(F.sum("n_docs").alias("n_lang"))
+    return cm.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "predicted_lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.expr("CAST((1000 * n_docs) div n_lang AS BIGINT)").alias("share_milli"),
+    )
+
+
+ORACLE_LANGID_CONFUSION = f"""
+WITH cm_pred AS (
+  SELECT * FROM ({ORACLE_LANGID})
+), cm AS (
+  SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM cm_pred GROUP BY 1, 2
+), cm_tot AS (
+  SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_lang FROM cm GROUP BY 1
+)
+SELECT c.lang, c.predicted_lang, c.n_docs,
+       CAST((1000 * c.n_docs) // t.n_lang AS BIGINT) AS share_milli
+FROM cm c JOIN cm_tot t USING (lang)
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "docs_ngram_novelty": (docs_ngram_novelty, ORACLE_NOVELTY),
+    "text_langid_confusion": (text_langid_confusion, ORACLE_LANGID_CONFUSION),
+}

@@ -89,6 +89,7 @@ def _load_optional():
         "drift",
         "weaklabel",
         "pairscore",
+        "corpusdiag",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
