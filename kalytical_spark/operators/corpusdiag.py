@@ -159,3 +159,58 @@ QUERIES: dict[str, tuple] = {
     "docs_ngram_novelty": (docs_ngram_novelty, ORACLE_NOVELTY),
     "text_langid_confusion": (text_langid_confusion, ORACLE_LANGID_CONFUSION),
 }
+
+
+BURST_TOP_K = 50
+
+
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (Church & Gale 1995): for the top-BURST_TOP_K
+    tokens by collection frequency, the ratio cf/df — how many times a
+    token repeats within the documents it appears in at all. Function
+    words hover near cf/df ≈ uniform; bursty content words concentrate.
+    Feeds stopword-list induction and BM25 parameter sanity checks.
+
+    Exactness: burst_milli is one truncating div of exact counts; top-k
+    carries the (cf DESC, token) unique tie-break.
+
+    Scale: cf and df come from ONE map-side-combinable groupBy over the
+    per-doc-deduped and raw token explodes; top-k is a
+    TakeOrderedAndProject."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    ts = F.split(F.col("text"), " ")
+    toks = docs.select("doc_id", F.explode(ts).alias("tok"))
+    stats = toks.groupBy("tok").agg(
+        F.count("*").alias("cf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    return (
+        stats.select(
+            "tok",
+            F.col("cf").cast("bigint").alias("cf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.expr("CAST((1000 * cf) div df AS BIGINT)").alias("burst_milli"),
+        )
+        .orderBy(F.col("cf").desc(), F.col("tok"))
+        .limit(BURST_TOP_K)
+    )
+
+
+ORACLE_BURSTINESS = f"""
+WITH bu_toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       unnest(ts) AS u(tok)
+), bu_stats AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM bu_toks GROUP BY 1
+)
+SELECT tok, cf, df, CAST((1000 * cf) // df AS BIGINT) AS burst_milli
+FROM bu_stats
+ORDER BY cf DESC, tok
+LIMIT {BURST_TOP_K}
+"""
+
+
+QUERIES["text_burstiness"] = (text_burstiness, ORACLE_BURSTINESS)

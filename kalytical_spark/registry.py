@@ -90,6 +90,7 @@ def _load_optional():
         "weaklabel",
         "pairscore",
         "corpusdiag",
+        "embgraph",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))

@@ -58,3 +58,32 @@ def test_langid_confusion_algebra(spark):
         # no duplicate (lang, predicted) cells
         preds = [c.predicted_lang for c in cells]
         assert len(preds) == len(set(preds))
+
+
+def test_burstiness_bounds(spark):
+    rows = corpusdiag.text_burstiness(spark, SF_ORACLE).collect()
+    assert 0 < len(rows) <= corpusdiag.BURST_TOP_K
+    cfs = [(r.cf, r.tok) for r in rows]
+    assert cfs == sorted(cfs, key=lambda x: (-x[0], x[1]))
+    for r in rows:
+        # cf >= df always (a doc contributes at least one occurrence)
+        assert r.cf >= r.df > 0
+        assert r.burst_milli == (1000 * r.cf) // r.df
+        assert r.burst_milli >= 1000
+
+
+def test_knn_graph_degree_histogram(spark):
+    from kalytical_spark.operators import embgraph
+
+    rows = embgraph.emb_knn_graph_stats(spark, SF_ORACLE).collect()
+    assert rows
+    # degrees live in [0, K]; histogram covers exactly the sample
+    assert all(0 <= r.mutual_degree <= embgraph.KNN_K for r in rows)
+    assert sum(r.n_nodes for r in rows) == min(
+        embgraph.KNN_SAMPLE,
+        t(spark, SF_ORACLE, "embeddings").count(),
+    )
+    degs = [r.mutual_degree for r in rows]
+    assert len(degs) == len(set(degs))
+    # mutual edges exist at all on a clustered synthetic space
+    assert any(r.mutual_degree > 0 and r.n_nodes > 0 for r in rows)
