@@ -118,6 +118,8 @@ def headline_queries() -> dict[str, object]:
         "dedup_setsim_prefix",      # prefix postings + array_intersect verify
         "sim_maxsim_topk",          # flat codegen MaxSim: no Python eval node
         "text_maxscore_topk",       # essential-posting prune: bounded dims only
+        "text_stupid_backoff",      # three shuffle_hash model joins (never broadcast)
+        "graph_link_prediction",    # wedge join + anti-join + TakeOrderedAndProject
     ]
     return {n: qs[n][0] for n in names if n in qs}
 
