@@ -480,3 +480,148 @@ def holt_trend_stream(events_stream: DataFrame, watermark: str = "0 seconds") ->
             timeMode="EventTime",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming PSI drift monitor: the production shape of operators/drift.py —
+# a FIXED reference mix (fit from history, shipped with the monitor) and a
+# stream that closes each day with its Population Stability Index.
+
+PSI_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("day", T.TimestampType()),
+        T.StructField("n_day", T.LongType()),
+        T.StructField("n_unknown", T.LongType()),
+        T.StructField("psi_micro", T.LongType()),
+        T.StructField("drift_flag", T.BooleanType()),
+    ]
+)
+
+_PSI_MAP_KEY = T.StructType([T.StructField("event_type", T.StringType())])
+_PSI_MAP_VAL = T.StructType([T.StructField("c", T.LongType())])
+_PSI_UNK = T.StructType([T.StructField("c", T.LongType())])
+
+PSI_FLAG_MICRO = 200_000  # the conventional >0.2 "investigate" bar
+
+
+def psi_micro_from_counts(
+    day_counts: dict[str, int], ref_counts: dict[str, int]
+) -> tuple[int, int]:
+    """(n_day, psi_micro) of one day's type counts against the reference,
+    with the EXACT arithmetic of operators/drift.py: Laplace +1 over the
+    reference type universe, one ln per cell quantized to micro-nats, the
+    (p - q) factor applied as one multiply-divide of exact integer
+    products, rounded per term, then summed as ints. Types outside the
+    reference are the caller's n_unknown — a reference fit from history
+    covers the universe by construction, so unknowns are themselves a
+    drift signal, reported rather than folded in."""
+    import math
+
+    t_types = len(ref_counts)
+    n_all = sum(ref_counts.values())
+    n_d = sum(day_counts.get(ty, 0) for ty in ref_counts)
+    psi = 0
+    for ty, c_t in ref_counts.items():
+        c = day_counts.get(ty, 0)
+        lr = round(
+            math.log(((c + 1) * (n_all + t_types)) / ((c_t + 1) * (n_d + t_types)))
+            * 1e6
+        )
+        num = (c + 1) * (n_all + t_types) - (c_t + 1) * (n_d + t_types)
+        den = (n_d + t_types) * (n_all + t_types)
+        psi += round(lr * (num / den))
+    return n_d, psi
+
+
+class PsiDriftProcessor(StatefulProcessor):
+    """Keyed by DAY: accumulate the day's per-type counts in a MapState
+    (bounded by the type dimension, independent of event volume), plus an
+    unknown-type counter; the event-time timer at day's end — watermark-
+    fired, exactly the Holt convention — closes the day, emits its PSI
+    against the fixed reference mix, and CLEARS the state, so live state
+    is only the days still inside the watermark horizon.
+
+    The reference (type -> count) is fit batch-side (e.g. last month's
+    accepted mix) and travels with the processor — the standard
+    deployment: monitors compare against a frozen baseline, not against a
+    moving self-distribution."""
+
+    def __init__(self, ref_counts: dict[str, int]) -> None:
+        self._ref = dict(sorted(ref_counts.items()))
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._counts = handle.getMapState("counts", _PSI_MAP_KEY, _PSI_MAP_VAL)
+        self._unk = handle.getValueState("unk", _PSI_UNK)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        batch: dict[str, int] = {}
+        n = 0
+        for pdf in rows:
+            for ty, c in pdf["event_type"].value_counts().items():
+                batch[str(ty)] = batch.get(str(ty), 0) + int(c)
+                n += int(c)
+        if not n:
+            return iter(())
+        unk = self._unk.get()[0] if self._unk.exists() else 0
+        for ty, c in batch.items():
+            if ty in self._ref:
+                prev = (
+                    self._counts.getValue((ty,))[0]
+                    if self._counts.containsKey((ty,))
+                    else 0
+                )
+                self._counts.updateValue((ty,), (prev + c,))
+            else:
+                unk += c
+        self._unk.update((unk,))
+        day_ms = int(pd.Timestamp(key[0]).value // 1_000_000)
+        self._handle.registerTimer(day_ms + DAY_MS)
+        return iter(())
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator[pd.DataFrame]:
+        day_counts = {k[0]: v[0] for k, v in self._counts.iterator()}
+        unk = self._unk.get()[0] if self._unk.exists() else 0
+        if not day_counts and not unk:
+            return
+        n_d, psi = psi_micro_from_counts(day_counts, self._ref)
+        self._counts.clear()
+        self._unk.clear()
+        yield pd.DataFrame(
+            [
+                {
+                    "day": pd.Timestamp(key[0]),
+                    "n_day": n_d,
+                    "n_unknown": unk,
+                    "psi_micro": psi,
+                    "drift_flag": psi > PSI_FLAG_MICRO,
+                }
+            ]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def psi_drift_stream(
+    events_stream: DataFrame,
+    ref_counts: dict[str, int],
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Wire the PSI monitor: needs (event_type, ts); keys by the truncated
+    day so batch and stream share one day definition."""
+    from pyspark.sql import functions as F
+
+    return (
+        events_stream.select(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .withWatermark("day", watermark)
+        .groupBy("day")
+        .transformWithStateInPandas(
+            statefulProcessor=PsiDriftProcessor(ref_counts),
+            outputStructType=PSI_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )

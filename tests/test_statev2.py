@@ -727,3 +727,101 @@ def test_holt_stream_matches_batch(spark):
     for et, (day, l, b, fc) in batch_last.items():
         gday, gl, gb, gfc = got[et]
         assert (gday, gl, gb, gfc) == (day, l, b, fc), et
+
+
+# ---------------------------------------------------------------------------
+# PsiDriftProcessor: streaming PSI vs a frozen reference mix
+
+
+def test_psi_drift_stream_matches_batch(spark):
+    """End-to-end through the real state server: per-day PSI emitted by
+    the watermark-closed MapState monitor must equal an INDEPENDENT batch
+    recomputation (its own arithmetic, not the processor's helper) of the
+    same Laplace-smoothed micro-nat PSI against the same frozen
+    reference."""
+    import math
+
+    catalog.register(spark, SF_SMALL)
+    ev = spark.table("events_ms").select("event_type", "ts")
+    events = [(r.event_type, r.ts) for r in ev.collect()]
+
+    # frozen reference = the full corpus mix (fit "from history")
+    ref: dict = {}
+    for et, _t in events:
+        ref[et] = ref.get(et, 0) + 1
+
+    # independent batch PSI per day
+    by_day: dict = {}
+    for et, ts in events:
+        d = pd.Timestamp(ts).normalize()
+        by_day.setdefault(d, {})
+        by_day[d][et] = by_day[d].get(et, 0) + 1
+    T_ = len(ref)
+    N = sum(ref.values())
+    expect = {}
+    for d, counts in by_day.items():
+        nd = sum(counts.values())
+        psi = 0
+        for ty in ref:
+            c, ct = counts.get(ty, 0), ref[ty]
+            lr = round(math.log(((c + 1) * (N + T_)) / ((ct + 1) * (nd + T_))) * 1e6)
+            num = (c + 1) * (N + T_) - (ct + 1) * (nd + T_)
+            psi += round(lr * (num / ((nd + T_) * (N + T_))))
+        expect[d] = (nd, psi)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events")
+        os.makedirs(src)
+        ordered = sorted(events, key=lambda e: (e[1], e[0]))
+        third = max(1, len(ordered) // 3)
+        chunks = [ordered[:third], ordered[third : 2 * third], ordered[2 * third :]]
+        sentinel_t = max(t for _, t in events) + pd.Timedelta(days=365)
+        chunks.append([("__sentinel__", sentinel_t)])
+        for i, ch in enumerate(chunks):
+            pdf = spark.createDataFrame(
+                pd.DataFrame(
+                    {"event_type": [et for et, _ in ch], "ts": [t for _, t in ch]}
+                ),
+                schema=ev.schema,
+            )
+            pdf.coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "b*"))
+        )
+        q = (
+            statev2.psi_drift_stream(stream, ref)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("psi_e2e")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(180)
+        finally:
+            q.stop()
+        rows = spark.sql("SELECT * FROM psi_e2e").collect()
+    if prev is not None:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    got = {
+        pd.Timestamp(r.day): (r.n_day, r.psi_micro, r.n_unknown, r.drift_flag)
+        for r in rows
+    }
+    # every real day closed by the sentinel watermark must match the batch
+    assert set(got) == set(expect) and expect
+    for d, (nd, psi) in expect.items():
+        gnd, gpsi, gunk, gflag = got[d]
+        assert (gnd, gpsi) == (nd, psi), d
+        assert gunk == 0  # reference covers the corpus types
+        assert gflag == (psi > statev2.PSI_FLAG_MICRO)
