@@ -80,50 +80,75 @@ def text_bleu_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pdocs = docs.join(F.broadcast(pair_ids), "doc_id", "leftsemi")
 
-    def clip(n: int, out: str) -> DataFrame:
-        grams = _doc_grams(pdocs, n)
-        ga = grams.select(
-            F.col("doc_id").alias("doc_a"), "gram", F.col("c").alias("ca")
+    # ONE fused gram pass for both orders: explode struct(n, gram) rows
+    # for unigrams and bigrams together, count once, and run ONE clip join
+    # keyed on (gram, n). The first cut ran a separate explode/agg/join
+    # chain per order and its wall was pure stage overhead (the pair-doc
+    # frames are kilobytes) — fusing halves the stage count.
+    ts = F.split(F.col("text"), " ")
+    both = F.concat(
+        F.transform(ts, lambda x: F.struct(F.lit(1).alias("n"), x.alias("gram"))),
+        F.zip_with(
+            F.slice(ts, 1, F.greatest(F.size(ts) - 1, F.lit(0))),
+            F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))),
+            lambda a, b: F.struct(
+                F.lit(2).alias("n"), F.concat_ws(" ", a, b).alias("gram")
+            ),
+        ),
+    )
+    counts = (
+        pdocs.select("doc_id", F.explode(both).alias("g"))
+        .groupBy("doc_id", "g.n", "g.gram")
+        .agg(F.count("*").alias("c"))
+    )
+    tots = counts.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("n") == 1, F.col("c"))).alias("n1"),
+        F.sum(F.when(F.col("n") == 2, F.col("c"))).alias("n2"),
+    )
+    ca = counts.select(
+        F.col("doc_id").alias("doc_a"), "n", "gram", F.col("c").alias("ca")
+    )
+    cb = counts.select(
+        F.col("doc_id").alias("doc_b"), "n", "gram", F.col("c").alias("cb")
+    )
+    clipped = (
+        pairs.join(ca, "doc_a")
+        .join(cb, ["doc_b", "n", "gram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.when(F.col("n") == 1, F.least("ca", "cb"))).alias("clip1"),
+            F.sum(F.when(F.col("n") == 2, F.least("ca", "cb"))).alias("clip2"),
         )
-        gb = grams.select(
-            F.col("doc_id").alias("doc_b"), "gram", F.col("c").alias("cb")
-        )
-        tot_b = grams.groupBy("doc_id").agg(F.sum("c").alias(f"n{n}_b"))
-        clipped = (
-            pairs.join(ga, "doc_a")
-            .join(gb, ["doc_b", "gram"])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.sum(F.least("ca", "cb")).alias("clip"))
-        )
-        return (
-            pairs.join(clipped, ["doc_a", "doc_b"], "left")
-            .join(tot_b.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-            .select(
-                "doc_a",
-                "doc_b",
-                F.col(f"n{n}_b"),
-                F.expr(f"CAST((1000000 * coalesce(clip, 0)) div n{n}_b AS BIGINT)").alias(
-                    out
-                ),
-            )
-        )
-
-    p1 = clip(1, "p1_micro")
-    p2 = clip(2, "p2_micro")
-    len_a = _doc_grams(pdocs, 1).groupBy("doc_id").agg(F.sum("c").alias("n1_a"))
+    )
     return (
-        p1.join(p2, ["doc_a", "doc_b"])
-        .join(len_a.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        pairs.join(clipped, ["doc_a", "doc_b"], "left")
+        .join(
+            tots.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n1").alias("n1_b"),
+                F.col("n2").alias("n2_b"),
+            ),
+            "doc_b",
+        )
+        .join(
+            tots.select(F.col("doc_id").alias("doc_a"), F.col("n1").alias("n1_a")),
+            "doc_a",
+        )
         .select(
             "doc_a",
             "doc_b",
-            "n1_a",
-            "n1_b",
-            "p1_micro",
-            "p2_micro",
+            F.col("n1_a").cast("bigint").alias("n1_a"),
+            F.col("n1_b").cast("bigint").alias("n1_b"),
+            F.expr(
+                "CAST((1000000 * coalesce(clip1, 0)) div n1_b AS BIGINT)"
+            ).alias("p1_micro"),
+            F.expr(
+                "CAST((1000000 * coalesce(clip2, 0)) div n2_b AS BIGINT)"
+            ).alias("p2_micro"),
             F.expr("CAST((1000 * n1_b) div n1_a AS BIGINT)").alias("len_ratio_milli"),
             F.expr(
-                "ROUND(SQRT(CAST(p1_micro * p2_micro AS DOUBLE)) / 1e6, 4)"
+                "ROUND(SQRT(CAST(((1000000 * coalesce(clip1, 0)) div n1_b)"
+                " * ((1000000 * coalesce(clip2, 0)) div n2_b) AS DOUBLE)) / 1e6, 4)"
             ).alias("bleu2"),
         )
     )
