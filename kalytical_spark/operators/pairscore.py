@@ -280,3 +280,102 @@ QUERIES: dict[str, tuple] = {
     "text_bleu_near_pairs": (text_bleu_near_pairs, _bleu_oracle()),
     "dedup_threshold_sweep": (dedup_threshold_sweep, _sweep_oracle()),
 }
+
+
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration on the verified pairs: per near-dup
+    pair, how many of the 16 minhashes agree (the sketch's Jaccard
+    estimate, E[matches/16] = J) next to the EXACT verified Jaccard, with
+    the signed estimation error in milli. The table every sketch-based
+    dedup deployment builds once to decide whether 16 hashes are enough
+    at its threshold — systematic bias here means the banding math is
+    wrong, spread is the expected binomial noise.
+
+    Exactness: n_match is a sum of 16 string-equality indicators (the
+    fixed-width hex slices compare identically in both engines);
+    est_milli is one truncating div; the exact Jaccard is the pair
+    miner's own rounded output, re-derived by the oracle from shingle
+    sets.
+
+    Scale: two broadcast joins of the signature table against the
+    pair-bounded frame; signatures come off the CACHED shingle table
+    (one groupBy, the mine already paid it)."""
+    from .dedup import _minhash_aggs, _minhash_slice_cols, signature_tables
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)  # (doc_a, doc_b, jaccard)
+    sh, _long = signature_tables(spark, sf_dir)
+    sig = (
+        sh.select("doc_id", *_minhash_slice_cols())
+        .groupBy("doc_id")
+        .agg(*_minhash_aggs())
+    )
+    from .dedup import N_MINHASH
+
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MINHASH)],
+    )
+    match_expr = " + ".join(
+        f"CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH)
+    )
+    return (
+        pairs.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(f"CAST({match_expr} AS BIGINT)").alias("n_match"),
+            F.expr(
+                f"CAST((1000 * ({match_expr})) div {N_MINHASH} AS BIGINT)"
+            ).alias("est_milli"),
+            "jaccard",
+            F.expr(
+                f"CAST((1000 * ({match_expr})) div {N_MINHASH}"
+                " - CAST(ROUND(jaccard * 1000) AS BIGINT) AS BIGINT)"
+            ).alias("err_milli"),
+        )
+    )
+
+
+def _calibration_oracle() -> str:
+    from .dedup import LSH_VERIFY_THRESHOLD as _THR
+    from .dedup import N_MINHASH, _SLICES_PER_MD5
+
+    mh = ",\n         ".join(
+        f"MIN(substring(md5('s{i // _SLICES_PER_MD5}:' || shingle), "
+        f"{8 * (i % _SLICES_PER_MD5) + 1}, 8)) AS mh{i}"
+        for i in range(N_MINHASH)
+    )
+    match = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+        for i in range(N_MINHASH)
+    )
+    return f"""
+WITH {_sql_minhash_lsh_ctes()},
+cal_pairs AS (
+  SELECT doc_a, doc_b, jaccard FROM lsh_pairs WHERE jaccard >= {_THR}
+), cal_sig AS (
+  SELECT doc_id,
+         {mh}
+  FROM sh GROUP BY doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST({match} AS BIGINT) AS n_match,
+       CAST((1000 * ({match})) // {N_MINHASH} AS BIGINT) AS est_milli,
+       p.jaccard,
+       CAST((1000 * ({match})) // {N_MINHASH}
+            - CAST(ROUND(p.jaccard * 1000) AS BIGINT) AS BIGINT) AS err_milli
+FROM cal_pairs p
+JOIN cal_sig sa ON sa.doc_id = p.doc_a
+JOIN cal_sig sb ON sb.doc_id = p.doc_b
+"""
+
+
+QUERIES["dedup_minhash_calibration"] = (
+    dedup_minhash_calibration,
+    _calibration_oracle(),
+)

@@ -40,3 +40,23 @@ def test_threshold_sweep_monotone(spark):
     assert rows[0].n_pairs == n_all
     for r in rows:
         assert r.docs_touched <= 2 * r.n_pairs
+
+
+def test_minhash_calibration_bounds(spark):
+    rows = pairscore.dedup_minhash_calibration(spark, SF_ORACLE).collect()
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_minhash_lsh(spark, SF_ORACLE).collect()
+    }
+    assert {(r.doc_a, r.doc_b) for r in rows} == set(pairs)
+    for r in rows:
+        assert 0 <= r.n_match <= 16
+        assert r.est_milli == (1000 * r.n_match) // 16
+        # +-1: Python round() is banker's, the engines' ROUND is half-away
+        assert abs(r.err_milli - (r.est_milli - round(r.jaccard * 1000))) <= 1
+        # banded at 8 bands of 2: a verified pair matched at least one band,
+        # so at least 2 minhashes agree
+        assert r.n_match >= 2
+    # estimator sanity on high-Jaccard pairs: mean estimate not wildly off
+    mean_err = sum(r.err_milli for r in rows) / len(rows)
+    assert abs(mean_err) < 300
