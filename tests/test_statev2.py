@@ -825,3 +825,94 @@ def test_psi_drift_stream_matches_batch(spark):
         assert (gnd, gpsi) == (nd, psi), d
         assert gunk == 0  # reference covers the corpus types
         assert gflag == (psi > statev2.PSI_FLAG_MICRO)
+
+
+class _FakeMapState:
+    def __init__(self):
+        self._m: dict = {}
+
+    def exists(self) -> bool:
+        return bool(self._m)
+
+    def containsKey(self, k) -> bool:
+        return tuple(k) in self._m
+
+    def getValue(self, k):
+        return self._m[tuple(k)]
+
+    def updateValue(self, k, v) -> None:
+        self._m[tuple(k)] = tuple(v)
+
+    def iterator(self):
+        return iter(list(self._m.items()))
+
+    def clear(self) -> None:
+        self._m.clear()
+
+
+class _FakePsiHandle(_FakeHandle):
+    def __init__(self):
+        super().__init__()
+        self.maps: dict[str, _FakeMapState] = {}
+        self.timers: set[int] = set()
+
+    def getMapState(self, name, key_schema, value_schema, ttl_duration_ms=None):
+        return self.maps.setdefault(name, _FakeMapState())
+
+    def registerTimer(self, expiry_ms: int) -> None:
+        self.timers.add(expiry_ms)
+
+    def deleteTimer(self, expiry_ms: int) -> None:
+        self.timers.discard(expiry_ms)
+
+
+def test_psi_processor_split_invariant():
+    """Drive PsiDriftProcessor through the fake handle across DIFFERENT
+    micro-batch split points: the day-close emission must be identical
+    and equal the helper applied to the total counts (state accumulation
+    is order- and split-free)."""
+    ref = {"click": 60, "view": 30, "purchase": 10}
+    day = pd.Timestamp("2026-01-05")
+    rows = (
+        [("click", day)] * 7
+        + [("view", day)] * 5
+        + [("purchase", day)] * 2
+        + [("mystery", day)] * 3
+    )
+
+    def run(splits):
+        proc = statev2.PsiDriftProcessor(ref)
+        proc.init(_FakePsiHandle())
+        prev = 0
+        for s in [*splits, len(rows)]:
+            if s <= prev:
+                continue
+            ch = rows[prev:s]
+            prev = s
+            pdf = pd.DataFrame({"event_type": [t for t, _ in ch]})
+            list(proc.handleInputRows((day,), iter([pdf]), None))
+        out = list(proc.handleExpiredTimer((day,), None, None))
+        assert len(out) == 1
+        r = out[0].iloc[0]
+        return (
+            int(r["n_day"]),
+            int(r["n_unknown"]),
+            int(r["psi_micro"]),
+            bool(r["drift_flag"]),
+        )
+
+    a = run([4, 9])
+    b = run([1, 2, 3, 10])
+    c = run([])
+    assert a == b == c
+    n_d, psi = statev2.psi_micro_from_counts(
+        {"click": 7, "view": 5, "purchase": 2}, ref
+    )
+    assert a == (n_d, 3, psi, psi > statev2.PSI_FLAG_MICRO)
+    # a second close after the state cleared emits nothing
+    proc = statev2.PsiDriftProcessor(ref)
+    proc.init(_FakePsiHandle())
+    pdf = pd.DataFrame({"event_type": ["click"]})
+    list(proc.handleInputRows((day,), iter([pdf]), None))
+    assert len(list(proc.handleExpiredTimer((day,), None, None))) == 1
+    assert list(proc.handleExpiredTimer((day,), None, None)) == []
