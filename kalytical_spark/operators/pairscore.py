@@ -304,8 +304,18 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = dedup_minhash_lsh(spark, sf_dir)  # (doc_a, doc_b, jaccard)
     sh, _long = signature_tables(spark, sf_dir)
+    # prune shingles to PAIR DOCS before the 16-min aggregate: calibration
+    # is a pair diagnostic, so its signature rebuild must be pair-bounded,
+    # not corpus-bounded (unpruned, the rebuild re-paid the full corpus
+    # signature pass — measured 50s at the k10 sweep point vs ~2s pruned)
+    pair_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
     sig = (
-        sh.select("doc_id", *_minhash_slice_cols())
+        sh.join(F.broadcast(pair_ids), "doc_id", "leftsemi")
+        .select("doc_id", *_minhash_slice_cols())
         .groupBy("doc_id")
         .agg(*_minhash_aggs())
     )

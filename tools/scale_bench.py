@@ -117,6 +117,23 @@ def _textdedup_chain():
     ]
 
 
+def _neardupeval_chain():
+    """The r6 pair-eval tier (BLEU-2, threshold sweep, MinHash
+    calibration): all three consume the verified pair set, so their wall
+    must track PAIR COUNT (linear under disjoint-vocabulary replication),
+    not corpus size — the ``count:`` column records the pair mass the
+    evals are bounded by."""
+    from kalytical_spark.operators import dedup, pairscore
+
+    return [
+        ("memo:lsh_signatures", lambda s, d: dedup.signature_tables(s, d)[1]),
+        ("count:verified_pairs", dedup.dedup_minhash_lsh),
+        ("text_bleu_near_pairs", pairscore.text_bleu_near_pairs),
+        ("dedup_threshold_sweep", pairscore.dedup_threshold_sweep),
+        ("dedup_minhash_calibration", pairscore.dedup_minhash_calibration),
+    ]
+
+
 def _facts_chain():
     from kalytical_spark.operators import basket, quantiles, relational, warehouse
 
@@ -136,6 +153,7 @@ CHAINS = {
     "facts": _facts_chain,
     "emb": _emb_chain,
     "textdedup": _textdedup_chain,
+    "neardupeval": _neardupeval_chain,
 }
 
 
@@ -217,6 +235,7 @@ _SCALED_TABLE = {
     "facts": "lineitem.parquet",
     "emb": "embeddings.parquet",
     "textdedup": "documents.parquet",
+    "neardupeval": "documents.parquet",
 }
 _REPLICATE = {
     "docs": _replicate_docs,
@@ -227,6 +246,8 @@ _REPLICATE = {
     # preserved exactly k times over, so candidate mass SHOULD scale
     # linearly — the recorded count column shows whether it does
     "textdedup": _replicate_docs,
+    # pair-eval tier rides the same replication (pairs scale linearly)
+    "neardupeval": _replicate_docs,
 }
 
 
