@@ -120,6 +120,7 @@ def headline_queries() -> dict[str, object]:
         "text_maxscore_topk",       # essential-posting prune: bounded dims only
         "text_stupid_backoff",      # three shuffle_hash model joins (never broadcast)
         "graph_link_prediction",    # wedge join + anti-join + TakeOrderedAndProject
+        "dedup_minhash_calibration",  # pair-bounded signature rebuild (semi-join prune)
     ]
     return {n: qs[n][0] for n in names if n in qs}
 
