@@ -977,3 +977,101 @@ QUERIES.update(
         "events_srm_check": (events_srm_check, ORACLE_SRM),
     }
 )
+
+
+# two-sided alpha=0.05 and power=0.80 normal quantiles, micro-units — fixed
+# literals like the chi-square critical value (no erf in either engine)
+Z_ALPHA_HALF_MICRO = 1_959_964
+Z_POWER_MICRO = 841_621
+
+
+def events_abtest_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B power analysis — the sizing table read BEFORE launching an
+    experiment on this traffic: per treatment arm (vs the md5 arm-0
+    baseline shared with events_srm_check / events_offpolicy_ips), the
+    minimum detectable effect on purchase value at alpha=0.05 two-sided
+    and 80% power, MDE = (z_{a/2} + z_b) * sqrt(var_0/n_0 + var_a/n_a),
+    with the per-arm moments next to it. Completes the experimentation
+    family: SRM validates the split, CUPED shrinks the variance, this
+    query says what the experiment can SEE, and IPS/SNIPS read it out.
+
+    Determinism: per-arm n / sum / sum-of-squares are EXACT (cents in
+    BIGINT; the square sum rides DECIMAL(38,0), DuckDB's HUGEINT twin, so
+    1e9-row arms can't wrap); the variance, the one sqrt, and the z
+    multiply are a single identically-spelled double expression in both
+    engines, rounded once to 2 decimals. The z quantiles are shared
+    literals — no erf anywhere.
+
+    Scale: one map-side-combinable groupBy(arm) over the purchase rows;
+    everything after is a 4-row frame."""
+    ev = t(spark, sf_dir, "events_ms").filter(F.col("event_type") == "purchase")
+    k = OPE_ARMS
+    arms = (
+        ev.select(
+            F.expr(
+                f"CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+                f" % {k}"
+            ).alias("arm"),
+            (F.col("value").cast("decimal(12,4)") * 100).cast("bigint").alias("v"),
+        )
+        .groupBy("arm")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("v").cast("decimal(38,0)").alias("s"),
+            F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * v")).alias("s2"),
+        )
+    )
+    base = arms.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_0"), F.col("s").alias("s_0"), F.col("s2").alias("s2_0")
+    )
+    return (
+        arms.filter(F.col("arm") != 0)
+        .crossJoin(F.broadcast(base))
+        .select(
+            "arm",
+            "n_0",
+            "n",
+            F.expr(
+                f"ROUND(({Z_ALPHA_HALF_MICRO} + {Z_POWER_MICRO}) / 1e6 * SQRT("
+                "  ((CAST(n_0 AS DOUBLE) * CAST(s2_0 AS DOUBLE)"
+                "    - CAST(s_0 AS DOUBLE) * CAST(s_0 AS DOUBLE))"
+                "   / (CAST(n_0 AS DOUBLE) * (CAST(n_0 AS DOUBLE) - 1))) / n_0"
+                "  + ((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)"
+                "    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+                "   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) / n"
+                "), 2)"
+            ).alias("mde_cents"),
+            F.expr("ROUND(CAST(s_0 AS DOUBLE) / n_0, 2)").alias("mean0_cents"),
+        )
+    )
+
+
+ORACLE_ABTEST_POWER = f"""
+WITH pw_arms AS (
+  SELECT CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % {OPE_ARMS} AS arm,
+         CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT) AS v
+  FROM events_ms WHERE event_type = 'purchase'
+), pw_m AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(v) AS s, SUM(CAST(v AS HUGEINT) * v) AS s2
+  FROM pw_arms GROUP BY 1
+), pw_base AS (
+  SELECT n AS n_0, s AS s_0, s2 AS s2_0 FROM pw_m WHERE arm = 0
+)
+SELECT a.arm, b.n_0, a.n,
+       ROUND(({Z_ALPHA_HALF_MICRO} + {Z_POWER_MICRO}) / 1e6 * SQRT(
+         ((CAST(b.n_0 AS DOUBLE) * CAST(b.s2_0 AS DOUBLE)
+           - CAST(b.s_0 AS DOUBLE) * CAST(b.s_0 AS DOUBLE))
+          / (CAST(b.n_0 AS DOUBLE) * (CAST(b.n_0 AS DOUBLE) - 1))) / b.n_0
+         + ((CAST(a.n AS DOUBLE) * CAST(a.s2 AS DOUBLE)
+           - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE))
+          / (CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1))) / a.n
+       ), 2) AS mde_cents,
+       ROUND(CAST(b.s_0 AS DOUBLE) / b.n_0, 2) AS mean0_cents
+FROM pw_m a CROSS JOIN pw_base b
+WHERE a.arm != 0
+"""
+
+
+QUERIES["events_abtest_power"] = (events_abtest_power, ORACLE_ABTEST_POWER)

@@ -68,3 +68,21 @@ def test_bootstrap_ci_brackets_point(spark):
     assert r.ci_lo_milli <= r.ci_hi_milli
     assert r.ci_lo_milli <= r.point_milli <= r.ci_hi_milli
     assert r.ci_lo_milli < r.ci_hi_milli, "CI should have nonzero width"
+
+
+def test_abtest_power_invariants(spark):
+    from kalytical_spark.operators import stats as st
+
+    rows = {r.arm: r for r in st.events_abtest_power(spark, SF_ORACLE).collect()}
+    # every non-baseline arm materialized on this fixture
+    assert set(rows) == set(range(1, st.OPE_ARMS))
+    for r in rows.values():
+        assert r.n > 1 and r.n_0 > 1
+        assert r.mde_cents > 0
+        assert r.mean0_cents > 0
+        # sanity: with thousands of rows per arm the MDE is a small
+        # fraction of the baseline mean, not a multiple of it
+        assert r.mde_cents < r.mean0_cents
+    # uniform md5 arms: sizes within 25% of each other
+    ns = [r.n for r in rows.values()]
+    assert max(ns) < 1.25 * min(ns)
