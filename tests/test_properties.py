@@ -232,3 +232,44 @@ def test_ntile_closed_form_matches_spark(spark, n, k):
     ).collect()
     for r in got:
         assert r.closed == r.direct, (n, r.rank)
+
+
+# ---------------------------------------------------------------------------
+# PSI micro-nat helper (streaming/statev2.psi_micro_from_counts): the pure
+# fold the streaming monitor and its e2e test share
+
+
+_psi_counts = st.dictionaries(
+    st.sampled_from(["a", "b", "c", "d"]),
+    st.integers(min_value=0, max_value=10_000),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(day=_psi_counts, ref=_psi_counts)
+@settings(max_examples=200, deadline=None)
+def test_psi_nonnegative_and_scale_free(day, ref):
+    from kalytical_spark.streaming.statev2 import psi_micro_from_counts
+
+    n_d, psi = psi_micro_from_counts(day, ref)
+    assert n_d == sum(day.get(t, 0) for t in ref)
+    # PSI is a sum of (p-q)ln(p/q) >= 0 terms; per-cell rounding can shave
+    # at most half a micro-nat each way
+    assert psi >= -len(ref)
+
+
+@given(ref=_psi_counts, k=st.integers(min_value=1, max_value=50))
+@settings(max_examples=100, deadline=None)
+def test_psi_zero_when_mix_matches(ref, k):
+    """A day whose counts are EXACTLY k x the reference mix has near-zero
+    PSI (not exactly zero: Laplace +1 shifts the two distributions by
+    different amounts at different totals, bounded by the smoothing)."""
+    from kalytical_spark.streaming.statev2 import psi_micro_from_counts
+
+    day = {t: k * c for t, c in ref.items()}
+    _n_d, psi = psi_micro_from_counts(day, ref)
+    n_all = sum(ref.values())
+    # smoothing distortion shrinks as counts grow; generous envelope
+    bound = len(ref) * 2_000_000 // max(1, min(n_all, sum(day.values())))
+    assert 0 - len(ref) <= psi <= max(bound, 4 * len(ref))
