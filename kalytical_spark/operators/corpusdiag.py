@@ -20,6 +20,10 @@ distinct-gram explode, one map-side-combinable min(doc_id) per gram
 (vocab-sized, shuffle_hash join back), one decile rollup; first-seen
 attribution via min is order-free and deterministic. The confusion
 matrix aggregates the router's per-doc argmax output — dimension-sized.
+
+Reference parity: no corpus-diagnostic surface exists in the reference
+(closest analog: the prefix/tag listing ``data_provider.py:39``);
+built for the mandated crawl-ingest decision tier.
 """
 
 from __future__ import annotations

@@ -20,6 +20,10 @@ exact micro product. Scale: the pair frame is the LSH miner's output
 (sub-quadratic, planted-dup-sized); both token-count joins prune to
 pair docs with a broadcast semi-join before shuffling anything, the
 dedup.py convention.
+
+Reference parity: the reference has no pairwise-text surface (no
+analytics code at all — it is a Mongo/K8s orchestrator); this tier
+exists for the mandated dedup-evaluation side of the LLM pipeline.
 """
 
 from __future__ import annotations

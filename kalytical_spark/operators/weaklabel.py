@@ -20,8 +20,12 @@ partition-local after one shuffle on doc_id).
 
 Scale: per-doc label computation is JVM expression work inside the scan;
 the long frame is 3 rows/doc and the pair frame 6 rows/doc — linear in
-the corpus with map-side-combinable final aggregates. The reference has
-no labeling surface; this family exists for the LLM-pipeline mandate.
+the corpus with map-side-combinable final aggregates.
+
+Reference parity: the reference has no labeling surface (its only
+per-record classification is the event-type decode in
+``mq_poller.py:33``); this family exists for the mandated
+LLM-training-data curation tier.
 """
 
 from __future__ import annotations
