@@ -155,3 +155,135 @@ FROM base
 QUERIES: dict[str, tuple] = {
     "users_rfm_segments": (users_rfm_segments, ORACLE_RFM),
 }
+
+
+WOE_BINS = 5
+
+
+def users_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value binning (the credit-scoring
+    standard for feature screening): quintile-bin users by PURCHASE
+    FREQUENCY, take "top half by exact summed spend" as the binary
+    outcome (a deterministic median split — both classes exist by
+    construction), and report per bin
+
+        woe_micro = round(1e6 * ln( ((n_pos+1)(N+K)) / ((n_neg+1)(P+K)) ))
+        iv_term_micro ≈ (pos_share - neg_share) * woe
+
+    with Laplace +1 smoothing (the drift.py PSI spelling — WOE is PSI's
+    per-bin log-ratio with the two distributions being "positives over
+    bins" vs "negatives over bins"; IV is exactly the symmetric PSI sum).
+    A frequency feature that cleanly separates spenders shows monotone
+    WOE and IV >> 0.02; flat WOE kills the feature before a model ever
+    sees it.
+
+    Determinism: bins are the exact NTILE(K) closed form over the
+    digit-decomposed global rank (the RFM machinery — no unpartitioned
+    window); the outcome median split is rank*2 > n, exact; one ln per
+    bin, (share-diff) applied as ONE multiply-divide of exact integer
+    products, rounded to BIGINT per bin.
+
+    Scale: everything after the per-user rollup is user-dimension-sized;
+    the two rank passes partition by digit class.
+
+    Reference parity: none (no scoring surface in the reference); built
+    for the warehouse/feature-engineering mandate."""
+    ev = t(spark, sf_dir, "events_ms").filter(F.col("event_type") == "purchase")
+    base = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum((F.col("value").cast("decimal(12,4)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    ).cache()
+    n_users = base.agg(F.count("*").cast("bigint").alias("n"))
+
+    spend_rank = _global_rank(
+        base.select("user_id", "monetary_cents"), "monetary_cents", False
+    )
+    outcome = (
+        spend_rank.crossJoin(F.broadcast(n_users))
+        .select(
+            "user_id",
+            (F.col("rank") * 2 > F.col("n")).cast("int").alias("pos"),
+        )
+    )
+    freq_bin = (
+        _global_rank(base.select("user_id", "frequency"), "frequency", False)
+        .crossJoin(F.broadcast(n_users))
+        .withColumn("bin", _ntile_expr(WOE_BINS))
+        .select("user_id", "bin")
+    )
+    bins = (
+        freq_bin.join(outcome, "user_id")
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            (F.count("*") - F.sum("pos")).cast("bigint").alias("n_neg"),
+        )
+    )
+    totals = bins.groupBy().agg(
+        F.sum("n_pos").cast("bigint").alias("p_tot"),
+        F.sum("n_neg").cast("bigint").alias("n_tot"),
+    )
+    k = WOE_BINS
+    return (
+        bins.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            "n_users",
+            "n_pos",
+            "n_neg",
+            F.expr(
+                f"CAST(ROUND(ln(CAST((n_pos + 1) * (n_tot + {k}) AS DOUBLE)"
+                f" / CAST((n_neg + 1) * (p_tot + {k}) AS DOUBLE)) * 1e6) AS BIGINT)"
+            ).alias("woe_micro"),
+            F.expr(
+                f"CAST(ROUND(CAST(ROUND(ln(CAST((n_pos + 1) * (n_tot + {k}) AS DOUBLE)"
+                f" / CAST((n_neg + 1) * (p_tot + {k}) AS DOUBLE)) * 1e6) AS BIGINT)"
+                f" * (CAST((n_pos + 1) * (n_tot + {k})"
+                f"      - (n_neg + 1) * (p_tot + {k}) AS DOUBLE)"
+                f"    / CAST((p_tot + {k}) * (n_tot + {k}) AS DOUBLE))) AS BIGINT)"
+            ).alias("iv_term_micro"),
+        )
+    )
+
+
+ORACLE_WOE = f"""
+WITH woe_purch AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM events_ms WHERE event_type = 'purchase' GROUP BY 1
+), woe_n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM woe_purch
+), woe_users AS (
+  SELECT user_id,
+         CASE WHEN ROW_NUMBER() OVER (ORDER BY monetary_cents, user_id) * 2
+                   > (SELECT n FROM woe_n) THEN 1 ELSE 0 END AS pos,
+         CAST(ntile({WOE_BINS}) OVER (ORDER BY frequency, user_id) AS INT) AS bin
+  FROM woe_purch
+), woe_bins AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg
+  FROM woe_users GROUP BY 1
+), woe_tot AS (
+  SELECT CAST(SUM(n_pos) AS BIGINT) AS p_tot, CAST(SUM(n_neg) AS BIGINT) AS n_tot
+  FROM woe_bins
+)
+SELECT b.bin, b.n_users, b.n_pos, b.n_neg,
+       CAST(ROUND(ln(CAST((b.n_pos + 1) * (t.n_tot + {WOE_BINS}) AS DOUBLE)
+            / CAST((b.n_neg + 1) * (t.p_tot + {WOE_BINS}) AS DOUBLE)) * 1e6)
+            AS BIGINT) AS woe_micro,
+       CAST(ROUND(CAST(ROUND(ln(CAST((b.n_pos + 1) * (t.n_tot + {WOE_BINS}) AS DOUBLE)
+            / CAST((b.n_neg + 1) * (t.p_tot + {WOE_BINS}) AS DOUBLE)) * 1e6) AS BIGINT)
+            * (CAST((b.n_pos + 1) * (t.n_tot + {WOE_BINS})
+                 - (b.n_neg + 1) * (t.p_tot + {WOE_BINS}) AS DOUBLE)
+               / CAST((t.p_tot + {WOE_BINS}) * (t.n_tot + {WOE_BINS}) AS DOUBLE)))
+            AS BIGINT) AS iv_term_micro
+FROM woe_bins b CROSS JOIN woe_tot t
+"""
+
+
+QUERIES["users_woe_binning"] = (users_woe_binning, ORACLE_WOE)

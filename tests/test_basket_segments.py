@@ -190,3 +190,27 @@ def test_rake_phrases_respect_stopword_boundaries(spark):
         assert not (set(words) & stop), (r.phrase, stop)
         assert 1 <= r.rk <= text_ops.RAKE_TOP_PHRASES
         assert r.score_milli > 0
+
+
+def test_woe_binning_identities(spark):
+    from kalytical_spark.operators import segments
+    from tests.conftest import SF_ORACLE
+
+    rows = sorted(
+        segments.users_woe_binning(spark, SF_ORACLE).collect(), key=lambda r: r.bin
+    )
+    assert [r.bin for r in rows] == list(range(1, segments.WOE_BINS + 1))
+    p_tot = sum(r.n_pos for r in rows)
+    n_tot = sum(r.n_neg for r in rows)
+    # exact median split: halves within one user of each other
+    assert abs(p_tot - n_tot) <= 1
+    for r in rows:
+        assert r.n_users == r.n_pos + r.n_neg
+        # IV terms are products of two same-signed factors — never negative
+        # beyond per-bin quantization
+        assert r.iv_term_micro >= -1
+    # frequency should separate spenders on this fixture: the top frequency
+    # bin must be positive-leaning vs the bottom bin
+    assert rows[-1].woe_micro > rows[0].woe_micro
+    # IV of a usable feature is comfortably positive
+    assert sum(r.iv_term_micro for r in rows) > 0
