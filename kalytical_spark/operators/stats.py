@@ -1075,3 +1075,114 @@ WHERE a.arm != 0
 
 
 QUERIES["events_abtest_power"] = (events_abtest_power, ORACLE_ABTEST_POWER)
+
+
+# SPRT literals: H0 p=0.180 vs H1 p=0.220 purchase share, alpha=beta=0.05.
+# Per-event log-likelihood contributions and the Wald boundaries, micro-nats
+# (fixed literals like the z quantiles — no transcendentals at runtime).
+SPRT_LL_SUCCESS_MICRO = 200_671   # ln(0.220/0.180)
+SPRT_LL_FAILURE_MICRO = -50_010   # ln(0.780/0.820)
+SPRT_BOUND_MICRO = 2_944_439      # ln((1-beta)/alpha) = ln(19)
+
+
+def events_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability-ratio test per experiment arm — the
+    early-stopping monitor that reads the experiment DAILY instead of
+    waiting for the fixed-horizon readout: the cumulative log-likelihood
+    ratio of H1 (purchase share 22.0%) vs H0 (18.0%) is a random walk
+    that adds a fixed micro-nat literal per success / per failure, and
+    the arm stops the day the walk exits the ±ln(19) Wald boundaries
+    (alpha = beta = 0.05). Completes the experimentation family's time
+    axis: SRM validates, power sizes, SPRT decides WHEN to stop.
+
+    Determinism: the walk is s·A + (n-s)·B with BIGINT counts and fixed
+    integer literals — exact at any scale; the cumulative sum runs in a
+    per-arm day-ordered window (bounded by the calendar, never
+    unpartitioned); first-crossing selection is an exact conditional MIN.
+
+    Scale: one map-side-combinable (arm, day) rollup collapses the log;
+    everything after is |arms| × |days| rows.
+
+    Reference parity: none (no experimentation surface in the reference);
+    the arm hash is events_srm_check's."""
+    ev = t(spark, sf_dir, "events_ms")
+    k = OPE_ARMS
+    daily = (
+        ev.select(
+            F.expr(
+                f"CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+                f" % {k}"
+            ).alias("arm"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            (F.col("event_type") == "purchase").cast("bigint").alias("s"),
+        )
+        .groupBy("arm", "day")
+        .agg(F.count("*").cast("bigint").alias("n"), F.sum("s").alias("s"))
+    )
+    w = W.partitionBy("arm").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    walk = daily.withColumn(
+        "llr_micro",
+        F.sum(
+            F.expr(
+                f"s * {SPRT_LL_SUCCESS_MICRO} + (n - s) * ({SPRT_LL_FAILURE_MICRO})"
+            )
+        ).over(w),
+    )
+    return walk.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.max("llr_micro").cast("bigint").alias("max_llr_micro"),
+        F.min("llr_micro").cast("bigint").alias("min_llr_micro"),
+        F.min(
+            F.when(F.col("llr_micro") >= SPRT_BOUND_MICRO, F.col("day"))
+        ).cast("date").alias("h1_cross_day"),
+        F.min(
+            F.when(F.col("llr_micro") <= -SPRT_BOUND_MICRO, F.col("day"))
+        ).cast("date").alias("h0_cross_day"),
+        F.expr(
+            f"CASE WHEN MIN(CASE WHEN llr_micro >= {SPRT_BOUND_MICRO} THEN day END)"
+            f"  IS NOT NULL AND (MIN(CASE WHEN llr_micro <= -{SPRT_BOUND_MICRO} THEN day END)"
+            f"  IS NULL OR MIN(CASE WHEN llr_micro >= {SPRT_BOUND_MICRO} THEN day END)"
+            f"   <= MIN(CASE WHEN llr_micro <= -{SPRT_BOUND_MICRO} THEN day END))"
+            f" THEN 'accept_h1'"
+            f" WHEN MIN(CASE WHEN llr_micro <= -{SPRT_BOUND_MICRO} THEN day END)"
+            f"  IS NOT NULL THEN 'accept_h0' ELSE 'continue' END"
+        ).alias("decision"),
+    )
+
+
+ORACLE_SPRT = f"""
+WITH sp_daily AS (
+  SELECT CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % {OPE_ARMS} AS arm,
+         date_trunc('day', ts) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS s
+  FROM events_ms GROUP BY 1, 2
+), sp_walk AS (
+  SELECT arm, day,
+         SUM(s * {SPRT_LL_SUCCESS_MICRO} + (n - s) * ({SPRT_LL_FAILURE_MICRO}))
+           OVER (PARTITION BY arm ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr_micro
+  FROM sp_daily
+)
+SELECT arm,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(MAX(llr_micro) AS BIGINT) AS max_llr_micro,
+       CAST(MIN(llr_micro) AS BIGINT) AS min_llr_micro,
+       CAST(MIN(CASE WHEN llr_micro >= {SPRT_BOUND_MICRO} THEN day END)
+            AS DATE) AS h1_cross_day,
+       CAST(MIN(CASE WHEN llr_micro <= -{SPRT_BOUND_MICRO} THEN day END)
+            AS DATE) AS h0_cross_day,
+       CASE WHEN MIN(CASE WHEN llr_micro >= {SPRT_BOUND_MICRO} THEN day END)
+              IS NOT NULL AND (MIN(CASE WHEN llr_micro <= -{SPRT_BOUND_MICRO} THEN day END)
+              IS NULL OR MIN(CASE WHEN llr_micro >= {SPRT_BOUND_MICRO} THEN day END)
+               <= MIN(CASE WHEN llr_micro <= -{SPRT_BOUND_MICRO} THEN day END))
+            THEN 'accept_h1'
+            WHEN MIN(CASE WHEN llr_micro <= -{SPRT_BOUND_MICRO} THEN day END)
+              IS NOT NULL THEN 'accept_h0' ELSE 'continue' END AS decision
+FROM sp_walk
+GROUP BY arm
+"""
+
+
+QUERIES["events_sprt_monitor"] = (events_sprt_monitor, ORACLE_SPRT)

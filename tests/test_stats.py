@@ -86,3 +86,24 @@ def test_abtest_power_invariants(spark):
     # uniform md5 arms: sizes within 25% of each other
     ns = [r.n for r in rows.values()]
     assert max(ns) < 1.25 * min(ns)
+
+
+def test_sprt_monitor_walk_algebra(spark):
+    from kalytical_spark.operators import stats as st
+
+    rows = {r.arm: r for r in st.events_sprt_monitor(spark, SF_ORACLE).collect()}
+    assert set(rows) == set(range(st.OPE_ARMS))
+    for r in rows.values():
+        assert r.min_llr_micro <= r.max_llr_micro
+        if r.decision == "accept_h1":
+            assert r.h1_cross_day is not None
+            assert r.max_llr_micro >= st.SPRT_BOUND_MICRO
+            if r.h0_cross_day is not None:
+                assert r.h1_cross_day <= r.h0_cross_day
+        elif r.decision == "accept_h0":
+            assert r.h0_cross_day is not None
+            assert r.min_llr_micro <= -st.SPRT_BOUND_MICRO
+        else:
+            assert r.h1_cross_day is None and r.h0_cross_day is None
+            assert -st.SPRT_BOUND_MICRO < r.min_llr_micro
+            assert r.max_llr_micro < st.SPRT_BOUND_MICRO
