@@ -351,3 +351,116 @@ QUERIES: dict[str, tuple] = {
     "text_good_turing": (text_good_turing, ORACLE_GOOD_TURING),
     "text_zipf_ols": (text_zipf_ols, ORACLE_ZIPF),
 }
+
+
+HEAPS_BUCKETS = 10
+
+
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(n) ≈ K·n^β estimated by OLS
+    in quantized log-log space over the cumulative (tokens seen, distinct
+    types seen) curve sampled at HEAPS_BUCKETS ingest-order deciles.
+    Natural text lands β ≈ 0.4–0.6; a collapsing β flags a closed/
+    templated vocabulary (this synthetic corpus's tiny vocab reads near
+    0 — the fit machinery is the deliverable, the corpus proves nothing).
+    The vocabulary-budget companion to text_zipf_ols: Zipf reads the
+    head, Heaps predicts how the tail GROWS with more data.
+
+    Determinism: type first-seen is min(doc_id) (order-free, the novelty
+    convention); deciles are the closed-form bucket; cumulative sums run
+    over the HEAPS_BUCKETS-row rollup (bounded window); each curve point
+    quantizes ONCE to milli-nats; the OLS is the zipf exact-integer
+    spelling (negative-safe truncating div pair).
+
+    Scale: one token explode feeding two map-side-combinable aggregates
+    (per-decile token counts; per-type min doc then per-decile type
+    counts); everything after is HEAPS_BUCKETS rows."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = docs.groupBy().agg(F.max("doc_id").alias("max_id"))
+    toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    bucketed = toks.crossJoin(F.broadcast(max_id)).withColumn(
+        "b",
+        F.expr(f"CAST((doc_id * {HEAPS_BUCKETS}) div (max_id + 1) AS BIGINT)"),
+    )
+    tok_per_b = bucketed.groupBy("b").agg(F.count("*").alias("n_toks"))
+    first_seen = bucketed.groupBy("tok").agg(F.min("b").alias("b"))
+    new_per_b = first_seen.groupBy("b").agg(F.count("*").alias("n_new"))
+    wb = W.orderBy("b").rowsBetween(W.unboundedPreceding, 0)  # bounded: <= 10 rows
+    curve = (
+        tok_per_b.join(new_per_b, "b", "left")
+        .select("b", "n_toks", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+        .select(
+            "b",
+            F.sum("n_toks").over(wb).alias("cum_toks"),
+            F.sum("n_new").over(wb).alias("cum_types"),
+        )
+    )
+    pts = curve.select(
+        F.expr("CAST(ROUND(ln(CAST(cum_toks AS DOUBLE)) * 1000) AS BIGINT)").alias(
+            "x_milli"
+        ),
+        F.expr("CAST(ROUND(ln(CAST(cum_types AS DOUBLE)) * 1000) AS BIGINT)").alias(
+            "y_milli"
+        ),
+    )
+    agg = pts.agg(
+        F.count("*").alias("k"),
+        F.sum("x_milli").alias("sx"),
+        F.sum("y_milli").alias("sy"),
+        F.sum(F.col("x_milli") * F.col("x_milli")).alias("sxx"),
+        F.sum(F.col("x_milli") * F.col("y_milli")).alias("sxy"),
+    )
+    return agg.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.expr(
+            "CAST((1000000 * (k * sxy - sx * sy)) div (k * sxx - sx * sx) AS BIGINT)"
+        ).alias("beta_micro"),
+        F.expr(
+            "CAST((sy - ((1000000 * (k * sxy - sx * sy)) div (k * sxx - sx * sx))"
+            " * sx div 1000000) div k AS BIGINT)"
+        ).alias("logk_milli"),
+    )
+
+
+ORACLE_HEAPS = f"""
+WITH hp_max AS (
+  SELECT MAX(doc_id) AS max_id FROM documents
+), hp_toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       unnest(ts) AS u(tok)
+), hp_bucketed AS (
+  SELECT CAST((t.doc_id * {HEAPS_BUCKETS}) // (m.max_id + 1) AS BIGINT) AS b, t.tok
+  FROM hp_toks t CROSS JOIN hp_max m
+), hp_tok_per_b AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS n_toks FROM hp_bucketed GROUP BY 1
+), hp_new_per_b AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM (SELECT tok, MIN(b) AS b FROM hp_bucketed GROUP BY 1) GROUP BY 1
+), hp_curve AS (
+  SELECT t.b,
+         SUM(t.n_toks) OVER (ORDER BY t.b ROWS UNBOUNDED PRECEDING) AS cum_toks,
+         SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY t.b ROWS UNBOUNDED PRECEDING)
+           AS cum_types
+  FROM hp_tok_per_b t LEFT JOIN hp_new_per_b n USING (b)
+), hp_pts AS (
+  SELECT CAST(ROUND(ln(CAST(cum_toks AS DOUBLE)) * 1000) AS BIGINT) AS x_milli,
+         CAST(ROUND(ln(CAST(cum_types AS DOUBLE)) * 1000) AS BIGINT) AS y_milli
+  FROM hp_curve
+), hp_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(x_milli) AS BIGINT) AS sx, CAST(SUM(y_milli) AS BIGINT) AS sy,
+         CAST(SUM(x_milli * x_milli) AS BIGINT) AS sxx,
+         CAST(SUM(x_milli * y_milli) AS BIGINT) AS sxy
+  FROM hp_pts
+)
+SELECT k,
+       CAST((1000000 * (k * sxy - sx * sy)) // (k * sxx - sx * sx) AS BIGINT)
+         AS beta_micro,
+       CAST((sy - ((1000000 * (k * sxy - sx * sy)) // (k * sxx - sx * sx))
+             * sx // 1000000) // k AS BIGINT) AS logk_milli
+FROM hp_agg
+"""
+
+
+QUERIES["text_heaps_law"] = (text_heaps_law, ORACLE_HEAPS)

@@ -75,3 +75,16 @@ def test_zipf_fit_shape(spark):
     # intercept_milli approximates ln(c_max) in milli-nats: same sign, sane scale
     assert r.intercept_milli > 0
     assert r.intercept_milli < math.log(10**15) * 1000
+
+
+def test_heaps_fit_shape(spark):
+    row = lm.text_heaps_law(spark, SF_ORACLE).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert 2 <= r.k <= lm.HEAPS_BUCKETS
+    # vocabulary never shrinks and never outgrows tokens: 0 <= beta <= 1
+    # (quantization can push a hair past the ends)
+    assert -1000 <= r.beta_micro <= 1_001_000
+    # intercept is ln K in milli-nats; V(n) <= n forces lnK <= (1-beta)lnN,
+    # and on any non-empty corpus the fitted line must pass sanity
+    assert r.logk_milli < 30_000
