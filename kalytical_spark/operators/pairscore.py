@@ -204,7 +204,7 @@ LEFT JOIN bl_clip1 c1 ON c1.doc_a = p.doc_a AND c1.doc_b = p.doc_b
 LEFT JOIN bl_clip2 c2 ON c2.doc_a = p.doc_a AND c2.doc_b = p.doc_b
 JOIN bl_tot1 ta ON ta.doc_id = p.doc_a
 JOIN bl_tot1 tb ON tb.doc_id = p.doc_b
-JOIN bl_tot2 tb2 ON tb2.doc_id = p.doc_b
+LEFT JOIN bl_tot2 tb2 ON tb2.doc_id = p.doc_b
 """
 
 

@@ -517,19 +517,24 @@ def psi_micro_from_counts(
     drift signal, reported rather than folded in."""
     import math
 
+    def _round_half_away(x: float) -> int:
+        # SQL ROUND semantics (half away from zero); Python round() is
+        # banker's and can differ by 1 micro-nat on exact .5 halfway values
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
     t_types = len(ref_counts)
     n_all = sum(ref_counts.values())
     n_d = sum(day_counts.get(ty, 0) for ty in ref_counts)
     psi = 0
     for ty, c_t in ref_counts.items():
         c = day_counts.get(ty, 0)
-        lr = round(
+        lr = _round_half_away(
             math.log(((c + 1) * (n_all + t_types)) / ((c_t + 1) * (n_d + t_types)))
             * 1e6
         )
         num = (c + 1) * (n_all + t_types) - (c_t + 1) * (n_d + t_types)
         den = (n_d + t_types) * (n_all + t_types)
-        psi += round(lr * (num / den))
+        psi += _round_half_away(lr * (num / den))
     return n_d, psi
 
 

@@ -827,29 +827,6 @@ def test_psi_drift_stream_matches_batch(spark):
         assert gflag == (psi > statev2.PSI_FLAG_MICRO)
 
 
-class _FakeMapState:
-    def __init__(self):
-        self._m: dict = {}
-
-    def exists(self) -> bool:
-        return bool(self._m)
-
-    def containsKey(self, k) -> bool:
-        return tuple(k) in self._m
-
-    def getValue(self, k):
-        return self._m[tuple(k)]
-
-    def updateValue(self, k, v) -> None:
-        self._m[tuple(k)] = tuple(v)
-
-    def iterator(self):
-        return iter(list(self._m.items()))
-
-    def clear(self) -> None:
-        self._m.clear()
-
-
 class _FakePsiHandle(_FakeHandle):
     def __init__(self):
         super().__init__()
