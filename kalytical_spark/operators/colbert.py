@@ -145,22 +145,37 @@ def fit_token_cells(spark: SparkSession, sf_dir: str):
     because MaxSim relevance lives at token granularity.
 
     Build shape (the real PLAID one, and the only one that scales):
-    Lloyd's runs on a BOUNDED deterministic sample (the TOK_FIT_SAMPLE
-    md5-smallest tokens — <= 65k x 8 doubles = 4 MB on the driver,
-    constant in the corpus), then ONE distributed pass assigns the full
-    corpus under the frozen centroids. K itself grows LINEARLY
-    (n_tok / TOKENS_PER_CELL, constant cell size): a doc posts to up to
-    NTOK cells and a query probes NTOK x N_PROBE_TOK, so the candidate
-    fraction is ~NTOK^2 x N_PROBE_TOK / K — only K ∝ n_tok keeps the
-    per-query candidate COUNT constant as the corpus grows (the
-    single-vector index kmeans_ivf wants K ~ sqrt(N) instead; measured
-    here: six full-corpus Lloyd passes with linear K cost 267 s at the
-    100x corpus, sample-fit + one assignment pass is the fix).
+    Lloyd's runs DISTRIBUTED over a bounded deterministic sample (the
+    TOK_FIT_SAMPLE md5-smallest tokens, selected by a distributed top-k —
+    the sample never lands on the driver), then ONE distributed pass
+    assigns the full corpus under the frozen centroids. Each Lloyd
+    iteration is: broadcast the K x dim centroids (6 decimals), a
+    mapInPandas pass that argmax-assigns its partition and emits
+    PER-CELL integer partial sums (tvec snapped once to e9 bigints) plus
+    counts, a groupBy(cell) integer-sum reduce, and a K-row collect for
+    the mean update — so driver traffic is K x dim per iteration and
+    NOTHING on the driver scales with the sample or the corpus. (The
+    r6 build ran Lloyd single-threaded on the driver at O(sample x K);
+    with K ∝ n_tok that leg measured 6.4 s -> 78.2 s across the 10x
+    emb sweep — the one 100x scale-killer that round. Distributing the
+    iteration splits the matmul across executors and shrinks the driver
+    to the centroid update.)
 
-    Deterministic: the sample and the K seeds are md5-order prefixes;
-    single-threaded driver Lloyd (fixed iteration order); argmax ties to
-    the lower cell; means rounded to 9 decimals per round; centroids
-    broadcast at 6 decimals.
+    K itself grows LINEARLY (n_tok / TOKENS_PER_CELL, constant cell
+    size): a doc posts to up to NTOK cells and a query probes
+    NTOK x N_PROBE_TOK, so the candidate fraction is
+    ~NTOK^2 x N_PROBE_TOK / K — only K ∝ n_tok keeps the per-query
+    candidate COUNT constant as the corpus grows (the single-vector
+    index kmeans_ivf wants K ~ sqrt(N) instead). K is still capped by
+    the sample (seeds are sample prefixes), but raising TOK_FIT_SAMPLE
+    is now a scale-out knob, not a driver-memory bet.
+
+    Deterministic WITHOUT single-threading: the sample and the K seeds
+    are md5-order prefixes; assignment argmax ties to the lower cell;
+    partial sums are exact int64 (e9-snapped components, half-away), so
+    the groupBy reduce is associative and partitioning-invariant; the
+    mean update is one half-away-from-zero integer division per cell
+    (== round to 9 decimals); centroids broadcast at 6 decimals.
 
     Returns (postings DataFrame [vec_id, cell] DISTINCT, centroids)."""
     import numpy as np
@@ -176,40 +191,93 @@ def fit_token_cells(spark: SparkSession, sf_dir: str):
     n_part = spark.sparkContext.defaultParallelism
     toks = _token_view(emb).repartition(n_part).cache()
     n_tok = toks.count()
-    # seeds come from the sample, so K is bounded by it (binds only past
-    # ~33M tokens, where a production build would raise the sample cap)
     k_cells = min(max(K_CELLS, n_tok // TOKENS_PER_CELL), TOK_FIT_SAMPLE)
 
-    sample_rows = (
-        toks.withColumn(
-            "h", F.md5(F.concat_ws(":", F.col("vec_id"), F.col("tok")))
-        )
-        .orderBy("h")
-        .limit(TOK_FIT_SAMPLE)
-        .select("h", "tvec")
-        .collect()
+    hashed = toks.withColumn(
+        "h", F.md5(F.concat_ws(":", F.col("vec_id"), F.col("tok")))
     )
-    # fixed training order (by the same hash that picked the sample) so
-    # the driver-local fit is bit-reproducible
-    sample_rows.sort(key=lambda r: r.h)
-    S = np.stack([np.asarray(r.tvec, dtype=np.float64) for r in sample_rows])
-    C = S[:k_cells].copy()
+    # seeds: the md5-smallest k_cells tokens — the only sample-sized
+    # collect left, and it is exactly the K x dim the driver must hold
+    seed_rows = hashed.orderBy("h").limit(k_cells).select("h", "tvec").collect()
+    seed_rows.sort(key=lambda r: r.h)
+    C = np.stack([np.asarray(r.tvec, dtype=np.float64) for r in seed_rows])
+    # the training sample stays a DataFrame (limit -> single partition,
+    # so spread it back out); row order inside partitions is irrelevant:
+    # the per-iteration reduce is an integer sum
+    sample = (
+        hashed.orderBy("h")
+        .limit(TOK_FIT_SAMPLE)
+        .select("tvec")
+        .repartition(n_part)
+        .cache()
+    )
+    sample.count()
+
+    dim = MAXSIM_TDIM
+    sum_cols = [f"s{k}" for k in range(dim)]
+    part_schema = "cell int, n long, " + ", ".join(f"{c} long" for c in sum_cols)
+
+    def _snap_e9(X: "np.ndarray") -> "np.ndarray":
+        V = X * 1e9
+        return np.where(V >= 0, np.floor(V + 0.5), np.ceil(V - 0.5)).astype(
+            np.int64
+        )
 
     for _ in range(_TOK_ITERS):
-        Cr = np.round(C, 6)
-        cn = (Cr * Cr).sum(axis=1)
-        # argmin ||x-c||^2 == argmax (2 x.c - ||c||^2); ties to lower cell
-        cell = (2.0 * (S @ Cr.T) - cn).argmax(axis=1)
-        sums = np.zeros_like(C)
-        np.add.at(sums, cell, S)
-        counts = np.bincount(cell, minlength=C.shape[0])
-        present = counts > 0
-        C_new = C.copy()  # empty cells keep their centroid
-        C_new[present] = np.round(
-            sums[present] / counts[present, None], 9
-        )
-        C = C_new
+        bCr = spark.sparkContext.broadcast(np.round(C, 6))
 
+        def part_sums(batches, _b=bCr):
+            Cb = _b.value
+            cn = (Cb * Cb).sum(axis=1)
+            K = Cb.shape[0]
+            sums = np.zeros((K, dim), dtype=np.int64)
+            counts = np.zeros(K, dtype=np.int64)
+            seen = False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                seen = True
+                X = np.stack(
+                    pdf["tvec"].map(lambda a: np.asarray(a, dtype=np.float64))
+                )
+                # argmin ||x-c||^2 == argmax (2 x.c - ||c||^2); ties low
+                cell = (2.0 * (X @ Cb.T) - cn).argmax(axis=1)
+                np.add.at(sums, cell, _snap_e9(X))
+                counts += np.bincount(cell, minlength=K)
+            if not seen:
+                return
+            present = np.nonzero(counts)[0]
+            out = {"cell": present.astype("int32"), "n": counts[present]}
+            for k, c in enumerate(sum_cols):
+                out[c] = sums[present, k]
+            yield pd.DataFrame(out)
+
+        agg_rows = (
+            sample.mapInPandas(part_sums, schema=part_schema)
+            .groupBy("cell")
+            .agg(
+                F.sum("n").alias("n"),
+                *[F.sum(c).alias(c) for c in sum_cols],
+            )
+            .collect()
+        )
+        C_new = C.copy()  # empty cells keep their centroid
+        for r in agg_rows:
+            s = np.array([r[c] for c in sum_cols], dtype=object)
+            n = int(r["n"])
+            # half-away-from-zero integer division == round(mean, 9)
+            mean_e9 = np.array(
+                [
+                    (abs(int(v)) * 2 + n) // (2 * n) * (1 if int(v) >= 0 else -1)
+                    for v in s
+                ],
+                dtype=np.int64,
+            )
+            C_new[r["cell"]] = mean_e9 / 1e9
+        C = C_new
+        bCr.unpersist()
+
+    sample.unpersist()
     bC = spark.sparkContext.broadcast(np.round(C, 6))
 
     def assign(batches):

@@ -630,3 +630,181 @@ def psi_drift_stream(
             timeMode="EventTime",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SPRT early-stopping monitor: the sequential twin of
+# operators/stats.events_sprt_monitor. SPRT is sequential BY NATURE (Wald
+# 1945: the whole point is deciding while data arrives), so of the batch
+# experimentation tier it is the one whose production deployment is a
+# stream job: per arm, the cumulative log-likelihood walk adds fixed
+# micro-nat literals per success/failure and the arm stops the day the
+# walk exits the +-ln(19) boundaries.
+
+
+SPRT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("arm", T.LongType()),
+        T.StructField("n_days", T.LongType()),
+        T.StructField("llr_micro", T.LongType()),
+        T.StructField("max_llr_micro", T.LongType()),
+        T.StructField("min_llr_micro", T.LongType()),
+        T.StructField("h1_cross_day", T.TimestampType()),
+        T.StructField("h0_cross_day", T.TimestampType()),
+        T.StructField("decision", T.StringType()),
+    ]
+)
+
+_SPRT_DAY_KEY = T.StructType([T.StructField("day_ms", T.LongType())])
+_SPRT_DAY_VAL = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("s", T.LongType())]
+)
+_SPRT_WALK = T.StructType(
+    [
+        T.StructField("llr", T.LongType()),
+        T.StructField("n_days", T.LongType()),
+        T.StructField("mx", T.LongType()),
+        T.StructField("mn", T.LongType()),
+        T.StructField("h1_ms", T.LongType()),  # -1 until first up-cross
+        T.StructField("h0_ms", T.LongType()),  # -1 until first down-cross
+        T.StructField("has", T.LongType()),
+    ]
+)
+
+
+class SprtMonitorProcessor(StatefulProcessor):
+    """Keyed by ARM: open days accumulate (n, s) in a MapState (bounded by
+    the watermark horizon, independent of event volume); the event-time
+    timer at each day's end folds every due day IN CALENDAR ORDER into a
+    ValueState walk — cumulative llr plus its running max/min and the
+    first boundary-crossing days — and emits the arm's monitor row. The
+    fold is s*A + (n-s)*B with BIGINT counts and the same fixed integer
+    literals as the batch operator, so stream == batch exactly, not up to
+    rounding.
+
+    Folding all due days per expiry (not just the expiring one) makes the
+    walk independent of timer-callback interleaving when several day
+    boundaries pass the watermark in one micro-batch; a callback that
+    finds nothing due emits nothing, so output rows = fold events."""
+
+    def __init__(
+        self, ll_success_micro: int, ll_failure_micro: int, bound_micro: int
+    ) -> None:
+        self._a = int(ll_success_micro)
+        self._b = int(ll_failure_micro)
+        self._bound = int(bound_micro)
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._days = handle.getMapState("days", _SPRT_DAY_KEY, _SPRT_DAY_VAL)
+        self._walk = handle.getValueState("walk", _SPRT_WALK)
+
+    @staticmethod
+    def _ms(ts) -> int:
+        return int(pd.Timestamp(ts).value // 1_000_000)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        batch: dict[int, list[int]] = {}
+        for pdf in rows:
+            for d, grp in pdf.groupby("day"):
+                acc = batch.setdefault(self._ms(d), [0, 0])
+                acc[0] += len(grp)
+                acc[1] += int(grp["s"].sum())
+        for day_ms, (n, s) in batch.items():
+            if self._days.containsKey((day_ms,)):
+                pn, ps = self._days.getValue((day_ms,))
+                self._days.updateValue((day_ms,), (pn + n, ps + s))
+            else:
+                self._days.updateValue((day_ms,), (n, s))
+            self._handle.registerTimer(day_ms + DAY_MS)
+        return iter(())
+
+    def handleExpiredTimer(
+        self, key, timerValues, expiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        expiry = expiredTimerInfo.getExpiryTimeInMs()
+        due = sorted(
+            k[0] for k, _v in self._days.iterator() if k[0] + DAY_MS <= expiry
+        )
+        if not due:
+            return
+        llr, n_days, mx, mn, h1, h0, has = (
+            self._walk.get() if self._walk.exists() else (0, 0, 0, 0, -1, -1, 0)
+        )
+        for day_ms in due:
+            n, s = self._days.getValue((day_ms,))
+            llr += s * self._a + (n - s) * self._b
+            n_days += 1
+            mx = llr if not has else max(mx, llr)
+            mn = llr if not has else min(mn, llr)
+            has = 1
+            if llr >= self._bound and h1 < 0:
+                h1 = day_ms
+            if llr <= -self._bound and h0 < 0:
+                h0 = day_ms
+            self._days.removeKey((day_ms,))
+        self._walk.update((llr, n_days, mx, mn, h1, h0, has))
+        if h1 >= 0 and (h0 < 0 or h1 <= h0):
+            decision = "accept_h1"
+        elif h0 >= 0:
+            decision = "accept_h0"
+        else:
+            decision = "continue"
+        yield pd.DataFrame(
+            [
+                {
+                    "arm": int(key[0]),
+                    "n_days": n_days,
+                    "llr_micro": llr,
+                    "max_llr_micro": mx,
+                    "min_llr_micro": mn,
+                    "h1_cross_day": (
+                        pd.Timestamp(h1, unit="ms") if h1 >= 0 else pd.NaT
+                    ),
+                    "h0_cross_day": (
+                        pd.Timestamp(h0, unit="ms") if h0 >= 0 else pd.NaT
+                    ),
+                    "decision": decision,
+                }
+            ]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def sprt_monitor_stream(
+    events_stream: DataFrame, watermark: str = "0 seconds"
+) -> DataFrame:
+    """Wire the SPRT monitor: needs (event_id, event_type, ts); the arm
+    hash, day truncation, and success flag are computed here with the
+    batch operator's exact expressions so the two can never diverge."""
+    from pyspark.sql import functions as F
+
+    from ..operators.stats import (
+        OPE_ARMS,
+        SPRT_BOUND_MICRO,
+        SPRT_LL_FAILURE_MICRO,
+        SPRT_LL_SUCCESS_MICRO,
+    )
+
+    return (
+        events_stream.select(
+            F.expr(
+                "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10)"
+                f" AS BIGINT) % {OPE_ARMS}"
+            ).alias("arm"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            (F.col("event_type") == "purchase").cast("bigint").alias("s"),
+        )
+        .withWatermark("day", watermark)
+        .groupBy("arm")
+        .transformWithStateInPandas(
+            statefulProcessor=SprtMonitorProcessor(
+                SPRT_LL_SUCCESS_MICRO, SPRT_LL_FAILURE_MICRO, SPRT_BOUND_MICRO
+            ),
+            outputStructType=SPRT_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )

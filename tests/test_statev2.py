@@ -447,6 +447,9 @@ class _FakeMapState:
     def iterator(self):
         return iter(list(self._m.items()))
 
+    def removeKey(self, key) -> None:
+        self._m.pop(tuple(key), None)
+
     def clear(self) -> None:
         self._m = {}
 
@@ -759,14 +762,18 @@ def test_psi_drift_stream_matches_batch(spark):
     T_ = len(ref)
     N = sum(ref.values())
     expect = {}
+    def _rha(x: float) -> int:
+        # half away from zero — the SQL ROUND of operators/drift.py
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
     for d, counts in by_day.items():
         nd = sum(counts.values())
         psi = 0
         for ty in ref:
             c, ct = counts.get(ty, 0), ref[ty]
-            lr = round(math.log(((c + 1) * (N + T_)) / ((ct + 1) * (nd + T_))) * 1e6)
+            lr = _rha(math.log(((c + 1) * (N + T_)) / ((ct + 1) * (nd + T_))) * 1e6)
             num = (c + 1) * (N + T_) - (ct + 1) * (nd + T_)
-            psi += round(lr * (num / ((nd + T_) * (N + T_))))
+            psi += _rha(lr * (num / ((nd + T_) * (N + T_))))
         expect[d] = (nd, psi)
 
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
@@ -893,3 +900,179 @@ def test_psi_processor_split_invariant():
     list(proc.handleInputRows((day,), iter([pdf]), None))
     assert len(list(proc.handleExpiredTimer((day,), None, None))) == 1
     assert list(proc.handleExpiredTimer((day,), None, None)) == []
+
+
+# ---------------------------------------------------------------------------
+# SprtMonitorProcessor: the sequential experimentation monitor
+
+
+class _FakeExpiredTimer:
+    def __init__(self, ms: int):
+        self._ms = ms
+
+    def getExpiryTimeInMs(self) -> int:
+        return self._ms
+
+
+def _sprt_days(day0: pd.Timestamp, specs):
+    """specs: list of (n, s) per consecutive calendar day -> event rows
+    (day, s) with n total rows of which s are successes."""
+    rows = []
+    for i, (n, s) in enumerate(specs):
+        d = day0 + pd.Timedelta(days=i)
+        rows += [(d, 1)] * s + [(d, 0)] * (n - s)
+    return rows
+
+
+def test_sprt_processor_split_invariant():
+    """The walk after all days close must be identical across micro-batch
+    split points AND across timer-callback granularity (one callback per
+    day vs one late callback covering several due days), and must equal a
+    direct integer fold of the daily counts."""
+    from kalytical_spark.operators.stats import (
+        SPRT_BOUND_MICRO,
+        SPRT_LL_FAILURE_MICRO,
+        SPRT_LL_SUCCESS_MICRO,
+    )
+
+    day0 = pd.Timestamp("2026-02-01")
+    # day 3's success run crosses +ln(19); day 1 dips the walk negative
+    specs = [(40, 2), (30, 8), (30, 25), (20, 6)]
+    rows = _sprt_days(day0, specs)
+    day_ms = [
+        int((day0 + pd.Timedelta(days=i)).value // 1_000_000)
+        for i in range(len(specs))
+    ]
+
+    def run(splits, timer_points):
+        proc = statev2.SprtMonitorProcessor(
+            SPRT_LL_SUCCESS_MICRO, SPRT_LL_FAILURE_MICRO, SPRT_BOUND_MICRO
+        )
+        proc.init(_FakePsiHandle())
+        prev = 0
+        for s in [*splits, len(rows)]:
+            if s <= prev:
+                continue
+            ch = rows[prev:s]
+            prev = s
+            pdf = pd.DataFrame(
+                {"day": [d for d, _ in ch], "s": [v for _, v in ch]}
+            )
+            list(proc.handleInputRows((3,), iter([pdf]), None))
+        outs = []
+        for tp in timer_points:
+            outs += list(
+                proc.handleExpiredTimer((3,), None, _FakeExpiredTimer(tp))
+            )
+        assert outs
+        r = outs[-1].iloc[0]
+        return (
+            int(r["arm"]),
+            int(r["n_days"]),
+            int(r["llr_micro"]),
+            int(r["max_llr_micro"]),
+            int(r["min_llr_micro"]),
+            None if pd.isna(r["h1_cross_day"]) else r["h1_cross_day"],
+            None if pd.isna(r["h0_cross_day"]) else r["h0_cross_day"],
+            str(r["decision"]),
+        )
+
+    per_day_timers = [d + statev2.DAY_MS for d in day_ms]
+    a = run([17, 60], per_day_timers)
+    b = run([1, 2, 3, 50, 90], per_day_timers)
+    c = run([], [day_ms[-1] + statev2.DAY_MS])  # one catch-all callback
+    assert a == b == c
+
+    # direct fold
+    llr, mx, mn, h1 = 0, None, None, None
+    for i, (n, s) in enumerate(specs):
+        llr += s * SPRT_LL_SUCCESS_MICRO + (n - s) * SPRT_LL_FAILURE_MICRO
+        mx = llr if mx is None else max(mx, llr)
+        mn = llr if mn is None else min(mn, llr)
+        if llr >= SPRT_BOUND_MICRO and h1 is None:
+            h1 = pd.Timestamp(day_ms[i], unit="ms")
+    assert a == (3, len(specs), llr, mx, mn, h1, None,
+                 "accept_h1" if h1 is not None else "continue")
+    # the fixture is built to cross: a continue-only run proves nothing
+    assert a[7] == "accept_h1" and a[4] < 0
+
+
+@pytest.mark.skipif(not _HAS_PROTOBUF, reason="no protobuf runtime")
+def test_sprt_stream_matches_batch_operator(spark):
+    """End-to-end through the real state server: the final per-arm SPRT
+    row emitted by the stream must equal the BATCH OPERATOR
+    events_sprt_monitor on the same corpus (same literals, same arm hash,
+    exact integer walk — equality is exact, not approximate)."""
+    from kalytical_spark.operators import stats
+
+    catalog.register(spark, SF_SMALL)
+    batch = {
+        int(r.arm): r for r in stats.events_sprt_monitor(spark, SF_SMALL).collect()
+    }
+    ev = spark.table("events_ms").select("event_id", "event_type", "ts")
+    events = [(int(r.event_id), r.event_type, r.ts) for r in ev.collect()]
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events")
+        os.makedirs(src)
+        ordered = sorted(events, key=lambda e: (e[2], e[0]))
+        third = max(1, len(ordered) // 3)
+        chunks = [ordered[:third], ordered[third : 2 * third], ordered[2 * third :]]
+        sentinel_t = max(t for _, _, t in events) + pd.Timedelta(days=365)
+        chunks.append([(10**9, "__sentinel__", sentinel_t)])
+        for i, ch in enumerate(chunks):
+            pdf = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "event_id": [e for e, _, _ in ch],
+                        "event_type": [et for _, et, _ in ch],
+                        "ts": [t for _, _, t in ch],
+                    }
+                ),
+                schema=ev.schema,
+            )
+            pdf.coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "b*"))
+        )
+        q = (
+            statev2.sprt_monitor_stream(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sprt_e2e")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(180)
+        finally:
+            q.stop()
+        rows = spark.sql("SELECT * FROM sprt_e2e").collect()
+    if prev is not None:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    final = {}
+    for r in rows:
+        if int(r.arm) not in final or r.n_days > final[int(r.arm)].n_days:
+            final[int(r.arm)] = r
+    # the sentinel's own day never closes, so exactly the real arms emit
+    assert set(final) == set(batch) and batch
+    for arm, b in batch.items():
+        g = final[arm]
+        assert int(g.n_days) == int(b.n_days), arm
+        assert int(g.max_llr_micro) == int(b.max_llr_micro), arm
+        assert int(g.min_llr_micro) == int(b.min_llr_micro), arm
+        g1 = None if g.h1_cross_day is None else g.h1_cross_day.date()
+        g0 = None if g.h0_cross_day is None else g.h0_cross_day.date()
+        assert g1 == b.h1_cross_day and g0 == b.h0_cross_day, arm
+        assert g.decision == b.decision, arm

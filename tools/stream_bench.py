@@ -295,6 +295,75 @@ def bench_holt(spark, n_files: int) -> dict:
     }
 
 
+def bench_sprt(spark, n_files: int) -> dict:
+    """The streaming SPRT early-stopping monitor (event-time timers +
+    per-arm day maps). Time-ordered replay like bench_holt, with the
+    sentinel file closing every arm's final day."""
+    import pandas as pd
+
+    from kalytical_spark.streaming import statev2
+
+    src = os.path.join(SCRATCH, "events_sprt")
+    ckpt = os.path.join(SCRATCH, "ckpt_sprt")
+    for d in (src, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    ev = spark.table("events_ms").select("event_id", "event_type", "ts")
+    n_events = ev.count()
+    chunk = ev.withColumn(
+        "chunk", F.ntile(n_files).over(W.orderBy("ts", "event_id")) - 1
+    )
+    for i in range(n_files):
+        chunk.filter(f"chunk = {i}").select(
+            "event_id", "event_type", "ts"
+        ).coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+    sentinel_t = ev.agg({"ts": "max"}).collect()[0][0] + pd.Timedelta(days=365)
+    spark.createDataFrame(
+        pd.DataFrame(
+            {"event_id": [10**12], "event_type": ["__sentinel__"], "ts": [sentinel_t]}
+        )
+    ).coalesce(1).write.parquet(os.path.join(src, f"b{n_files}"))
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    schema = spark.read.parquet(os.path.join(src, "b0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "b*"))
+    )
+    t0 = time.time()
+    q = (
+        statev2.sprt_monitor_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_bench_sprt")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    if prev is not None:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    decisions = spark.sql(
+        "SELECT COUNT(DISTINCT arm) FROM stream_bench_sprt"
+    ).collect()[0][0]
+    return {
+        "events_total": n_events,
+        "arms": decisions,
+        "wall_sec": round(wall, 3),
+        "events_per_sec": round(n_events / wall, 1),
+    }
+
+
 def main() -> None:
     from kalytical_spark import catalog
     from kalytical_spark.session import get_spark
@@ -318,6 +387,11 @@ def main() -> None:
         ),
         "holt_forecaster": (
             bench_holt(spark, n_files)
+            if _HAS_PROTOBUF
+            else {"skipped": "no google.protobuf in this container"}
+        ),
+        "sprt_monitor": (
+            bench_sprt(spark, n_files)
             if _HAS_PROTOBUF
             else {"skipped": "no google.protobuf in this container"}
         ),
