@@ -79,6 +79,11 @@ def main() -> None:
     # force domain-view cache materialization once, outside the timings
     spark.table("lifecycle_events").count()
     spark.table("incubating_triggers").count()
+    # pay the Python-worker fleet cold start (numpy/OpenBLAS first-call
+    # init) here, not inside whichever Pandas-UDF query runs first
+    from kalytical_spark.session import warm_python_workers
+
+    warm_python_workers(spark)
     warm_s = time.time() - t_warm
 
     queries = all_queries()

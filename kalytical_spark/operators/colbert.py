@@ -278,14 +278,62 @@ def fit_token_cells(spark: SparkSession, sf_dir: str):
         bCr.unpersist()
 
     sample.unpersist()
-    bC = spark.sparkContext.broadcast(np.round(C, 6))
+    Cr = np.round(C, 6)
+
+    # --- hierarchical (two-level) corpus assignment -----------------------
+    # The full-corpus pass was the measured quadratic leg: flat argmax over
+    # K cells is O(n_tok x K) with K ∝ n_tok, and with an 8-deep inner dim
+    # the (batch x K) score matrix makes it memory-bandwidth-bound on top
+    # (profiled: 0.3-0.9 s per 10k-row batch at K=3125; 154 s total at the
+    # 100x corpus, dwarfing the 9 s distributed Lloyd fit). The PLAID-style
+    # fix: group the K centroids under G = ceil(sqrt(K)) coarse centroids
+    # (a driver-side Lloyd over K x dim — bounded by the centroid table,
+    # not the corpus), then assign each token by coarse argmax (O(G))
+    # followed by exact argmax within the chosen group's member cells
+    # (~K/G) — O(sqrt(K)) per token in place of O(K). The assignment is
+    # approximate at group boundaries (the production trade every IVF
+    # build makes); search quality stays floor-gated by the recall report.
+    # Deterministic: coarse seeds are the first G cells in id order, fixed
+    # iteration count, ties to the lower group / lower cell id (members
+    # kept ascending so np.argmax's first-max rule lands on the lowest).
+    G = max(1, int(len(Cr) ** 0.5 + 0.999999))
+    Gc = Cr[:G].copy()
+    for _ in range(_TOK_ITERS):
+        gn_ = (Gc * Gc).sum(axis=1)
+        gid_ = (2.0 * (Cr @ Gc.T) - gn_).argmax(axis=1)
+        sums_ = np.zeros_like(Gc)
+        np.add.at(sums_, gid_, Cr)
+        cnt_ = np.bincount(gid_, minlength=G)
+        nz_ = cnt_ > 0
+        Gc_new = Gc.copy()
+        Gc_new[nz_] = np.round(sums_[nz_] / cnt_[nz_, None], 9)
+        Gc = Gc_new
+    Gc = np.round(Gc, 6)
+    gn_f = (Gc * Gc).sum(axis=1)
+    final_gid = (2.0 * (Cr @ Gc.T) - gn_f).argmax(axis=1)
+    members = [
+        np.nonzero(final_gid == g)[0].astype(np.int64) for g in range(G)
+    ]
+
+    bC = spark.sparkContext.broadcast((Cr, Gc, members))
 
     def assign(batches):
-        Cb = bC.value
+        Cb, Gb, mem = bC.value
         cn = (Cb * Cb).sum(axis=1)
+        gn = (Gb * Gb).sum(axis=1)
         for pdf in batches:
             X = np.stack(pdf["tvec"].map(lambda a: np.asarray(a, dtype=np.float64)))
-            cell = (2.0 * (X @ Cb.T) - cn).argmax(axis=1).astype("int32")
+            gid = (2.0 * (X @ Gb.T) - gn).argmax(axis=1)
+            cell = np.empty(len(X), dtype=np.int32)
+            for g in np.unique(gid):
+                m = mem[g]
+                idx = np.nonzero(gid == g)[0]
+                if len(m) == 0:  # cell-less coarse region: flat fallback
+                    s = 2.0 * (X[idx] @ Cb.T) - cn
+                    cell[idx] = s.argmax(axis=1)
+                    continue
+                s = 2.0 * (X[idx] @ Cb[m].T) - cn[m]
+                cell[idx] = m[s.argmax(axis=1)]
             yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell": cell})
 
     # the doc-level posting list: DISTINCT (doc, cell) — a doc appears in a
@@ -295,7 +343,7 @@ def fit_token_cells(spark: SparkSession, sf_dir: str):
     )
     postings.count()
     toks.unpersist()
-    _TOK_FIT_CACHE[memo_key] = (postings, np.round(C, 6))
+    _TOK_FIT_CACHE[memo_key] = (postings, Cr)
     return _TOK_FIT_CACHE[memo_key]
 
 

@@ -464,3 +464,196 @@ FROM hp_agg
 
 
 QUERIES["text_heaps_law"] = (text_heaps_law, ORACLE_HEAPS)
+
+
+# ---------------------------------------------------------------------------
+# Per-document perplexity quality filter: the CCNet deployment shape
+# (Wenzek et al. 2020 — score every crawled doc under an LM trained on
+# trusted text, keep the low-perplexity fraction), realized with a
+# Laplace-smoothed bigram LM so every probability is a ratio of exact
+# integers and the whole chain stays value-provable (a Kneser-Ney/KenLM
+# model would be rows-only; this is the same-shape exact stand-in).
+
+PPL_BAR_MICRO = 3_450_000  # keep bar near the corpus median avg NLL, so the
+# decision column genuinely splits the corpus (a bar no doc crosses would
+# prove only the arithmetic, not the branch)
+
+
+def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out per-document cross-entropy under a Laplace bigram LM fit
+    on the md5-split train half (the text_stupid_backoff split):
+
+        nll(w2|w1) = ln((c1 + V) / (c12 + 1))     seen history w1
+                   = ln((N + V) / (c2 + 1))       unseen history (unigram)
+
+    with V = train vocab size, N = train tokens. Per scored doc: bigram
+    count, total NLL (micro-nats), average NLL per bigram, and the
+    curation decision avg < PPL_BAR_MICRO — exactly the CCNet keep/drop
+    axis, here against a fixed literal bar so the decision is replayable.
+
+    Determinism: one ln per scored bigram quantized to micro-nats
+    (half-away ROUND in both engines), BIGINT accumulation, truncating
+    div for the per-doc average. Laplace +1 keeps every argument ratio
+    of positive exact integers.
+
+    Scale: the same two shuffle_hash model joins as text_stupid_backoff
+    (model tables are vocabulary-sized — never broadcast); V and N are
+    1-row broadcasts; one map-side-combinable groupBy(doc_id) ends it."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    split = docs.withColumn("b", _bucket(F.col("doc_id")))
+    train = split.filter(F.col("b") < SB_TRAIN_LT).select("doc_id", "text")
+    score = split.filter(F.col("b") >= SB_TRAIN_LT).select("doc_id", "text")
+
+    c12 = _bigrams(train).groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    tr_tok = train.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    cu = tr_tok.groupBy("tok").agg(F.count("*").alias("cu"))
+    totals = tr_tok.groupBy().agg(
+        F.count("*").alias("n_train"), F.countDistinct("tok").alias("v_train")
+    )
+
+    scored = (
+        _bigrams(score)
+        .join(c12.hint("shuffle_hash"), ["w1", "w2"], "left")
+        .join(
+            cu.select(F.col("tok").alias("w1"), F.col("cu").alias("c1")).hint(
+                "shuffle_hash"
+            ),
+            "w1",
+            "left",
+        )
+        .join(
+            cu.select(F.col("tok").alias("w2"), F.col("cu").alias("c2")).hint(
+                "shuffle_hash"
+            ),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(ROUND(ln(CASE WHEN c1 IS NOT NULL THEN"
+                " CAST(c1 + v_train AS DOUBLE) / CAST(coalesce(c12, 0) + 1 AS DOUBLE)"
+                " ELSE CAST(n_train + v_train AS DOUBLE) / CAST(coalesce(c2, 0) + 1 AS DOUBLE)"
+                " END) * 1e6) AS BIGINT)"
+            ).alias("nll_micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum("nll_micro").cast("bigint").alias("h_micro"),
+        F.expr("CAST(SUM(nll_micro) div COUNT(*) AS BIGINT)").alias(
+            "avg_nll_micro"
+        ),
+        F.expr(f"CAST(SUM(nll_micro) div COUNT(*) < {PPL_BAR_MICRO} AS BOOLEAN)").alias(
+            "keep"
+        ),
+    )
+
+
+_SQL_PPL_SCORED = f"""
+pp_split AS (
+  SELECT doc_id, text,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) AS b
+  FROM documents
+), pp_train AS (
+  SELECT doc_id, text FROM pp_split WHERE b < {SB_TRAIN_LT}
+), pp_score AS (
+  SELECT doc_id, text FROM pp_split WHERE b >= {SB_TRAIN_LT}
+), pp_tr_bg AS (
+  SELECT ts[i] AS w1, ts[i+1] AS w2
+  FROM (SELECT string_split(text, ' ') AS ts FROM pp_train),
+       unnest(range(1, len(ts))) AS u(i)
+  WHERE len(ts) >= 2
+), pp_c12 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM pp_tr_bg GROUP BY 1, 2
+), pp_tr_tok AS (
+  SELECT tok FROM (SELECT string_split(text, ' ') AS ts FROM pp_train),
+       unnest(ts) AS u(tok)
+), pp_cu AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu FROM pp_tr_tok GROUP BY 1
+), pp_tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
+         CAST(COUNT(DISTINCT tok) AS BIGINT) AS v_train
+  FROM pp_tr_tok
+), pp_sc_bg AS (
+  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM pp_score),
+       unnest(range(1, len(ts))) AS u(i)
+  WHERE len(ts) >= 2
+), pp_scored AS (
+  SELECT s.doc_id,
+         CAST(ROUND(ln(CASE WHEN u1.cu IS NOT NULL THEN
+                CAST(u1.cu + t.v_train AS DOUBLE)
+                / CAST(COALESCE(c12.c12, 0) + 1 AS DOUBLE)
+              ELSE CAST(t.n_train + t.v_train AS DOUBLE)
+                / CAST(COALESCE(u2.cu, 0) + 1 AS DOUBLE)
+              END) * 1e6) AS BIGINT) AS nll_micro
+  FROM pp_sc_bg s
+  LEFT JOIN pp_c12 c12 ON s.w1 = c12.w1 AND s.w2 = c12.w2
+  LEFT JOIN pp_cu u1 ON u1.tok = s.w1
+  LEFT JOIN pp_cu u2 ON u2.tok = s.w2
+  CROSS JOIN pp_tot t
+)
+"""
+
+ORACLE_PPL_FILTER = f"""
+WITH {_SQL_PPL_SCORED}
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(nll_micro) AS BIGINT) AS h_micro,
+       CAST(SUM(nll_micro) // COUNT(*) AS BIGINT) AS avg_nll_micro,
+       (SUM(nll_micro) // COUNT(*) < {PPL_BAR_MICRO}) AS keep
+FROM pp_scored
+GROUP BY doc_id
+"""
+
+
+def text_perplexity_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation readout over the per-doc filter: per source, scored
+    docs, keep rate (milli), and the mean of the per-doc average NLLs —
+    the table a corpus owner reads to tune PPL_BAR_MICRO per domain (the
+    CCNet paper's per-language threshold tables have this shape)."""
+    per_doc = text_perplexity_filter(spark, sf_dir)
+    src = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        per_doc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("keep").cast("bigint")).cast("bigint").alias("n_keep"),
+            F.expr("CAST((1000 * SUM(CAST(keep AS BIGINT))) div COUNT(*) AS BIGINT)").alias(
+                "keep_rate_milli"
+            ),
+            F.expr("CAST(SUM(avg_nll_micro) div COUNT(*) AS BIGINT)").alias(
+                "mean_avg_nll_micro"
+            ),
+        )
+    )
+
+
+ORACLE_PPL_SOURCE = f"""
+WITH {_SQL_PPL_SCORED},
+pp_doc AS (
+  SELECT doc_id,
+         CAST(SUM(nll_micro) // COUNT(*) AS BIGINT) AS avg_nll_micro,
+         (SUM(nll_micro) // COUNT(*) < {PPL_BAR_MICRO}) AS keep
+  FROM pp_scored
+  GROUP BY doc_id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN p.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST((1000 * SUM(CASE WHEN p.keep THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+         AS keep_rate_milli,
+       CAST(SUM(p.avg_nll_micro) // COUNT(*) AS BIGINT) AS mean_avg_nll_micro
+FROM pp_doc p JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
+QUERIES["text_perplexity_filter"] = (text_perplexity_filter, ORACLE_PPL_FILTER)
+QUERIES["text_perplexity_source_report"] = (
+    text_perplexity_source_report,
+    ORACLE_PPL_SOURCE,
+)

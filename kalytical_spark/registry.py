@@ -91,6 +91,7 @@ def _load_optional():
         "pairscore",
         "corpusdiag",
         "embgraph",
+        "video",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))

@@ -16,9 +16,20 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# One BLAS thread per Python worker: each worker owns one task slot, so
+# within-worker BLAS parallelism only oversubscribes the box (N workers x
+# M BLAS threads). Measured: 32 concurrent workers' FIRST numpy matmul
+# took 3.9-35s each unpinned vs warm-call 13ms (OpenBLAS DYNAMIC_ARCH
+# kernel init under contention); pinning roughly halves the cold spike
+# and removes steady-state spin waste. Set BEFORE the JVM launches so
+# local-mode workers inherit it; executorEnv carries it to a cluster.
+_BLAS_PIN = ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS")
+
 
 def get_spark(app_name: str = "kalytical_spark", cpus: int | None = None) -> SparkSession:
     cpus = cpus or DEFAULT_CPUS
+    for var in _BLAS_PIN:
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -37,9 +48,42 @@ def get_spark(app_name: str = "kalytical_spark", cpus: int | None = None) -> Spa
         .config("spark.sql.warehouse.dir", "/tmp/kalytical_warehouse")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    for var in _BLAS_PIN:
+        builder = builder.config(f"spark.executorEnv.{var}", "1")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warm_python_workers(spark: SparkSession) -> float:
+    """Pay the per-worker-fleet cold start ONCE, outside any measurement:
+    a fresh Python worker's first numpy matmul costs seconds (numpy import
+    + OpenBLAS DYNAMIC_ARCH kernel load, 32-way concurrent — measured
+    1.3-35s per worker cold vs 13ms warm, reproducible outside Spark with
+    bare fork+numpy). Long-lived cluster executors pay this once per
+    executor lifetime, so warming before a benchmark reflects steady
+    state rather than charging the fleet spin-up to whichever query runs
+    a Pandas UDF first. Returns the seconds spent warming."""
+    import time
+
+    t0 = time.time()
+    n = spark.sparkContext.defaultParallelism
+
+    def _touch(batches):
+        import numpy as np
+        import pandas as pd
+
+        x = np.random.rand(64, 8) @ np.random.rand(8, 64)
+        for pdf in batches:
+            yield pd.DataFrame({"n": [len(pdf) + int(x[0, 0] * 0)]})
+
+    (
+        spark.range(n * 4)
+        .repartition(n)
+        .mapInPandas(_touch, schema="n long")
+        .count()
+    )
+    return time.time() - t0
 
 
 def tune_session(spark: SparkSession) -> SparkSession:

@@ -121,6 +121,11 @@ def headline_queries() -> dict[str, object]:
         "text_stupid_backoff",      # three shuffle_hash model joins (never broadcast)
         "graph_link_prediction",    # wedge join + anti-join + TakeOrderedAndProject
         "dedup_minhash_calibration",  # pair-bounded signature rebuild (semi-join prune)
+        # r6->r7 bench-regression watch set (VERDICT r6 task 3): pinned so
+        # plan drift is ruled in/out of any future wall-time movement
+        "decontam_longest_run",     # n-gram hit runs: match-join + window
+        "dag_critical_path",        # iterative longest-path fold
+        "text_vocab_coverage",      # frequency-ranked coverage curve
     ]
     return {n: qs[n][0] for n in names if n in qs}
 

@@ -274,24 +274,66 @@ def build_scaled_dir(spark, chain: str, k: int) -> str:
     return out
 
 
-def run_chain(spark, chain: str, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
-    """(timings, counts): a ``count:`` chain entry records the entry's
-    row count (candidate mass etc.) instead of a noop write — the
-    cardinality column scale curves need next to wall time."""
+def _exec_metrics(spark) -> tuple[int, int, int]:
+    """Cumulative (memorySpilled, diskSpilled, shuffleWrite) bytes across
+    all completed stages, read from the app status store — per-entry
+    DELTAS of these are the diagnosis column for a superlinear wall leg
+    (VERDICT r6 task 4: linear-on-paper plans whose measured wall jumps
+    are either spill or a plan change; the fingerprint gate covers plans,
+    this covers spill). Returns (-1,-1,-1) if the internal API moves."""
+    try:
+        from py4j.java_gateway import JavaObject  # noqa: F401
+
+        sc = spark.sparkContext
+        jvm = sc._jvm
+        empty = jvm.java.util.Collections.emptyList()
+        # AppStatusStore.stageList(JList[StageStatus], boolean details,
+        # boolean withSummaries, double[] quantiles, JList[TaskStatus])
+        empty_doubles = sc._gateway.new_array(jvm.double, 0)
+        seq = (
+            sc._jsc.sc()
+            .statusStore()
+            .stageList(empty, False, False, empty_doubles, empty)
+        )
+        mem = disk = shuf = 0
+        for i in range(seq.size()):
+            s = seq.apply(i)
+            mem += s.memoryBytesSpilled()
+            disk += s.diskBytesSpilled()
+            shuf += s.shuffleWriteBytes()
+        return mem, disk, shuf
+    except Exception:
+        return -1, -1, -1
+
+
+def run_chain(spark, chain: str, sf_dir: str):
+    """(timings, counts, spill): a ``count:`` chain entry records the
+    entry's row count (candidate mass etc.) instead of a noop write — the
+    cardinality column scale curves need next to wall time. ``spill``
+    records per-entry (spill_mb, shuffle_write_mb) deltas."""
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
+    spill: dict[str, dict] = {}
     for name, fn in CHAINS[chain]():
         try:
             spark._jvm.System.gc()
         except Exception:
             pass
+        m0, d0, s0 = _exec_metrics(spark)
         t0 = time.time()
         if name.startswith("count:"):
             counts[name[len("count:") :]] = fn(spark, sf_dir).count()
         else:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
-    return timings, counts
+        m1, d1, s1 = _exec_metrics(spark)
+        if m0 >= 0 and m1 >= 0:
+            spill[name] = {
+                "mem_spill_mb": round((m1 - m0) / 1e6, 1),
+                "disk_spill_mb": round((d1 - d0) / 1e6, 1),
+                "shuffle_write_mb": round((s1 - s0) / 1e6, 1),
+            }
+    return timings, counts, spill
 
 
 def run_single(chain: str, k: int) -> None:
@@ -300,16 +342,17 @@ def run_single(chain: str, k: int) -> None:
     points (a shared session measured 58s for a build a fresh one does in
     7.7s at k=10)."""
     from kalytical_spark import catalog
-    from kalytical_spark.session import get_spark
+    from kalytical_spark.session import get_spark, warm_python_workers
 
     spark = get_spark("kalytical_scale_bench")
     sf_dir = build_scaled_dir(spark, chain, k)
     catalog.register(spark, sf_dir)
+    warm_python_workers(spark)  # fleet cold start is not a scale curve
     n_rows = spark.read.parquet(
         os.path.join(sf_dir, _SCALED_TABLE[chain])
     ).count()
     t0 = time.time()
-    timings, counts = run_chain(spark, chain, sf_dir)
+    timings, counts, spill = run_chain(spark, chain, sf_dir)
     out = {
         "n_rows": n_rows,
         "chain_total_sec": round(time.time() - t0, 3),
@@ -317,6 +360,8 @@ def run_single(chain: str, k: int) -> None:
     }
     if counts:
         out["counts"] = counts
+    if spill:
+        out["spill"] = spill
     print("RESULT" + json.dumps(out))
 
 
