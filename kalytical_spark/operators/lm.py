@@ -657,3 +657,235 @@ QUERIES["text_perplexity_source_report"] = (
     text_perplexity_source_report,
     ORACLE_PPL_SOURCE,
 )
+
+
+# ---------------------------------------------------------------------------
+# Data valuation: per-source leave-one-out influence on held-out LM loss
+# (the exact-LOO member of the Data Shapley family, Ghorbani & Zou 2019 —
+# "what does each data source contribute to model quality?"). Because the
+# Laplace bigram LM is a pure count table, the model trained WITHOUT
+# source s is computable in closed form (count subtraction), so the LOO
+# retrain — normally the prohibitive part of data valuation — is one
+# grouped aggregate, and the whole valuation is SQL-provable.
+
+
+def docs_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each source s: held-out corpus NLL under the LM trained on all
+    train docs EXCEPT source s, vs under the full train LM. influence =
+    nll_loo - nll_full (positive: removing s hurts the model, so s was
+    contributing useful signal; negative: s was noise). The per-row LOO
+    arithmetic subtracts source-s counts from the full tables:
+
+        c12_loo = c12 - c12_s ; c1_loo = c1 - c1_s ; N_loo = N - N_s
+        V_loo   = |{t : cu_t > cu_{t,s}}|  (types surviving the removal)
+
+    and applies text_perplexity_filter's exact Laplace expression, taking
+    the unigram-fallback branch when the history w1 vanishes with s.
+
+    Determinism: one ln per (scored bigram, source) row quantized to
+    micro-nats, BIGINT sums. nll_full is recomputed in the same rows and
+    emitted per source as a cross-check column (identical for every s by
+    construction — a value-level canary for the join fan-out).
+
+    Scale: the exploded frame is |held-out bigrams| x |sources| — the
+    held-out eval set is the small side at production scale (CCNet-style
+    valuation scores a fixed eval corpus, not the crawl); model joins
+    stay shuffle_hash on token keys, per-source scalars ride a broadcast."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    split = docs.withColumn("b", _bucket(F.col("doc_id")))
+    train = split.filter(F.col("b") < SB_TRAIN_LT).select("source", "text")
+    score = split.filter(F.col("b") >= SB_TRAIN_LT).select("doc_id", "text")
+
+    tr_bg = (
+        train.filter(F.size(F.split(F.col("text"), " ")) >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.split(F.col("text"), " "), 1, F.size(F.split(F.col("text"), " ")) - 1).alias("w1"),
+                    F.slice(F.split(F.col("text"), " "), 2, F.size(F.split(F.col("text"), " ")) - 1).alias("w2"),
+                )
+            ).alias("bgr"),
+        )
+        .select("source", F.col("bgr.w1").alias("w1"), F.col("bgr.w2").alias("w2"))
+    )
+    c12 = tr_bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c12_s = tr_bg.groupBy("source", "w1", "w2").agg(F.count("*").alias("c12_s"))
+    tr_tok = train.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    cu = tr_tok.groupBy("tok").agg(F.count("*").alias("cu"))
+    cu_s = tr_tok.groupBy("source", "tok").agg(F.count("*").alias("cu_s"))
+    # per-source scalars: train tokens removed with s, and surviving vocab
+    per_src = (
+        cu_s.join(cu, "tok")
+        .groupBy("source")
+        .agg(
+            F.sum("cu_s").cast("bigint").alias("n_s"),
+            F.sum(F.when(F.col("cu") > F.col("cu_s"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("v_lost"),
+        )
+    )
+    totals = tr_tok.groupBy().agg(
+        F.count("*").alias("n_train"), F.countDistinct("tok").alias("v_train")
+    )
+    sources = docs.select("source").distinct()
+
+    sc_bg = _bigrams(score).select("w1", "w2")
+    exploded = (
+        sc_bg.crossJoin(F.broadcast(sources))
+        .join(c12.hint("shuffle_hash"), ["w1", "w2"], "left")
+        .join(c12_s.hint("shuffle_hash"), ["source", "w1", "w2"], "left")
+        .join(
+            cu.select(F.col("tok").alias("w1"), F.col("cu").alias("c1")).hint("shuffle_hash"),
+            "w1",
+            "left",
+        )
+        .join(
+            cu_s.select(
+                F.col("source").alias("source"), F.col("tok").alias("w1"), F.col("cu_s").alias("c1_s")
+            ).hint("shuffle_hash"),
+            ["source", "w1"],
+            "left",
+        )
+        .join(
+            cu.select(F.col("tok").alias("w2"), F.col("cu").alias("c2")).hint("shuffle_hash"),
+            "w2",
+            "left",
+        )
+        .join(
+            cu_s.select(
+                F.col("source").alias("source"), F.col("tok").alias("w2"), F.col("cu_s").alias("c2_s")
+            ).hint("shuffle_hash"),
+            ["source", "w2"],
+            "left",
+        )
+        .join(F.broadcast(per_src), "source", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    nll = exploded.select(
+        "source",
+        F.expr(
+            "CAST(ROUND(ln(CASE WHEN c1 IS NOT NULL THEN"
+            " CAST(c1 + v_train AS DOUBLE) / CAST(coalesce(c12, 0) + 1 AS DOUBLE)"
+            " ELSE CAST(n_train + v_train AS DOUBLE) / CAST(coalesce(c2, 0) + 1 AS DOUBLE)"
+            " END) * 1e6) AS BIGINT)"
+        ).alias("nll_full_micro"),
+        F.expr(
+            "CAST(ROUND(ln(CASE WHEN coalesce(c1, 0) - coalesce(c1_s, 0) > 0 THEN"
+            " CAST((coalesce(c1, 0) - coalesce(c1_s, 0))"
+            "      + (v_train - coalesce(v_lost, 0)) AS DOUBLE)"
+            " / CAST((coalesce(c12, 0) - coalesce(c12_s, 0)) + 1 AS DOUBLE)"
+            " ELSE CAST((n_train - coalesce(n_s, 0))"
+            "           + (v_train - coalesce(v_lost, 0)) AS DOUBLE)"
+            " / CAST((coalesce(c2, 0) - coalesce(c2_s, 0)) + 1 AS DOUBLE)"
+            " END) * 1e6) AS BIGINT)"
+        ).alias("nll_loo_micro"),
+    )
+    return (
+        nll.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("nll_full_micro").cast("bigint").alias("nll_full_micro"),
+            F.sum("nll_loo_micro").cast("bigint").alias("nll_loo_micro"),
+            (F.sum("nll_loo_micro") - F.sum("nll_full_micro"))
+            .cast("bigint")
+            .alias("influence_micro"),
+        )
+        .select(
+            "source",
+            "n_bigrams",
+            "nll_full_micro",
+            "nll_loo_micro",
+            "influence_micro",
+            F.expr("CAST((1000 * influence_micro) div n_bigrams AS BIGINT)").alias(
+                "influence_milli_per_kbigram"
+            ),
+        )
+    )
+
+
+ORACLE_SOURCE_INFLUENCE = f"""
+WITH si_split AS (
+  SELECT doc_id, source, text,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) AS b
+  FROM documents
+), si_train AS (
+  SELECT source, text FROM si_split WHERE b < {SB_TRAIN_LT}
+), si_score AS (
+  SELECT doc_id, text FROM si_split WHERE b >= {SB_TRAIN_LT}
+), si_tr_bg AS (
+  SELECT source, ts[i] AS w1, ts[i+1] AS w2
+  FROM (SELECT source, string_split(text, ' ') AS ts FROM si_train),
+       unnest(range(1, len(ts))) AS u(i)
+  WHERE len(ts) >= 2
+), si_c12 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM si_tr_bg GROUP BY 1, 2
+), si_c12_s AS (
+  SELECT source, w1, w2, CAST(COUNT(*) AS BIGINT) AS c12_s
+  FROM si_tr_bg GROUP BY 1, 2, 3
+), si_tr_tok AS (
+  SELECT source, tok
+  FROM (SELECT source, string_split(text, ' ') AS ts FROM si_train),
+       unnest(ts) AS u(tok)
+), si_cu AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu FROM si_tr_tok GROUP BY 1
+), si_cu_s AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cu_s FROM si_tr_tok GROUP BY 1, 2
+), si_per_src AS (
+  SELECT s.source,
+         CAST(SUM(s.cu_s) AS BIGINT) AS n_s,
+         CAST(SUM(CASE WHEN c.cu > s.cu_s THEN 0 ELSE 1 END) AS BIGINT) AS v_lost
+  FROM si_cu_s s JOIN si_cu c USING (tok)
+  GROUP BY 1
+), si_tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
+         CAST(COUNT(DISTINCT tok) AS BIGINT) AS v_train
+  FROM si_tr_tok
+), si_sources AS (
+  SELECT DISTINCT source FROM documents
+), si_sc_bg AS (
+  SELECT ts[i] AS w1, ts[i+1] AS w2
+  FROM (SELECT string_split(text, ' ') AS ts FROM si_score),
+       unnest(range(1, len(ts))) AS u(i)
+  WHERE len(ts) >= 2
+), si_nll AS (
+  SELECT x.source,
+         CAST(ROUND(ln(CASE WHEN u1.cu IS NOT NULL THEN
+                CAST(u1.cu + t.v_train AS DOUBLE)
+                / CAST(COALESCE(c.c12, 0) + 1 AS DOUBLE)
+              ELSE CAST(t.n_train + t.v_train AS DOUBLE)
+                / CAST(COALESCE(u2.cu, 0) + 1 AS DOUBLE)
+              END) * 1e6) AS BIGINT) AS nll_full_micro,
+         CAST(ROUND(ln(CASE WHEN COALESCE(u1.cu, 0) - COALESCE(s1.cu_s, 0) > 0 THEN
+                CAST((COALESCE(u1.cu, 0) - COALESCE(s1.cu_s, 0))
+                     + (t.v_train - COALESCE(p.v_lost, 0)) AS DOUBLE)
+                / CAST((COALESCE(c.c12, 0) - COALESCE(cs.c12_s, 0)) + 1 AS DOUBLE)
+              ELSE CAST((t.n_train - COALESCE(p.n_s, 0))
+                        + (t.v_train - COALESCE(p.v_lost, 0)) AS DOUBLE)
+                / CAST((COALESCE(u2.cu, 0) - COALESCE(s2.cu_s, 0)) + 1 AS DOUBLE)
+              END) * 1e6) AS BIGINT) AS nll_loo_micro
+  FROM (SELECT b.w1, b.w2, src.source FROM si_sc_bg b CROSS JOIN si_sources src) x
+  LEFT JOIN si_c12 c ON c.w1 = x.w1 AND c.w2 = x.w2
+  LEFT JOIN si_c12_s cs ON cs.source = x.source AND cs.w1 = x.w1 AND cs.w2 = x.w2
+  LEFT JOIN si_cu u1 ON u1.tok = x.w1
+  LEFT JOIN si_cu_s s1 ON s1.source = x.source AND s1.tok = x.w1
+  LEFT JOIN si_cu u2 ON u2.tok = x.w2
+  LEFT JOIN si_cu_s s2 ON s2.source = x.source AND s2.tok = x.w2
+  LEFT JOIN si_per_src p ON p.source = x.source
+  CROSS JOIN si_tot t
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(nll_full_micro) AS BIGINT) AS nll_full_micro,
+       CAST(SUM(nll_loo_micro) AS BIGINT) AS nll_loo_micro,
+       CAST(SUM(nll_loo_micro) - SUM(nll_full_micro) AS BIGINT) AS influence_micro,
+       CAST((1000 * (SUM(nll_loo_micro) - SUM(nll_full_micro))) // COUNT(*) AS BIGINT)
+         AS influence_milli_per_kbigram
+FROM si_nll
+GROUP BY source
+"""
+
+
+QUERIES["docs_source_influence"] = (docs_source_influence, ORACLE_SOURCE_INFLUENCE)

@@ -88,3 +88,43 @@ def test_heaps_fit_shape(spark):
     # intercept is ln K in milli-nats; V(n) <= n forces lnK <= (1-beta)lnN,
     # and on any non-empty corpus the fitted line must pass sanity
     assert r.logk_milli < 30_000
+
+
+def test_perplexity_filter_invariants(spark):
+    rows = lm.text_perplexity_filter(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        # Laplace NLL is non-negative (every ratio >= 1: c12 <= c1, c2 <= N)
+        assert 0 <= r.avg_nll_micro
+        assert r.h_micro // r.n_bigrams == r.avg_nll_micro
+        assert r.keep == (r.avg_nll_micro < lm.PPL_BAR_MICRO)
+    # the median-placed bar must genuinely split the corpus
+    keeps = [r.keep for r in rows]
+    assert any(keeps) and not all(keeps)
+
+
+def test_perplexity_source_report_accounts_for_every_scored_doc(spark):
+    per_doc = lm.text_perplexity_filter(spark, SF_ORACLE).collect()
+    report = {r.source: r for r in
+              lm.text_perplexity_source_report(spark, SF_ORACLE).collect()}
+    assert sum(r.n_docs for r in report.values()) == len(per_doc)
+    for r in report.values():
+        assert 0 <= r.n_keep <= r.n_docs
+        assert r.keep_rate_milli == (1000 * r.n_keep) // r.n_docs
+
+
+def test_source_influence_canary_and_structure(spark):
+    rows = lm.docs_source_influence(spark, SF_ORACLE).collect()
+    assert rows
+    # the full-model NLL is recomputed inside the exploded per-source
+    # frame: identical across sources or the join fanned out wrong
+    fulls = {r.nll_full_micro for r in rows}
+    assert len(fulls) == 1
+    ns = {r.n_bigrams for r in rows}
+    assert len(ns) == 1
+    per_doc = lm.text_perplexity_filter(spark, SF_ORACLE).collect()
+    # and it equals the perplexity filter's corpus total (same expression)
+    assert fulls.pop() == sum(r.h_micro for r in per_doc)
+    assert ns.pop() == sum(r.n_bigrams for r in per_doc)
+    for r in rows:
+        assert r.influence_micro == r.nll_loo_micro - r.nll_full_micro
