@@ -188,6 +188,7 @@ def main() -> None:
                 "incubation",
                 "statev2_ledger",
                 "holt_forecaster",
+                "sprt_monitor",
                 "hll_sink",
                 "cms_sink",
                 "quantile_sink",

@@ -1405,3 +1405,144 @@ QUERIES: dict[str, tuple] = {
     "events_cumulative_users": (events_cumulative_users, ORACLE_CUMULATIVE_USERS),
     "events_window_suite": (events_window_suite, ORACLE_WINDOW_SUITE),
 }
+
+
+# ---------------------------------------------------------------------------
+# Online CUSUM monitor against a FROZEN reference (Page 1954): the
+# deployment shape of CUSUM — events_cusum_changepoints above is the
+# retrospective scan (statistic uses the whole series), which cannot
+# stream; the monitor form fixes the reference from the series' first
+# week and folds each new day through S+ = max(0, S+ + dev - slack) /
+# S- = max(0, S- - dev - slack), which IS streamable and has a
+# transformWithState twin (streaming/statev2.CusumMonitorProcessor,
+# proven e2e == this operator).
+
+CUSUM_REF_DAYS = 7  # reference window: the series' first week
+CUSUM_SLACK_MILLI = 50  # k (allowance) = 5% of the reference mean
+CUSUM_MON_H_MILLI = 500  # alarm when S exceeds 0.5 x ref_total (scaled)
+
+
+def events_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided online CUSUM per event type: reference (total, n_days)
+    is the first CUSUM_REF_DAYS calendar days; monitored days (strictly
+    after the window) fold dev_t = ref_days*x_t - ref_total through the
+    clamped recurrences. Exactness: dev is integer (ref_days-scaled, so
+    the rational reference mean never materializes), slack is one
+    truncating div of ref_total, and the max(0, .) folds are computed by
+    the classic identities
+
+        S+_t = D_t - least(0, min_{j<=t} D_j),   D_t = cumsum(dev - slack)
+        S-_t = greatest(0, max_{j<=t} E_j) - E_t, E_t = cumsum(dev + slack)
+
+    so the whole scan is two exact-integer running windows — no UDF, and
+    bit-equal to the sequential fold the streaming twin runs.
+
+    Scale: one map-side-combinable daily rollup; windows run per type
+    over |days| rows. The reference is a per-type broadcast-sized dim."""
+    ev = t(spark, sf_dir, "events_ms")
+    daily = (
+        ev.select(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("bigint").alias("daily_n"))
+    )
+    ref = (
+        daily.withColumn(
+            "min_day", F.min("day").over(W.partitionBy("event_type"))
+        )
+        .filter(F.col("day") < F.date_add(F.col("min_day"), CUSUM_REF_DAYS))
+        .groupBy("event_type")
+        .agg(
+            F.sum("daily_n").cast("bigint").alias("ref_total"),
+            F.count("*").cast("bigint").alias("ref_days"),
+            F.date_add(F.min("day"), CUSUM_REF_DAYS).alias("mon_start"),
+        )
+    )
+    mon = daily.join(F.broadcast(ref), "event_type").filter(
+        F.col("day") >= F.col("mon_start")
+    )
+    dev = (F.col("ref_days") * F.col("daily_n") - F.col("ref_total")).cast("bigint")
+    slack = F.expr(f"CAST(({CUSUM_SLACK_MILLI} * ref_total) div 1000 AS BIGINT)")
+    wcum = (
+        W.partitionBy("event_type").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    )
+    scan = mon.select(
+        "event_type",
+        "day",
+        "daily_n",
+        "ref_total",
+        "ref_days",
+        F.sum(dev - slack).over(wcum).alias("d_cum"),
+        F.sum(dev + slack).over(wcum).alias("e_cum"),
+    ).select(
+        "event_type",
+        "day",
+        "daily_n",
+        "ref_total",
+        "ref_days",
+        (
+            F.col("d_cum")
+            - F.least(F.lit(0).cast("bigint"), F.min("d_cum").over(wcum))
+        )
+        .cast("bigint")
+        .alias("s_plus"),
+        (
+            F.greatest(F.lit(0).cast("bigint"), F.max("e_cum").over(wcum))
+            - F.col("e_cum")
+        )
+        .cast("bigint")
+        .alias("s_minus"),
+    )
+    h = F.expr(f"CAST(({CUSUM_MON_H_MILLI} * ref_total) div 1000 AS BIGINT)")
+    return scan.select(
+        "event_type",
+        "day",
+        "daily_n",
+        "s_plus",
+        "s_minus",
+        (F.greatest("s_plus", "s_minus") > h).alias("alarm"),
+    )
+
+
+ORACLE_CUSUM_MONITOR = f"""
+WITH cm_daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS daily_n
+  FROM events_ms GROUP BY 1, 2
+), cm_ref AS (
+  SELECT event_type,
+         CAST(SUM(daily_n) AS BIGINT) AS ref_total,
+         CAST(COUNT(*) AS BIGINT) AS ref_days,
+         MIN(min_day) + INTERVAL {CUSUM_REF_DAYS} DAY AS mon_start
+  FROM (SELECT *, MIN(day) OVER (PARTITION BY event_type) AS min_day
+        FROM cm_daily)
+  WHERE day < min_day + INTERVAL {CUSUM_REF_DAYS} DAY
+  GROUP BY 1
+), cm_scan AS (
+  SELECT d.event_type, d.day, d.daily_n, r.ref_total, r.ref_days,
+         SUM(r.ref_days * d.daily_n - r.ref_total
+             - ({CUSUM_SLACK_MILLI} * r.ref_total) // 1000)
+           OVER (PARTITION BY d.event_type ORDER BY d.day
+                 ROWS UNBOUNDED PRECEDING) AS d_cum,
+         SUM(r.ref_days * d.daily_n - r.ref_total
+             + ({CUSUM_SLACK_MILLI} * r.ref_total) // 1000)
+           OVER (PARTITION BY d.event_type ORDER BY d.day
+                 ROWS UNBOUNDED PRECEDING) AS e_cum
+  FROM cm_daily d JOIN cm_ref r USING (event_type)
+  WHERE d.day >= r.mon_start
+), cm_s AS (
+  SELECT event_type, day, daily_n, ref_total,
+         CAST(d_cum - LEAST(0, MIN(d_cum) OVER (PARTITION BY event_type
+              ORDER BY day ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS s_plus,
+         CAST(GREATEST(0, MAX(e_cum) OVER (PARTITION BY event_type
+              ORDER BY day ROWS UNBOUNDED PRECEDING)) - e_cum AS BIGINT) AS s_minus
+  FROM cm_scan
+)
+SELECT event_type, day, daily_n, s_plus, s_minus,
+       GREATEST(s_plus, s_minus) > ({CUSUM_MON_H_MILLI} * ref_total) // 1000
+         AS alarm
+FROM cm_s
+"""
+
+QUERIES["events_cusum_monitor"] = (events_cusum_monitor, ORACLE_CUSUM_MONITOR)

@@ -808,3 +808,160 @@ def sprt_monitor_stream(
             timeMode="EventTime",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM monitor: the twin of operators/timeseries.
+# events_cusum_monitor — an online Page (1954) CUSUM against a FROZEN
+# per-type reference (fit batch-side from the series' first week and
+# shipped with the processor, the PSI convention). The batch operator
+# computes the clamped recurrences via the cumsum/running-extreme window
+# identities; the stream folds the SAME exact integers sequentially, so
+# the two are equal by construction, not approximately.
+
+
+CUSUM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("day", T.TimestampType()),
+        T.StructField("daily_n", T.LongType()),
+        T.StructField("s_plus", T.LongType()),
+        T.StructField("s_minus", T.LongType()),
+        T.StructField("alarm", T.BooleanType()),
+    ]
+)
+
+_CUSUM_DAY_KEY = T.StructType([T.StructField("day_ms", T.LongType())])
+_CUSUM_DAY_VAL = T.StructType([T.StructField("n", T.LongType())])
+_CUSUM_WALK = T.StructType(
+    [
+        T.StructField("s_plus", T.LongType()),
+        T.StructField("s_minus", T.LongType()),
+    ]
+)
+
+
+class CusumMonitorProcessor(StatefulProcessor):
+    """Keyed by event_type: open days accumulate counts in a MapState;
+    event-time timers fold due days in calendar order through
+
+        s_plus  = max(0, s_plus  + dev - slack)
+        s_minus = max(0, s_minus - dev - slack),  dev = ref_days*n - ref_total
+
+    and emit one monitor row per closed day. Days before the key's
+    monitor start (the reference window the baseline was fit on) are
+    dropped on input, and unknown types are ignored — a monitor watches
+    the universe its baseline covers."""
+
+    def __init__(
+        self,
+        refs: dict[str, tuple[int, int]],
+        mon_start_ms: dict[str, int],
+        slack_milli: int,
+        h_milli: int,
+    ) -> None:
+        self._refs = {k: (int(a), int(b)) for k, (a, b) in refs.items()}
+        self._start = {k: int(v) for k, v in mon_start_ms.items()}
+        self._slack_milli = int(slack_milli)
+        self._h_milli = int(h_milli)
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._days = handle.getMapState("days", _CUSUM_DAY_KEY, _CUSUM_DAY_VAL)
+        self._walk = handle.getValueState("walk", _CUSUM_WALK)
+
+    @staticmethod
+    def _ms(ts) -> int:
+        return int(pd.Timestamp(ts).value // 1_000_000)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        et = key[0]
+        if et not in self._refs:
+            return iter(())
+        start = self._start.get(et, 0)
+        batch: dict[int, int] = {}
+        for pdf in rows:
+            for d, c in pdf["day"].value_counts().items():
+                ms = self._ms(d)
+                if ms >= start:
+                    batch[ms] = batch.get(ms, 0) + int(c)
+        for day_ms, n in batch.items():
+            prev = (
+                self._days.getValue((day_ms,))[0]
+                if self._days.containsKey((day_ms,))
+                else 0
+            )
+            self._days.updateValue((day_ms,), (prev + n,))
+            self._handle.registerTimer(day_ms + DAY_MS)
+        return iter(())
+
+    def handleExpiredTimer(
+        self, key, timerValues, expiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        et = key[0]
+        ref = self._refs.get(et)
+        if ref is None:
+            return
+        ref_total, ref_days = ref
+        slack = (self._slack_milli * ref_total) // 1000
+        h = (self._h_milli * ref_total) // 1000
+        expiry = expiredTimerInfo.getExpiryTimeInMs()
+        due = sorted(
+            k[0] for k, _v in self._days.iterator() if k[0] + DAY_MS <= expiry
+        )
+        if not due:
+            return
+        s_plus, s_minus = (
+            self._walk.get() if self._walk.exists() else (0, 0)
+        )
+        out = []
+        for day_ms in due:
+            n = self._days.getValue((day_ms,))[0]
+            dev = ref_days * n - ref_total
+            s_plus = max(0, s_plus + dev - slack)
+            s_minus = max(0, s_minus - dev - slack)
+            out.append(
+                {
+                    "event_type": et,
+                    "day": pd.Timestamp(day_ms, unit="ms"),
+                    "daily_n": n,
+                    "s_plus": s_plus,
+                    "s_minus": s_minus,
+                    "alarm": max(s_plus, s_minus) > h,
+                }
+            )
+            self._days.removeKey((day_ms,))
+        self._walk.update((s_plus, s_minus))
+        yield pd.DataFrame(out)
+
+    def close(self) -> None:
+        pass
+
+
+def cusum_monitor_stream(
+    events_stream: DataFrame,
+    refs: dict[str, tuple[int, int]],
+    mon_start_ms: dict[str, int],
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Wire the CUSUM monitor: needs (event_type, ts); the slack/threshold
+    literals come from the batch operator so the twins cannot diverge."""
+    from pyspark.sql import functions as F
+
+    from ..operators.timeseries import CUSUM_MON_H_MILLI, CUSUM_SLACK_MILLI
+
+    return (
+        events_stream.select(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .withWatermark("day", watermark)
+        .groupBy("event_type")
+        .transformWithStateInPandas(
+            statefulProcessor=CusumMonitorProcessor(
+                refs, mon_start_ms, CUSUM_SLACK_MILLI, CUSUM_MON_H_MILLI
+            ),
+            outputStructType=CUSUM_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )

@@ -1076,3 +1076,155 @@ def test_sprt_stream_matches_batch_operator(spark):
         g0 = None if g.h0_cross_day is None else g.h0_cross_day.date()
         assert g1 == b.h1_cross_day and g0 == b.h0_cross_day, arm
         assert g.decision == b.decision, arm
+
+
+# ---------------------------------------------------------------------------
+# CusumMonitorProcessor: the frozen-reference online CUSUM twin
+
+
+def test_cusum_processor_split_invariant():
+    """Final walk identical across micro-batch splits and across timer
+    granularity, and equal to a direct clamped fold."""
+    ref_total, ref_days = 70, 7  # mean 10/day
+    slack = (50 * ref_total) // 1000
+    h = (500 * ref_total) // 1000
+    day0 = pd.Timestamp("2026-03-01")
+    counts = [10, 14, 13, 2, 2, 11]  # up-run then a crash then recovery
+    rows = []
+    for i, n in enumerate(counts):
+        rows += [(day0 + pd.Timedelta(days=i),)] * n
+    day_ms = [
+        int((day0 + pd.Timedelta(days=i)).value // 1_000_000)
+        for i in range(len(counts))
+    ]
+
+    def run(splits, timer_points):
+        proc = statev2.CusumMonitorProcessor(
+            {"click": (ref_total, ref_days)}, {"click": 0}, 50, 500
+        )
+        proc.init(_FakePsiHandle())
+        prev = 0
+        for s in [*splits, len(rows)]:
+            if s <= prev:
+                continue
+            ch = rows[prev:s]
+            prev = s
+            pdf = pd.DataFrame({"day": [d for d, in ch]})
+            list(proc.handleInputRows(("click",), iter([pdf]), None))
+        outs = []
+        for tp in timer_points:
+            for df in proc.handleExpiredTimer(("click",), None, _FakeExpiredTimer(tp)):
+                outs.append(df)
+        got = pd.concat(outs, ignore_index=True)
+        return [
+            (r["day"], int(r["daily_n"]), int(r["s_plus"]), int(r["s_minus"]),
+             bool(r["alarm"]))
+            for _, r in got.iterrows()
+        ]
+
+    per_day = [d + statev2.DAY_MS for d in day_ms]
+    a = run([7, 30], per_day)
+    b = run([1, 2, 3, 44], per_day)
+    c = run([], [day_ms[-1] + statev2.DAY_MS])
+    assert a == b == c and len(a) == len(counts)
+
+    sp = sm = 0
+    for i, n in enumerate(counts):
+        dev = ref_days * n - ref_total
+        sp = max(0, sp + dev - slack)
+        sm = max(0, sm - dev - slack)
+        assert a[i][1:] == (n, sp, sm, max(sp, sm) > h), i
+    # the fixture must exercise clamps and both alarm outcomes
+    assert any(x[4] for x in a) and not all(x[4] for x in a)
+
+
+@pytest.mark.skipif(not _HAS_PROTOBUF, reason="no protobuf runtime")
+def test_cusum_stream_matches_batch_operator(spark):
+    """E2e through the real state server: per-(type, day) monitor rows
+    emitted by the stream equal the batch operator exactly — same frozen
+    reference, same integer recurrence."""
+    from kalytical_spark.operators import timeseries
+
+    catalog.register(spark, SF_SMALL)
+    batch = {
+        (r.event_type, pd.Timestamp(r.day)): (r.daily_n, r.s_plus, r.s_minus, r.alarm)
+        for r in timeseries.events_cusum_monitor(spark, SF_SMALL).collect()
+    }
+    assert batch
+    # fit the same reference the batch operator derives (first week)
+    daily = (
+        spark.table("events_ms")
+        .select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .count()
+    )
+    refs: dict = {}
+    starts: dict = {}
+    for r in daily.collect():
+        refs.setdefault(r.event_type, []).append((pd.Timestamp(r.day), r["count"]))
+    ref_map = {}
+    for et, pairs in refs.items():
+        pairs.sort()
+        d0 = pairs[0][0]
+        cutoff = d0 + pd.Timedelta(days=timeseries.CUSUM_REF_DAYS)
+        inside = [(d, c) for d, c in pairs if d < cutoff]
+        ref_map[et] = (sum(c for _, c in inside), len(inside))
+        starts[et] = int(cutoff.value // 1_000_000)
+
+    ev = spark.table("events_ms").select("event_id", "event_type", "ts")
+    events = [(int(r.event_id), r.event_type, r.ts) for r in ev.collect()]
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events")
+        os.makedirs(src)
+        ordered = sorted(events, key=lambda e: (e[2], e[0]))
+        third = max(1, len(ordered) // 3)
+        chunks = [ordered[:third], ordered[third : 2 * third], ordered[2 * third :]]
+        sentinel_t = max(t for _, _, t in events) + pd.Timedelta(days=365)
+        chunks.append([(10**9, "__sentinel__", sentinel_t)])
+        for i, ch in enumerate(chunks):
+            pdf = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "event_id": [e for e, _, _ in ch],
+                        "event_type": [et for _, et, _ in ch],
+                        "ts": [t for _, _, t in ch],
+                    }
+                ),
+                schema=ev.schema,
+            )
+            pdf.coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "b*"))
+        )
+        q = (
+            statev2.cusum_monitor_stream(stream, ref_map, starts)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("cusum_e2e")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(180)
+        finally:
+            q.stop()
+        rows = spark.sql("SELECT * FROM cusum_e2e").collect()
+    if prev is not None:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    got = {
+        (r.event_type, pd.Timestamp(r.day)): (r.daily_n, r.s_plus, r.s_minus, r.alarm)
+        for r in rows
+    }
+    assert got == batch
