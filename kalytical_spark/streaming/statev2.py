@@ -965,3 +965,160 @@ def cusum_monitor_stream(
             timeMode="EventTime",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming split-conformal coverage monitor: the deployment form of
+# operators/drift.events_conformal_interval — the model (integer OLS fit
+# + calibration-quantile residual q_r) is fit batch-side and FROZEN
+# (drift.conformal_fit_params); the stream replays the operator's exact
+# integer residual test on each closed held-out (odd-index) day and
+# maintains running coverage. Completes the monitor-twin set: PSI, Holt,
+# SPRT, CUSUM, conformal.
+
+
+CONFORMAL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("day", T.TimestampType()),
+        T.StructField("x", T.LongType()),
+        T.StructField("c", T.LongType()),
+        T.StructField("covered", T.BooleanType()),
+        T.StructField("n_test", T.LongType()),
+        T.StructField("n_covered", T.LongType()),
+        T.StructField("coverage_milli", T.LongType()),
+    ]
+)
+
+_CONF_DAY_KEY = T.StructType([T.StructField("day_ms", T.LongType())])
+_CONF_DAY_VAL = T.StructType([T.StructField("n", T.LongType())])
+_CONF_WALK = T.StructType(
+    [
+        T.StructField("last_x", T.LongType()),
+        T.StructField("n_test", T.LongType()),
+        T.StructField("n_covered", T.LongType()),
+    ]
+)
+
+
+class ConformalMonitorProcessor(StatefulProcessor):
+    """Keyed by event_type. Open days accumulate counts in a MapState;
+    event-time timers fold due days in calendar order, ZERO-FILLING any
+    calendar gap first (the batch operator's dense-grid semantics, the
+    Holt convention), and each odd-index day runs the frozen integer
+    residual test |k·den·c − k·a_num·x − sy·den + a_num·sx| <= q_r.
+    Even-index days are the calibration set the model was fit on and are
+    skipped. One monitor row per closed REAL day carries the running
+    (n_test, n_covered, coverage_milli) — the stream's final row per
+    type equals the batch operator's coverage columns when the type's
+    series spans the grid (asserted in the e2e test)."""
+
+    def __init__(self, params: dict[str, tuple[int, int, int, int, int, int, int]]):
+        # event_type -> (d0_ms, k, sx, sy, a_num, den, q_r)
+        self._p = {k: tuple(int(x) for x in v) for k, v in params.items()}
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._days = handle.getMapState("days", _CONF_DAY_KEY, _CONF_DAY_VAL)
+        self._walk = handle.getValueState("walk", _CONF_WALK)
+
+    @staticmethod
+    def _ms(ts) -> int:
+        return int(pd.Timestamp(ts).value // 1_000_000)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        if key[0] not in self._p:
+            return iter(())
+        batch: dict[int, int] = {}
+        for pdf in rows:
+            for d, c in pdf["day"].value_counts().items():
+                ms = self._ms(d)
+                batch[ms] = batch.get(ms, 0) + int(c)
+        for day_ms, n in batch.items():
+            prev = (
+                self._days.getValue((day_ms,))[0]
+                if self._days.containsKey((day_ms,))
+                else 0
+            )
+            self._days.updateValue((day_ms,), (prev + n,))
+            self._handle.registerTimer(day_ms + DAY_MS)
+        return iter(())
+
+    def handleExpiredTimer(
+        self, key, timerValues, expiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        et = key[0]
+        p = self._p.get(et)
+        if p is None:
+            return
+        d0_ms, k, sx, sy, a_num, den, q_r = p
+        expiry = expiredTimerInfo.getExpiryTimeInMs()
+        due = sorted(
+            kk[0] for kk, _v in self._days.iterator() if kk[0] + DAY_MS <= expiry
+        )
+        if not due:
+            return
+        last_x, n_test, n_cov = (
+            self._walk.get() if self._walk.exists() else (-1, 0, 0)
+        )
+
+        def fold(x: int, c: int) -> bool | None:
+            nonlocal n_test, n_cov
+            if x % 2 == 0:
+                return None  # calibration day: the model trained on it
+            abs_r = abs(k * den * c - k * a_num * x - sy * den + a_num * sx)
+            cov = abs_r <= q_r
+            n_test += 1
+            n_cov += int(cov)
+            return cov
+
+        out = []
+        for day_ms in due:
+            x = (day_ms - d0_ms) // DAY_MS
+            for gap_x in range(last_x + 1, x):  # dense-grid zero fill
+                fold(gap_x, 0)
+            c = self._days.getValue((day_ms,))[0]
+            covered = fold(x, c)
+            last_x = x
+            out.append(
+                {
+                    "event_type": et,
+                    "day": pd.Timestamp(day_ms, unit="ms"),
+                    "x": x,
+                    "c": c,
+                    "covered": covered,
+                    "n_test": n_test,
+                    "n_covered": n_cov,
+                    "coverage_milli": (1000 * n_cov) // n_test if n_test else 0,
+                }
+            )
+            self._days.removeKey((day_ms,))
+        self._walk.update((last_x, n_test, n_cov))
+        yield pd.DataFrame(out)
+
+    def close(self) -> None:
+        pass
+
+
+def conformal_monitor_stream(
+    events_stream: DataFrame,
+    params: dict[str, tuple[int, int, int, int, int, int, int]],
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Wire the conformal monitor: needs (event_type, ts); ``params`` is
+    drift.conformal_fit_params collected to a dict."""
+    from pyspark.sql import functions as F
+
+    return (
+        events_stream.select(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .withWatermark("day", watermark)
+        .groupBy("event_type")
+        .transformWithStateInPandas(
+            statefulProcessor=ConformalMonitorProcessor(params),
+            outputStructType=CONFORMAL_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )

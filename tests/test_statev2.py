@@ -1228,3 +1228,157 @@ def test_cusum_stream_matches_batch_operator(spark):
         for r in rows
     }
     assert got == batch
+
+
+# ---------------------------------------------------------------------------
+# ConformalMonitorProcessor: frozen split-conformal coverage twin
+
+
+def test_conformal_processor_split_invariant():
+    """Final coverage identical across splits/timer granularity and equal
+    to a direct fold of the frozen residual test over the dense grid."""
+    # model: y = 10 + x (a_num/den encode slope via k*sxy-sx*sy etc.);
+    # craft simple integers: k=3 calib days x=0,2,4 with y=10,12,14
+    xs, ys = [0, 2, 4], [10, 12, 14]
+    k = len(xs); sx = sum(xs); sy = sum(ys)
+    sxx = sum(x * x for x in xs); sxy = sum(x * y for x, y in zip(xs, ys))
+    a_num = k * sxy - sx * sy; den = k * sxx - sx * sx
+    # calibration residuals are 0, so q_r = 0: covered iff exactly on line
+    d0 = pd.Timestamp("2026-04-01")
+    d0_ms = int(d0.value // 1_000_000)
+    params = {"click": (d0_ms, k, sx, sy, a_num, den, 0)}
+    # real days x=1 (11 -> on line), x=3 (5 -> off line), x=7 (17 -> on;
+    # x=5 is a GAP day zero-filled -> off line)
+    day_counts = {1: 11, 3: 5, 7: 17}
+    rows = []
+    for x, n in day_counts.items():
+        rows += [(d0 + pd.Timedelta(days=x),)] * n
+
+    def run(splits, timer_points):
+        proc = statev2.ConformalMonitorProcessor(params)
+        proc.init(_FakePsiHandle())
+        prev = 0
+        for s in [*splits, len(rows)]:
+            if s <= prev:
+                continue
+            ch = rows[prev:s]
+            prev = s
+            list(proc.handleInputRows(("click",), iter([pd.DataFrame({"day": [d for d, in ch]})]), None))
+        outs = []
+        for tp in timer_points:
+            for df in proc.handleExpiredTimer(("click",), None, _FakeExpiredTimer(tp)):
+                outs.append(df)
+        got = pd.concat(outs, ignore_index=True)
+        return [
+            (int(r["x"]), int(r["c"]), r["covered"], int(r["n_test"]),
+             int(r["n_covered"]))
+            for _, r in got.iterrows()
+        ]
+
+    days_ms = [d0_ms + x * statev2.DAY_MS for x in day_counts]
+    per_day = [d + statev2.DAY_MS for d in days_ms]
+    a = run([5, 20], per_day)
+    b = run([1, 2, 3], per_day)
+    c = run([], [days_ms[-1] + statev2.DAY_MS])
+    assert a == b == c
+    # x=1 covered; x=3 uncovered; gap x=5 (zero) uncovered; x=7 covered
+    assert a == [
+        (1, 11, True, 1, 1),
+        (3, 5, False, 2, 1),
+        (7, 17, True, 4, 2),
+    ]
+
+
+@pytest.mark.skipif(not _HAS_PROTOBUF, reason="no protobuf runtime")
+def test_conformal_stream_matches_batch_operator(spark):
+    """E2e: the stream's final per-type coverage equals
+    events_conformal_interval exactly (same frozen model, same integer
+    residual test)."""
+    from kalytical_spark.operators import drift
+
+    catalog.register(spark, SF_SMALL)
+    batch = {
+        r.event_type: (r.n_test, r.n_covered, r.coverage_milli)
+        for r in drift.events_conformal_interval(spark, SF_SMALL).collect()
+    }
+    assert batch
+    params = {
+        r.event_type: (
+            int(pd.Timestamp(r.d0_day).value // 1_000_000),
+            r.k, r.sx, r.sy, r.a_num, r.den, r.q_r,
+        )
+        for r in drift.conformal_fit_params(spark, SF_SMALL).collect()
+    }
+    # the equality precondition: every type's series spans the global
+    # grid (otherwise the batch's trailing zero-days have no stream twin)
+    spans = (
+        spark.table("events_ms")
+        .groupBy("event_type")
+        .agg(
+            F.date_trunc("day", F.min("ts")).alias("dmin"),
+            F.date_trunc("day", F.max("ts")).alias("dmax"),
+        )
+        .collect()
+    )
+    assert len({(r.dmin, r.dmax) for r in spans}) == 1
+
+    ev = spark.table("events_ms").select("event_id", "event_type", "ts")
+    events = [(int(r.event_id), r.event_type, r.ts) for r in ev.collect()]
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events")
+        os.makedirs(src)
+        ordered = sorted(events, key=lambda e: (e[2], e[0]))
+        third = max(1, len(ordered) // 3)
+        chunks = [ordered[:third], ordered[third : 2 * third], ordered[2 * third :]]
+        sentinel_t = max(t for _, _, t in events) + pd.Timedelta(days=365)
+        chunks.append([(10**9, "__sentinel__", sentinel_t)])
+        for i, ch in enumerate(chunks):
+            pdf = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "event_id": [e for e, _, _ in ch],
+                        "event_type": [et for _, et, _ in ch],
+                        "ts": [t for _, _, t in ch],
+                    }
+                ),
+                schema=ev.schema,
+            )
+            pdf.coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "b*"))
+        )
+        q = (
+            statev2.conformal_monitor_stream(stream, params)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("conf_e2e")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(180)
+        finally:
+            q.stop()
+        rows = spark.sql("SELECT * FROM conf_e2e").collect()
+    if prev is not None:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    final: dict = {}
+    for r in rows:
+        if r.event_type not in final or r.x > final[r.event_type].x:
+            final[r.event_type] = r
+    assert set(final) == set(batch)
+    for et, b in batch.items():
+        g = final[et]
+        assert (g.n_test, g.n_covered, g.coverage_milli) == b, et
