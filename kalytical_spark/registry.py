@@ -92,6 +92,7 @@ def _load_optional():
         "corpusdiag",
         "embgraph",
         "video",
+        "preference",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
