@@ -53,3 +53,54 @@ def test_token_fit_deterministic(spark):
     per_doc = Counter(v for v, _ in p1)
     assert max(per_doc.values()) <= MAXSIM_NTOK
     assert N_PROBE_TOK * MAXSIM_NTOK < C1.shape[0] * MAXSIM_NTOK
+
+
+def test_hierarchical_assignment_agrees_with_flat(spark):
+    """The sqrt(K) two-level corpus assignment is approximate only at
+    coarse-group boundaries. A STRUCTURAL bug (wrong member lists, wrong
+    tie-break, routing to the wrong group) collapses agreement with the
+    exact flat argmax toward 1/G (~0.25 at the fixture's G=4), which the
+    recall floor alone could mask behind the 16-cell probe union — this
+    gate pins against that. The measured fixture agreements are 0.58
+    with top-1 coarse routing and 0.84 with the shipped top-2 (the
+    fixture's 16-cell / 4-group quantizer is the WORST case for boundary
+    loss; at sweep scale G=56 and the probed fraction is 3.6%); the
+    floor sits between the structural-failure and healthy regimes, and
+    search quality itself stays gated by
+    sim_maxsim_pruned_recall_report."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kalytical_spark.operators import colbert
+    from tests.conftest import SF_ORACLE
+
+    postings, C = colbert.fit_token_cells(spark, SF_ORACLE)
+    emb_toks = colbert._token_view(
+        __import__("kalytical_spark.operators.common", fromlist=["t"]).t(
+            spark, SF_ORACLE, "embeddings"
+        )
+    )
+    bC = spark.sparkContext.broadcast(C)
+
+    def flat_assign(batches):
+        Cb = bC.value
+        cn = (Cb * Cb).sum(axis=1)
+        for pdf in batches:
+            X = np.stack(pdf["tvec"].map(lambda a: np.asarray(a, dtype=np.float64)))
+            cell = (2.0 * (X @ Cb.T) - cn).argmax(axis=1).astype("int32")
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell": cell})
+
+    flat = (
+        emb_toks.mapInPandas(flat_assign, schema="vec_id long, cell int")
+        .distinct()
+        .groupBy("vec_id")
+        .agg(F.collect_set("cell").alias("flat_cells"))
+    )
+    hier = postings.groupBy("vec_id").agg(F.collect_set("cell").alias("hier_cells"))
+    rows = flat.join(hier, "vec_id").select(
+        F.size(F.array_intersect("flat_cells", "hier_cells")).alias("inter"),
+        F.size(F.array_union("flat_cells", "hier_cells")).alias("union"),
+    ).collect()
+    agree = sum(r.inter for r in rows) / max(1, sum(r.union for r in rows))
+    assert agree >= 0.75, agree
