@@ -178,3 +178,69 @@ FROM bt_types t JOIN bt_p{BT_ITERS} p USING (event_type)
 QUERIES: dict[str, tuple] = {
     "users_bradley_terry": (users_bradley_terry, ORACLE_BT),
 }
+
+
+def users_bt_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodness-of-fit readout for the Bradley-Terry strengths: per type
+    pair, the model-predicted win probability p_a/(p_a+p_b) vs the
+    empirical win share w_a/n, both in exact milli units, plus the
+    absolute gap — the calibration table a preference-data pipeline
+    reads before trusting fitted strengths for sampling decisions.
+    Corpus work is the same single match-mining rollup; the fitted
+    strengths are the K-row model table."""
+    fitted = {
+        r.event_type: int(r.strength_micro)
+        for r in users_bradley_terry(spark, sf_dir).collect()
+    }
+    pairs = _win_matrix(spark, sf_dir)
+    p_map = F.create_map(
+        *[x for ty, p in sorted(fitted.items()) for x in (F.lit(ty), F.lit(p))]
+    )
+    return (
+        pairs.filter(F.col("w_a") + F.col("w_b") > 0)
+        .select(
+            "ta",
+            "tb",
+            (F.col("w_a") + F.col("w_b")).cast("bigint").alias("n_matches"),
+            F.col("w_a").cast("bigint").alias("w_a"),
+            p_map[F.col("ta")].alias("p_a"),
+            p_map[F.col("tb")].alias("p_b"),
+        )
+        .select(
+            "ta",
+            "tb",
+            "n_matches",
+            "w_a",
+            F.expr("CAST((1000 * p_a) div (p_a + p_b) AS BIGINT)").alias(
+                "predicted_milli"
+            ),
+            F.expr("CAST((1000 * w_a) div n_matches AS BIGINT)").alias(
+                "empirical_milli"
+            ),
+            F.expr(
+                "CAST(abs((1000 * p_a) div (p_a + p_b)"
+                " - (1000 * w_a) div n_matches) AS BIGINT)"
+            ).alias("abs_gap_milli"),
+        )
+    )
+
+
+ORACLE_BT_CALIBRATION = (
+    "WITH "
+    + _oracle_bt()
+    + f"""
+SELECT pr.ta, pr.tb,
+       CAST(pr.w_a + pr.w_b AS BIGINT) AS n_matches,
+       pr.w_a,
+       CAST((1000 * pa.p) // (pa.p + pb.p) AS BIGINT) AS predicted_milli,
+       CAST((1000 * pr.w_a) // (pr.w_a + pr.w_b) AS BIGINT) AS empirical_milli,
+       CAST(ABS((1000 * pa.p) // (pa.p + pb.p)
+            - (1000 * pr.w_a) // (pr.w_a + pr.w_b)) AS BIGINT) AS abs_gap_milli
+FROM bt_pairs pr
+JOIN bt_p{BT_ITERS} pa ON pa.event_type = pr.ta
+JOIN bt_p{BT_ITERS} pb ON pb.event_type = pr.tb
+WHERE pr.w_a + pr.w_b > 0
+"""
+)
+
+QUERIES["users_bt_calibration"] = (users_bt_calibration, ORACLE_BT_CALIBRATION)
