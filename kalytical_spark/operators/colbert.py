@@ -116,6 +116,12 @@ N_PROBE_TOK = 2  # cells probed PER QUERY TOKEN (the union drives candidates)
 TOKENS_PER_CELL = 512  # target quantizer cell size (K = n_tokens / this)
 TOK_FIT_SAMPLE = 65536  # Lloyd's training-sample cap (md5-smallest tokens)
 _TOK_ITERS = 5
+# K at or below which the Lloyd rounds run driver-side over the collected
+# sample instead of distributed: per-round driver cost is one
+# sample x K x dim matmul (~2e9 flops and a ~1 GB score matrix at 2048),
+# well under the ~0.6 s/round fixed overhead of a distributed round at
+# local scale; above it the distributed path keeps the r6 scale fix.
+_TOK_DRIVER_FIT_MAX_K = 2048
 
 # session-scoped memo, the fit_kmeans_cells._FIT_CACHE convention
 _TOK_FIT_CACHE: dict[tuple[int, str], tuple] = session_memo({})
@@ -223,49 +229,14 @@ def fit_token_cells(spark: SparkSession, sf_dir: str):
             np.int64
         )
 
-    for _ in range(_TOK_ITERS):
-        bCr = spark.sparkContext.broadcast(np.round(C, 6))
-
-        def part_sums(batches, _b=bCr):
-            Cb = _b.value
-            cn = (Cb * Cb).sum(axis=1)
-            K = Cb.shape[0]
-            sums = np.zeros((K, dim), dtype=np.int64)
-            counts = np.zeros(K, dtype=np.int64)
-            seen = False
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                seen = True
-                X = np.stack(
-                    pdf["tvec"].map(lambda a: np.asarray(a, dtype=np.float64))
-                )
-                # argmin ||x-c||^2 == argmax (2 x.c - ||c||^2); ties low
-                cell = (2.0 * (X @ Cb.T) - cn).argmax(axis=1)
-                np.add.at(sums, cell, _snap_e9(X))
-                counts += np.bincount(cell, minlength=K)
-            if not seen:
-                return
-            present = np.nonzero(counts)[0]
-            out = {"cell": present.astype("int32"), "n": counts[present]}
-            for k, c in enumerate(sum_cols):
-                out[c] = sums[present, k]
-            yield pd.DataFrame(out)
-
-        agg_rows = (
-            sample.mapInPandas(part_sums, schema=part_schema)
-            .groupBy("cell")
-            .agg(
-                F.sum("n").alias("n"),
-                *[F.sum(c).alias(c) for c in sum_cols],
-            )
-            .collect()
-        )
-        C_new = C.copy()  # empty cells keep their centroid
-        for r in agg_rows:
-            s = np.array([r[c] for c in sum_cols], dtype=object)
-            n = int(r["n"])
-            # half-away-from-zero integer division == round(mean, 9)
+    def _mean_update(C_prev: "np.ndarray", cells, ns, sums_e9) -> "np.ndarray":
+        """The shared Lloyd mean step: half-away-from-zero integer
+        division of exact e9 partial sums == round(mean, 9). One code
+        path for BOTH fit strategies, so their centroids are
+        bit-identical by construction (empty cells keep their centroid)."""
+        C_new = C_prev.copy()
+        for cell, n, s in zip(cells, ns, sums_e9):
+            n = int(n)
             mean_e9 = np.array(
                 [
                     (abs(int(v)) * 2 + n) // (2 * n) * (1 if int(v) >= 0 else -1)
@@ -273,9 +244,85 @@ def fit_token_cells(spark: SparkSession, sf_dir: str):
                 ],
                 dtype=np.int64,
             )
-            C_new[r["cell"]] = mean_e9 / 1e9
-        C = C_new
-        bCr.unpersist()
+            C_new[cell] = mean_e9 / 1e9
+        return C_new
+
+    # Size-thresholded hybrid (VERDICT r7 task 4): the distributed Lloyd
+    # round-trip (mapInPandas job + shuffle + K-row collect, x5 rounds)
+    # costs ~3 s of fixed overhead that dwarfs the math at small K
+    # (sf0.1 memo measured 1.47 s driver-side vs 4.52 s distributed).
+    # Below the threshold the SAME iteration — identical rounded-centroid
+    # broadcast value, identical argmax tie rule, identical e9 integer
+    # partial sums, identical _mean_update — runs on the driver over the
+    # collected sample (bounded: TOK_FIT_SAMPLE x dim doubles plus a
+    # sample x K score matrix, ~1 GB at the threshold). Above it, the
+    # distributed rounds keep the r6 scale fix (driver traffic K x dim
+    # per round, matmul split across executors). Paths are bit-identical:
+    # int64 partial sums are associative, so chunking cannot change them.
+    if k_cells <= _TOK_DRIVER_FIT_MAX_K:
+        Xs = np.stack(
+            [
+                np.asarray(r.tvec, dtype=np.float64)
+                for r in sample.select("tvec").collect()
+            ]
+        )
+        Xs_e9 = _snap_e9(Xs)
+        for _ in range(_TOK_ITERS):
+            Cb = np.round(C, 6)
+            cn = (Cb * Cb).sum(axis=1)
+            # argmin ||x-c||^2 == argmax (2 x.c - ||c||^2); ties low
+            cell = (2.0 * (Xs @ Cb.T) - cn).argmax(axis=1)
+            sums = np.zeros((k_cells, dim), dtype=np.int64)
+            np.add.at(sums, cell, Xs_e9)
+            counts = np.bincount(cell, minlength=k_cells)
+            present = np.nonzero(counts)[0]
+            C = _mean_update(C, present, counts[present], sums[present])
+    else:
+        for _ in range(_TOK_ITERS):
+            bCr = spark.sparkContext.broadcast(np.round(C, 6))
+
+            def part_sums(batches, _b=bCr):
+                Cb = _b.value
+                cn = (Cb * Cb).sum(axis=1)
+                K = Cb.shape[0]
+                sums = np.zeros((K, dim), dtype=np.int64)
+                counts = np.zeros(K, dtype=np.int64)
+                seen = False
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    seen = True
+                    X = np.stack(
+                        pdf["tvec"].map(lambda a: np.asarray(a, dtype=np.float64))
+                    )
+                    # argmin ||x-c||^2 == argmax (2 x.c - ||c||^2); ties low
+                    cell = (2.0 * (X @ Cb.T) - cn).argmax(axis=1)
+                    np.add.at(sums, cell, _snap_e9(X))
+                    counts += np.bincount(cell, minlength=K)
+                if not seen:
+                    return
+                present = np.nonzero(counts)[0]
+                out = {"cell": present.astype("int32"), "n": counts[present]}
+                for k, c in enumerate(sum_cols):
+                    out[c] = sums[present, k]
+                yield pd.DataFrame(out)
+
+            agg_rows = (
+                sample.mapInPandas(part_sums, schema=part_schema)
+                .groupBy("cell")
+                .agg(
+                    F.sum("n").alias("n"),
+                    *[F.sum(c).alias(c) for c in sum_cols],
+                )
+                .collect()
+            )
+            C = _mean_update(
+                C,
+                [r["cell"] for r in agg_rows],
+                [r["n"] for r in agg_rows],
+                [[r[c] for c in sum_cols] for r in agg_rows],
+            )
+            bCr.unpersist()
 
     sample.unpersist()
     Cr = np.round(C, 6)

@@ -92,6 +92,45 @@ def reset_session_state(spark: SparkSession) -> None:
         d.clear()
 
 
+def eager_cache(df: DataFrame) -> DataFrame:
+    """cache() + count(): materialize NOW, before the frame feeds multiple
+    branches of one action. A lazily-cached frame consumed by several
+    subtrees of a single AQE query races: whichever branch's stage
+    materializes the cache first determines whether the OTHER branches are
+    replanned against warm InMemoryRelation statistics or cold child-plan
+    estimates — a nondeterministic join-strategy/exchange-count flip
+    observed on users_rfm_segments (73 vs 75 hash exchanges depending on
+    JVM load; VERDICT r7). Eager materialization pins the warm shape: by
+    the time the consuming query plans, the cache statistics are final."""
+    df = df.cache()
+    df.count()
+    return df
+
+
+def materialize_session_caches(spark: SparkSession) -> None:
+    """Force-materialize every session-tracked cached DataFrame (catalog
+    domain views + any DataFrame held in a session memo, including tuple
+    values). Used by the plan-fingerprint gate after building a query so
+    the measured executed plan is the deterministic WARM shape — no cache
+    materializes mid-query, so AQE cannot race on cache statistics."""
+
+    def _count(v) -> None:
+        if isinstance(v, DataFrame):
+            try:
+                v.count()
+            except Exception:
+                pass
+        elif isinstance(v, (tuple, list)):
+            for item in v:
+                _count(item)
+
+    for dfs in list(catalog._CACHED_DFS.values()):
+        _count(dfs)
+    for d in SESSION_MEMOS:
+        for v in list(d.values()):
+            _count(v)
+
+
 # catalog's registration guard and cache list are session memos too (the
 # registration lives HERE because catalog is imported above — a
 # session_memo import from catalog.py would be circular): if the guard

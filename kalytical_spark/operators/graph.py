@@ -18,7 +18,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import t
+from .common import eager_cache, t
 
 MAX_HOPS = 3
 
@@ -157,8 +157,9 @@ def dag_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit. Cycles in the synthetic DAG are handled by the hop bound,
     exactly as in dag_transitive_downstream."""
     # the weight table is O(pipelines) and feeds every DP level — cache it so
-    # the lifecycle scan happens once, not once per level
-    wts = _node_weights(spark, sf_dir).cache()
+    # the lifecycle scan happens once, not once per level (eager: multiple
+    # consumers in one action, see common.eager_cache)
+    wts = eager_cache(_node_weights(spark, sf_dir))
     edges = t(spark, sf_dir, "dag_edges").select(
         F.col("upstream_uuid").alias("src"), F.col("pipeline_uuid").alias("dst")
     )
@@ -184,8 +185,8 @@ def dag_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         levels.append(frontier)
     # two consumers scan the DP result (the max and the argmax join) — cache
-    # so the level joins run once
-    paths = reduce(DataFrame.unionByName, levels).cache()
+    # so the level joins run once (eager, see common.eager_cache)
+    paths = eager_cache(reduce(DataFrame.unionByName, levels))
     best = paths.groupBy(F.col("node").alias("pipeline_uuid")).agg(
         F.max("cost").alias("critical_cost")
     )

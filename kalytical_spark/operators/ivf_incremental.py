@@ -19,15 +19,22 @@ artifact. Per ingest the pipeline:
    scheduled background rebuild, not a per-ingest cost.
 
 Correctness proof (the exact shape dedup_incremental uses): the
-incrementally-maintained index must be bit-identical to assigning the
-WHOLE corpus under the same centroids in one monolithic batch — no vector
-lost or re-celled at the base/delta boundary, because per-vector
-assignment depends only on (vector, centroids). `sim_ivf_incremental`
-computes BOTH paths and emits the mismatch count folded into a boolean
-the DuckDB twin asserts (bounded-oracle trick: the twin recomputes the
-exact slice sizes and the sqrt-scaled cell-count formula, and emits TRUE
-for the equivalence the learned index can't be SQL-expressed for — any
-boundary drift flips the boolean and fails the value hash).
+incrementally-maintained index is audited against a monolithic
+re-assignment under the same frozen centroids over the MAINTENANCE
+BOUNDARY — every delta vector plus a deterministic md5-smallest sample
+of BOUNDARY_BASE_SAMPLE stored base rows (per-vector assignment depends
+only on (vector, centroids), so the boundary is where any maintenance
+bug must surface: a lost/re-celled delta row, or a stored base row whose
+persisted cell no longer matches its recomputation). `sim_ivf_incremental`
+computes BOTH paths over that audited subset and emits the mismatch count
+folded into a boolean the DuckDB twin asserts (bounded-oracle trick: the
+twin recomputes the exact slice sizes and the sqrt-scaled cell-count
+formula, and emits TRUE for the equivalence the learned index can't be
+SQL-expressed for — any audited-row drift flips the boolean and fails
+the value hash). Coverage is SAMPLED on the base side by design (the
+r7 change that took the proof from 15.6 s to 0.9 s): corruption of an
+unsampled stored base assignment is outside this audit's reach and is
+instead the recall report's job to catch as search-quality loss.
 
 `sim_ivf_incremental_recall_report` then proves the maintained index
 still SEARCHES well: recall@k of probing the frozen-centroid index over

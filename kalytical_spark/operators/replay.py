@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..streaming.transitions import TriggerState, apply_delivery, sources_repr
-from .common import app_key, session_memo, t
+from .common import app_key, eager_cache, session_memo, t
 
 _DECISION_SCHEMA = T.StructType(
     [
@@ -126,7 +126,10 @@ def dag_replay_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     fires_multi = multi.groupBy("pipeline_uuid").applyInPandas(
         _fold_group, schema=_DECISION_SCHEMA
     )
-    out = fires_simple.unionByName(fires_multi).cache()
+    # eager: the ledger feeds multiple downstream consumers (summary,
+    # retry ledger, credit queries) — materialize before any of them
+    # plans, so AQE sees final cache statistics (common.eager_cache)
+    out = eager_cache(fires_simple.unionByName(fires_multi))
     _DECISIONS_CACHE[key] = out
     return out
 

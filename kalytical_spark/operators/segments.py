@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .common import now_expr, t
+from .common import eager_cache, now_expr, t
 
 RFM_BUCKETS = 5
 
@@ -81,16 +81,18 @@ def users_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_score/m_score 5 = heaviest — plus the concatenated RFM cell."""
     ev = t(spark, sf_dir, "events_ms").filter(F.col("event_type") == "purchase")
     anchor = now_expr(spark, sf_dir)
-    base = ev.groupBy("user_id").agg(
-        F.datediff(F.to_date(F.lit(anchor)), F.to_date(F.max("ts")))
-        .cast("bigint")
-        .alias("recency_days"),
-        F.count("*").cast("bigint").alias("frequency"),
-        F.sum((F.col("value").cast("decimal(12,4)") * 100).cast("bigint"))
-        .cast("bigint")
-        .alias("monetary_cents"),
-    ).cache()  # user dim feeds 3 rankings + the final join; without the
-    # pin each branch re-scans and re-aggregates the event log
+    base = eager_cache(
+        ev.groupBy("user_id").agg(
+            F.datediff(F.to_date(F.lit(anchor)), F.to_date(F.max("ts")))
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.sum((F.col("value").cast("decimal(12,4)") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+    )  # user dim feeds 3 rankings + the final join; eager so AQE plans
+    # every branch against final cache statistics (see common.eager_cache)
     n_users = base.agg(F.count("*").cast("bigint").alias("n"))
 
     def score(metric: str, descending: bool, out: str) -> DataFrame:
@@ -189,12 +191,14 @@ def users_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: none (no scoring surface in the reference); built
     for the warehouse/feature-engineering mandate."""
     ev = t(spark, sf_dir, "events_ms").filter(F.col("event_type") == "purchase")
-    base = ev.groupBy("user_id").agg(
-        F.count("*").cast("bigint").alias("frequency"),
-        F.sum((F.col("value").cast("decimal(12,4)") * 100).cast("bigint"))
-        .cast("bigint")
-        .alias("monetary_cents"),
-    ).cache()
+    base = eager_cache(
+        ev.groupBy("user_id").agg(
+            F.count("*").cast("bigint").alias("frequency"),
+            F.sum((F.col("value").cast("decimal(12,4)") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+    )
     n_users = base.agg(F.count("*").cast("bigint").alias("n"))
 
     spend_rank = _global_rank(

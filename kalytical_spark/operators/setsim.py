@@ -117,25 +117,52 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_b, intersection/size counts, double jaccard); only the plan
     differs — prefix postings instead of full postings.
 
-    Verification joins each candidate pair against PRE-AGGREGATED sorted
-    shingle arrays (one row per doc) and intersects JVM-side: two
+    Verification joins each candidate pair against PRE-AGGREGATED token
+    FINGERPRINT arrays (one row per doc) and intersects JVM-side: two
     |cand|-row hash joins instead of the posting-list fan-out
     (|cand| x avg set size intermediate rows — measured 3x the wall at
     the k100 sweep point) plus its re-aggregation shuffle. Set sizes are
     document-bounded, so the per-row array_intersect is O(set size) with
-    no skew exposure."""
+    no skew exposure.
+
+    Verify-payload shape (VERDICT r7 task 2 — the old raw-string form
+    spilled 26.3 GB mem + 11.1 GB disk at the textdedup k100 point):
+
+    * elements are xxhash64 token fingerprints (8-byte primitive longs in
+      Tungsten's UnsafeArrayData) instead of ~30-byte UTF8 shingles —
+      |A cap B| is unchanged as long as the hash is injective over the
+      corpus vocabulary (collision odds ~V^2/2^65; a collision would
+      surface as an oracle value-hash mismatch, never silently — swap in
+      a 128-bit two-long struct at trillion-token vocabularies);
+    * the doc->array rollup is built only for docs that appear in a
+      candidate pair (semi-join prune, same move as dedup_minhash_lsh);
+    * both pair joins are SHUFFLED HASH, not sort-merge: the measured
+      spill was the sort buffering array-carrying rows, and partition
+      count provably cannot shrink it (BENCH_NOTES.md r7 experiment) —
+      a hash join streams the probe side and never sorts the payload."""
     sh, _long = signature_tables(spark, sf_dir)
     cand = _prefix_candidates(spark, sf_dir)
-    docsets = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("shingle")).alias("sh_set")
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    docsets = (
+        sh.join(cand_ids, "doc_id", "leftsemi")
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.xxhash64("shingle")).alias("sh_set"))
     )
     jac = (
         cand.join(
-            docsets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sa")),
+            docsets.select(
+                F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sa")
+            ).hint("shuffle_hash"),
             "doc_a",
         )
         .join(
-            docsets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sb")),
+            docsets.select(
+                F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sb")
+            ).hint("shuffle_hash"),
             "doc_b",
         )
         .select(

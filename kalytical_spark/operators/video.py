@@ -285,12 +285,17 @@ SELECT d.doc_id,
        TRUE AS roundtrip_exact
 FROM documents d
 LEFT JOIN (
+  -- byte-faithful pixel sum: hex(encode(text)) exposes the UTF-8 BYTES
+  -- as hex digit pairs, so the sum matches the codec's byte semantics for
+  -- ANY corpus content — unlike ascii(substring(text,...)), which equals
+  -- the byte value only for single-byte (ASCII) characters (ADVICE r7)
   SELECT doc_id,
-         SUM(CAST(ascii(substring(d2.text, s.i, 1)) AS BIGINT)) AS s
-  FROM (SELECT doc_id,
+         SUM(CAST(16 * (strpos('0123456789ABCDEF', substring(b.h, 2 * b.i - 1, 1)) - 1)
+                  + strpos('0123456789ABCDEF', substring(b.h, 2 * b.i, 1)) - 1
+             AS BIGINT)) AS s
+  FROM (SELECT doc_id, hex(encode(text)) AS h,
                unnest(generate_series(1, octet_length(encode(text)))) AS i
-        FROM documents) s
-  JOIN documents d2 USING (doc_id)
+        FROM documents) b
   GROUP BY 1
 ) p ON d.doc_id = p.doc_id
 """

@@ -516,11 +516,19 @@ def psi_micro_from_counts(
     covers the universe by construction, so unknowns are themselves a
     drift signal, reported rather than folded in."""
     import math
+    from decimal import ROUND_HALF_UP, Decimal
 
     def _round_half_away(x: float) -> int:
-        # SQL ROUND semantics (half away from zero); Python round() is
-        # banker's and can differ by 1 micro-nat on exact .5 halfway values
-        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+        # Decimal-faithful SQL ROUND: Spark's ROUND(double) is
+        # BigDecimal.valueOf(x).setScale(0, HALF_UP) — the double's
+        # SHORTEST decimal representation rounded half away from zero.
+        # Python repr(x) is the same shortest roundtrip string, so
+        # Decimal(repr(x)) reproduces it exactly. (The earlier
+        # floor(x+0.5) form diverges by 1 when x+0.5 rounds UP in
+        # float64, e.g. x=0.49999999999999994 — ADVICE r7.)
+        return int(
+            Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        )
 
     t_types = len(ref_counts)
     n_all = sum(ref_counts.values())

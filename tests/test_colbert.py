@@ -55,6 +55,29 @@ def test_token_fit_deterministic(spark):
     assert N_PROBE_TOK * MAXSIM_NTOK < C1.shape[0] * MAXSIM_NTOK
 
 
+def test_fit_paths_bit_identical(spark, monkeypatch):
+    """The size-thresholded hybrid (VERDICT r7 task 4): the driver-side
+    Lloyd rounds and the distributed rounds must produce BIT-IDENTICAL
+    centroids and postings — same rounded-centroid broadcast, same argmax
+    tie rule, same e9 integer partial sums, same half-away mean update.
+    The fixture K is under the threshold, so the default run takes the
+    driver path; forcing the threshold to -1 takes the distributed path."""
+    import numpy as np
+
+    from kalytical_spark.operators import colbert
+
+    _TOK_FIT_CACHE.clear()
+    postings_d, C_d = fit_token_cells(spark, SF_SMALL)
+    pd_ = sorted((r.vec_id, r.cell) for r in postings_d.collect())
+    _TOK_FIT_CACHE.clear()
+    monkeypatch.setattr(colbert, "_TOK_DRIVER_FIT_MAX_K", -1)
+    postings_x, C_x = fit_token_cells(spark, SF_SMALL)
+    px = sorted((r.vec_id, r.cell) for r in postings_x.collect())
+    _TOK_FIT_CACHE.clear()
+    assert np.array_equal(C_d, C_x)
+    assert pd_ == px
+
+
 def test_hierarchical_assignment_agrees_with_flat(spark):
     """The sqrt(K) two-level corpus assignment is approximate only at
     coarse-group boundaries. A STRUCTURAL bug (wrong member lists, wrong

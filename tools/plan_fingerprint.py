@@ -56,21 +56,29 @@ _OPS: list[tuple[str, str]] = [
 
 def fingerprint(df_or_build, spark=None) -> dict[str, int]:
     """Count load-bearing operators of the executed plan — defined as the
-    FRESH-SESSION plan: AQE's join-strategy choice around an
-    InMemoryRelation depends on whether shared memos are warm (measured:
-    users_rfm 73 exchanges + 2 SMJ cold vs 70 + 0 SMJ warm; setsim and
-    the LSH mine flapped only inside the full suite — and a warm memo
-    frame executed after clearCache() runs UNCACHED, a third shape). So
-    pass a zero-arg BUILDER plus the session: the session caches AND the
-    module-level memo dicts are reset (common.reset_session_state), then
-    the query is built and executed exactly as a fresh session would.
-    Passing a prebuilt DataFrame skips the memo reset (only safe for
-    memo-free queries, e.g. the injected-repartition teeth test)."""
-    from kalytical_spark.operators.common import reset_session_state
+    DETERMINISTIC WARM plan: session caches and module-level memo dicts
+    are reset (common.reset_session_state), the query is built fresh, and
+    then EVERY session-tracked cache (catalog domain views + memo frames)
+    is force-materialized BEFORE the query executes. Rationale: a cache
+    that materializes DURING the measured query races AQE — whichever
+    stage fills it first decides whether sibling stages replan against
+    warm InMemoryRelation statistics or cold estimates, which flipped
+    users_rfm_segments between 73 and 75 hash exchanges depending on JVM
+    load (reproducible in full-suite order only; VERDICT r7). Materializing
+    up front makes cache statistics final before planning, so the shape is
+    order-independent. (Query-local multi-consumer caches are pinned at
+    the source with common.eager_cache for the same reason.)
+    Passing a prebuilt DataFrame skips the reset and materialization (only
+    safe for memo-free queries, e.g. the injected-repartition teeth test)."""
+    from kalytical_spark.operators.common import (
+        materialize_session_caches,
+        reset_session_state,
+    )
 
     if callable(df_or_build):
         reset_session_state(spark)
         df = df_or_build()
+        materialize_session_caches(spark)
     else:
         df = df_or_build
         df.sparkSession.catalog.clearCache()
