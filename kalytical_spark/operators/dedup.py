@@ -38,7 +38,14 @@ COSINE_PAIR_THRESHOLD = 0.45
 
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct 3-gram word shingles per document."""
-    docs = t(spark, sf_dir, "documents")
+    return shingles_from_docs(t(spark, sf_dir, "documents"))
+
+
+def shingles_from_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) from any (doc_id, text, ...) frame — factored so
+    the streaming delta-ingest path (streaming/dedup_maintenance.py) bands
+    its micro-batch docs with EXACTLY the full mine's shingle construction
+    (the stream==batch equivalence proof depends on it)."""
     from .preprocess import _grams
 
     toks = F.split(F.col("text"), " ")
@@ -50,7 +57,7 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would run in one partition and serialize all downstream hash work.
     # Hash-partition by doc_id: parallelizes minhash/signature computation
     # AND pre-aligns with the groupBy(doc_id) so no further shuffle needed.
-    n_part = spark.sparkContext.defaultParallelism
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
     # docs with fewer than 3 tokens have no 3-gram shingles; without the
     # guard, sequence(0, size-3) would run descending and element_at(toks, 0)
     # would fault (the DuckDB twin's range() just yields empty)

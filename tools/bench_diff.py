@@ -1,15 +1,29 @@
 """Cross-round bench regression report: compare the freshest per-query
 timings (BENCH_FULL.json) against the newest prior BENCH_r*.json and flag
 material changes, so regressions surface as a list instead of a manual
-scan of 180 numbers.
+scan of 280 numbers.
 
-A change is flagged when BOTH hold: ratio >= FLAG_RATIO and absolute
-delta >= FLAG_ABS_SEC (ratio alone cries wolf on 0.2s -> 0.5s noise; the
-absolute floor alone hides a 10x blowup of a formerly-fast query only
-when it stays trivially cheap).
+THE COMMITTED REGRESSION SIGNAL (VERDICT r7 task 8 — BENCH_NOTES.md's
+four-run variance study measured +/-25% whole-suite wall noise on
+UNCHANGED code, so a raw cross-round ratio is not evidence):
 
-Usage: python tools/bench_diff.py [old.json] [new.json]
-Defaults: newest BENCH_r*.json vs BENCH_FULL.json.
+1. Per-query warm MEDIANS are the only numbers compared (bench.py's
+   median-of-3; single-run times and suite totals are narrative only).
+2. The plan-fingerprint gate (tests/test_plan_fingerprints.py) rules a
+   plan change in or out independently of wall time.
+3. A query whose warm median moved >= CANDIDATE_RATIO (1.5x, with an
+   absolute floor) is only a CANDIDATE. Before it may be called a
+   regression it is RE-MEASURED IN AN ISOLATED JVM (a fresh subprocess
+   running bench.py focused on that query): suite-order effects — cache
+   pressure from 200 earlier queries, a G1 pause, worker-fleet churn —
+   do not follow it there.
+4. Verdicts: CONFIRMED (isolated median still >= 1.5x old), or
+   SUITE-NOISE (isolated median back under the bar). Only CONFIRMED
+   entries are regressions; their next stop is the fingerprint pin to
+   split plan-change from same-plan slowdown.
+
+Usage: python tools/bench_diff.py [old.json] [new.json] [--no-isolate]
+Defaults: newest BENCH_r*.json vs BENCH_FULL.json, isolation ON.
 """
 
 from __future__ import annotations
@@ -17,11 +31,13 @@ from __future__ import annotations
 import glob
 import json
 import os
+import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-FLAG_RATIO = 2.0
-FLAG_ABS_SEC = 1.0
+CANDIDATE_RATIO = 1.5  # movement below this is inside the measured noise band
+FLAG_ABS_SEC = 1.0     # ratio alone cries wolf on 0.2s -> 0.5s noise
+MAX_ISOLATED = 12      # re-measure budget per diff run
 
 
 def _load_queries(path: str) -> dict[str, float]:
@@ -32,13 +48,37 @@ def _load_queries(path: str) -> dict[str, float]:
     return {k: v for k, v in d.get("queries", {}).items() if v >= 0}
 
 
+def isolated_median(name: str) -> float | None:
+    """Warm median of one query in a FRESH JVM: bench.py focused via
+    SPARK_GRAFT_BENCH_QUERIES. memo:* lines are index builds, not registry
+    queries — they cannot be focused (None = caller reports 'compare via
+    the scale sweep instead')."""
+    if name.startswith("memo:"):
+        return None
+    env = dict(os.environ, SPARK_GRAFT_BENCH_QUERIES=name)
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True, text=True, timeout=900, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    for line in reversed(proc.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            try:
+                return json.loads(line)["queries"].get(name)
+            except (ValueError, KeyError):
+                return None
+    return None
+
+
 def main() -> None:
-    if len(sys.argv) > 2:
-        old_path, new_path = sys.argv[1], sys.argv[2]
-    elif len(sys.argv) == 2:
-        # one explicit path = the old side; new defaults to BENCH_FULL
-        old_path = sys.argv[1]
-        new_path = os.path.join(REPO, "BENCH_FULL.json")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    isolate = "--no-isolate" not in sys.argv
+    if len(args) > 1:
+        old_path, new_path = args[0], args[1]
+    elif len(args) == 1:
+        old_path, new_path = args[0], os.path.join(REPO, "BENCH_FULL.json")
     else:
         rounds = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
         if not rounds:
@@ -48,21 +88,43 @@ def main() -> None:
         new_path = os.path.join(REPO, "BENCH_FULL.json")
     old, new = _load_queries(old_path), _load_queries(new_path)
     shared = sorted(set(old) & set(new))
-    regressed, improved = [], []
+    candidates, improved = [], []
     for name in shared:
         o, n = old[name], new[name]
-        if n >= o * FLAG_RATIO and n - o >= FLAG_ABS_SEC:
-            regressed.append((n / max(o, 1e-9), o, n, name))
-        elif o >= n * FLAG_RATIO and o - n >= FLAG_ABS_SEC:
+        if n >= o * CANDIDATE_RATIO and n - o >= FLAG_ABS_SEC:
+            candidates.append((n / max(o, 1e-9), o, n, name))
+        elif o >= n * CANDIDATE_RATIO and o - n >= FLAG_ABS_SEC:
             improved.append((o / max(n, 1e-9), o, n, name))
     print(f"# {os.path.basename(old_path)} -> {os.path.basename(new_path)}: "
           f"{len(shared)} shared queries, "
           f"{len(new.keys() - old.keys())} new, {len(old.keys() - new.keys())} gone")
-    for tag, rows in (("REGRESSED", regressed), ("improved", improved)):
-        for ratio, o, n, name in sorted(rows, reverse=True):
-            print(f"{tag:9s} {name:40s} {o:7.2f}s -> {n:7.2f}s  ({ratio:.1f}x)")
-    if not regressed:
-        print("no regressions above the flag thresholds")
+    for ratio, o, n, name in sorted(improved, reverse=True):
+        print(f"improved  {name:40s} {o:7.2f}s -> {n:7.2f}s  ({ratio:.1f}x)")
+    confirmed = 0
+    for i, (ratio, o, n, name) in enumerate(sorted(candidates, reverse=True)):
+        if not isolate:
+            print(f"CANDIDATE {name:40s} {o:7.2f}s -> {n:7.2f}s  ({ratio:.1f}x)"
+                  "  [--no-isolate: unverified]")
+            continue
+        if i >= MAX_ISOLATED:
+            print(f"CANDIDATE {name:40s} {o:7.2f}s -> {n:7.2f}s  ({ratio:.1f}x)"
+                  f"  [re-measure budget ({MAX_ISOLATED}) exhausted]")
+            continue
+        iso = isolated_median(name)
+        if iso is None:
+            print(f"CANDIDATE {name:40s} {o:7.2f}s -> {n:7.2f}s  ({ratio:.1f}x)"
+                  "  [memo build: compare via SCALE_SWEEP.json]")
+        elif iso >= o * CANDIDATE_RATIO and iso - o >= FLAG_ABS_SEC:
+            confirmed += 1
+            print(f"CONFIRMED {name:40s} {o:7.2f}s -> {n:7.2f}s  "
+                  f"(isolated {iso:.2f}s, {iso / max(o, 1e-9):.1f}x) "
+                  "-> check the fingerprint pin next")
+        else:
+            print(f"noise     {name:40s} {o:7.2f}s -> {n:7.2f}s  "
+                  f"(isolated {iso:.2f}s: suite-order effect, not a regression)")
+    if not candidates:
+        print("no candidates above the movement thresholds")
+    sys.exit(1 if confirmed else 0)
 
 
 if __name__ == "__main__":

@@ -364,6 +364,53 @@ def bench_sprt(spark, n_files: int) -> dict:
     }
 
 
+def bench_dedup_sink(spark, sf_dir: str, n_files: int) -> dict:
+    """The streaming delta-LSH dedup maintenance sink
+    (streaming/dedup_maintenance.py): docs/sec through the per-batch
+    band + shingle append, delta x ALL candidate mine, verification, and
+    ledgered pair-snapshot commit. State size = the maintained pair
+    snapshot per version (the band/shingle stores grow by exactly the
+    delta, so the pair curve is the interesting one)."""
+    from pyspark.sql import functions as F
+
+    from kalytical_spark import versioned
+    from kalytical_spark.streaming.dedup_maintenance import (
+        start_dedup_maintenance_query,
+    )
+
+    src = os.path.join(SCRATCH, "docs_dedup")
+    ckpt = os.path.join(SCRATCH, "ckpt_dedup")
+    index = os.path.join(SCRATCH, "index_dedup")
+    for d in (src, ckpt, index):
+        shutil.rmtree(d, ignore_errors=True)
+    docs = spark.table("documents")
+    # disjoint one-file shards: each doc ingested exactly once
+    for i in range(n_files):
+        docs.filter(F.col("doc_id") % n_files == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    n_docs = spark.read.parquet(src).count()
+    t0 = time.time()
+    q = start_dedup_maintenance_query(spark, src, docs.schema, index, ckpt)
+    q.awaitTermination()
+    wall = time.time() - t0
+    pairs_dir = os.path.join(index, "pairs")
+    versions = versioned.current_version(pairs_dir) or 0
+    curve = [
+        versioned.read_version(spark, pairs_dir, v).count()
+        for v in range(1, versions + 1)
+    ]
+    return {
+        "docs_total": n_docs,
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "versions_committed": versions,
+        "final_pairs": curve[-1] if curve else 0,
+        "pairs_per_version": curve,
+        "batches": _progress_points(q),
+    }
+
+
 def main() -> None:
     from kalytical_spark import catalog
     from kalytical_spark.session import get_spark
@@ -398,6 +445,7 @@ def main() -> None:
         "hll_sink": _bench_sink(spark, "hll", n_files),
         "cms_sink": _bench_sink(spark, "cms", n_files),
         "quantile_sink": _bench_sink(spark, "qh", n_files),
+        "dedup_sink": bench_dedup_sink(spark, sf_dir, n_files),
     }
     out = os.path.join(REPO, "STREAM_BENCH.json")
     with open(out, "w") as fh:
