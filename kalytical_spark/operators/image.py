@@ -407,7 +407,56 @@ FROM geo g JOIN per_doc p USING (doc_id)
 """
 
 
+def mm_image_rle_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source compression accounting over the RLE8 corpus — the
+    media-ingest readout ('which sources compress, and how much') built
+    on the decoded columns: asset count, total pixel-grid bytes, total
+    compressed stream bytes, and the compression ratio in exact integer
+    milli-units (1000 * grid / rle, integer division — deterministic
+    across engines, no float summation order exposure).
+
+    Scale: the decode output is one fixed-width row per asset; the rollup
+    is a single hash aggregate on the low-cardinality source key."""
+    from pyspark.sql import functions as F
+
+    from .common import t
+
+    decoded = mm_image_rle_roundtrip(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        decoded.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_assets"),
+            F.sum(F.col("height").cast("bigint") * F.lit(RLE_WIDTH))
+            .cast("bigint")
+            .alias("grid_bytes"),
+            F.sum("rle_bytes").cast("bigint").alias("rle_total_bytes"),
+        )
+        .withColumn(
+            "compression_milli",
+            F.expr("1000 * grid_bytes div rle_total_bytes").cast("bigint"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_RLE_SOURCE_STATS = f"""
+WITH decoded AS ({ORACLE_RLE_ROUNDTRIP})
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_assets,
+       CAST(SUM(x.height * {RLE_WIDTH}) AS BIGINT) AS grid_bytes,
+       CAST(SUM(x.rle_bytes) AS BIGINT) AS rle_total_bytes,
+       CAST(1000 * SUM(x.height * {RLE_WIDTH}) // SUM(x.rle_bytes) AS BIGINT)
+         AS compression_milli
+FROM decoded x JOIN documents d USING (doc_id)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "mm_image_bmp_roundtrip": (mm_image_bmp_roundtrip, ORACLE_BMP_ROUNDTRIP),
     "mm_image_rle_roundtrip": (mm_image_rle_roundtrip, ORACLE_RLE_ROUNDTRIP),
+    "mm_image_rle_source_stats": (mm_image_rle_source_stats, ORACLE_RLE_SOURCE_STATS),
 }

@@ -147,8 +147,16 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # the semi-join is explicitly shuffle_hash: sh already carries
+    # hashpartitioning(doc_id) from the shingle build, so only the small
+    # cand_ids side shuffles — and the hint makes the plan ESTIMATE-FREE
+    # (unhinted, the planner flipped this join between broadcast and
+    # sort-merge on a cached-size-estimate boundary that moves with
+    # partition count; the fingerprint gate pins the hinted static shape).
+    # Broadcast would be the wrong call at 100 TB anyway: candidate-doc
+    # ids scale with corpus size, the one thing a broadcast must not do.
     docsets = (
-        sh.join(cand_ids, "doc_id", "leftsemi")
+        sh.join(cand_ids.hint("shuffle_hash"), "doc_id", "leftsemi")
         .groupBy("doc_id")
         .agg(F.collect_list(F.xxhash64("shingle")).alias("sh_set"))
     )

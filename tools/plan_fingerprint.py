@@ -56,18 +56,27 @@ _OPS: list[tuple[str, str]] = [
 
 def fingerprint(df_or_build, spark=None) -> dict[str, int]:
     """Count load-bearing operators of the executed plan — defined as the
-    DETERMINISTIC WARM plan: session caches and module-level memo dicts
-    are reset (common.reset_session_state), the query is built fresh, and
-    then EVERY session-tracked cache (catalog domain views + memo frames)
-    is force-materialized BEFORE the query executes. Rationale: a cache
-    that materializes DURING the measured query races AQE — whichever
-    stage fills it first decides whether sibling stages replan against
-    warm InMemoryRelation statistics or cold estimates, which flipped
-    users_rfm_segments between 73 and 75 hash exchanges depending on JVM
-    load (reproducible in full-suite order only; VERDICT r7). Materializing
-    up front makes cache statistics final before planning, so the shape is
-    order-independent. (Query-local multi-consumer caches are pinned at
-    the source with common.eager_cache for the same reason.)
+    STATIC physical plan: the query runs with AQE DISABLED for exactly
+    this execution, from a reset session (caches + module memos cleared,
+    then every session-tracked cache force-materialized before the
+    measured query so planner statistics are final — see
+    common.reset_session_state / materialize_session_caches).
+
+    Why static: the ADAPTIVE executed plan is genuinely not deterministic
+    for multi-stage DAGs. AQE re-optimizes at each stage completion, and
+    the completion ORDER of independent racing stages is thread-timing-
+    dependent — under full-suite load this flipped users_rfm_segments
+    between 73 and 75 hash exchanges (r7) and, after the cache
+    materialization fix, still flipped one dedup_setsim_prefix broadcast
+    join to sort-merge (r8, in-suite only). No amount of cache pinning
+    removes a stage-race, so the gate pins what IS deterministic: the
+    plan Catalyst compiles from the declared query (hints, partitioning,
+    join structure, codegen vs Python fallback) and deterministic size
+    estimates. An unintended repartition, a removed broadcast hint, a
+    join flip, or an ArrowEval fallback all move this plan; AQE's runtime
+    improvements on top are owned by the bench medians + sweep spill
+    columns instead (BENCH_NOTES.md, committed regression signal).
+
     Passing a prebuilt DataFrame skips the reset and materialization (only
     safe for memo-free queries, e.g. the injected-repartition teeth test)."""
     from kalytical_spark.operators.common import (
@@ -75,23 +84,21 @@ def fingerprint(df_or_build, spark=None) -> dict[str, int]:
         reset_session_state,
     )
 
-    if callable(df_or_build):
-        reset_session_state(spark)
-        df = df_or_build()
-        materialize_session_caches(spark)
-    else:
-        df = df_or_build
-        df.sparkSession.catalog.clearCache()
-    df.collect()
-    # count over the FULL adaptive plan string (Final AND Initial sections
-    # of every nested AdaptiveSparkPlan): AQE final sections print
-    # QueryStage references instead of executed subtrees (a Window inside
-    # a materialized stage appears ONLY in an Initial section —
-    # users_rfm_segments), so masking either side goes blind to real
-    # operators. Both sections are deterministic for a fixed input, and a
-    # join-strategy flip or injected shuffle moves the counts in either
-    # representation — which is all the gate needs.
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    sess = spark if spark is not None else df_or_build.sparkSession
+    prev_aqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        if callable(df_or_build):
+            reset_session_state(sess)
+            df = df_or_build()
+            materialize_session_caches(sess)
+        else:
+            df = df_or_build
+            df.sparkSession.catalog.clearCache()
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        sess.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     out: dict[str, int] = {}
     for name, pat in _OPS:
         n = len(re.findall(pat, plan))
@@ -166,7 +173,15 @@ def main() -> None:
     from kalytical_spark.session import get_spark
     from tests.conftest import SF_ORACLE
 
-    spark = get_spark("plan_fingerprint", cpus=8)
+    # same parallelism as the pytest session (conftest.py): the static
+    # plan must not depend on it — setsim's unhinted semi-join once
+    # flipped BHJ<->SMJ between cpus=4 and cpus=8 because cached-size
+    # estimates move with partition count; every load-bearing join is now
+    # explicitly hinted, and re-pins are cross-checked at a second cpu
+    # count before being trusted (BENCH_NOTES.md r8)
+    spark = get_spark(
+        "plan_fingerprint", cpus=int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "4"))
+    )
     fps = compute_all(spark, SF_ORACLE)
     print(json.dumps(fps, indent=1, sort_keys=True))
     if "--update" in sys.argv:
