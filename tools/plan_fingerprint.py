@@ -21,37 +21,79 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Load-bearing operator classes, counted from the AQE FINAL plan. Order
-# matters: earlier patterns shadow later ones (e.g. "BroadcastExchange"
-# must not also count as a plain shuffle "Exchange").
-_OPS: list[tuple[str, str]] = [
-    ("shuffle_hash_exchange", r"Exchange hashpartitioning"),
-    ("shuffle_range_exchange", r"Exchange rangepartitioning"),
-    ("shuffle_single_exchange", r"Exchange SinglePartition"),
-    ("shuffle_roundrobin_exchange", r"Exchange RoundRobinPartitioning"),
-    ("broadcast_exchange", r"BroadcastExchange"),
-    ("broadcast_hash_join", r"BroadcastHashJoin"),
-    ("shuffled_hash_join", r"ShuffledHashJoin"),
-    ("sort_merge_join", r"SortMergeJoin"),
-    ("broadcast_nested_loop_join", r"BroadcastNestedLoopJoin"),
-    ("cartesian_product", r"CartesianProduct"),
-    ("hash_aggregate", r"HashAggregate"),
-    ("object_hash_aggregate", r"ObjectHashAggregate"),
-    ("sort_aggregate", r"SortAggregate"),
-    ("take_ordered", r"TakeOrderedAndProject"),
-    ("window", r"\bWindow\b"),
-    ("expand", r"\bExpand\b"),
-    ("generate", r"\bGenerate\b"),
-    ("python_batch_eval", r"BatchEvalPython"),
-    ("python_arrow_eval", r"ArrowEvalPython"),
-    ("python_grouped_map", r"FlatMapGroupsInPandas"),
-    ("python_map_in_arrow", r"MapInPandas|PythonMapInArrow|MapInArrow"),
-]
+# Load-bearing operator classes, counted from a STRUCTURAL WALK of the
+# static physical plan tree (SparkPlan node classes, one count per node).
+# String-scraping the plan was abandoned in r8: the toString/explain
+# representations EMBED each cached relation's originally-compiled build
+# plan at every InMemoryTableScan site (the same REPARTITION_BY_NUM
+# exchange printed 44x in dedup_setsim_prefix), and that embedded text
+# varies with cache-compilation context (AQE wrappers, first-run-in-JVM
+# artifacts) — the tree walk counts each node exactly once and treats
+# InMemoryTableScan as a LEAF, so cache internals can never move a
+# fingerprint. The shared cached builds are pinned by their own headline
+# entries (memo_lsh_signature_build below) instead.
+_OPS: dict[str, str] = {
+    "BroadcastExchangeExec": "broadcast_exchange",
+    "BroadcastHashJoinExec": "broadcast_hash_join",
+    "ShuffledHashJoinExec": "shuffled_hash_join",
+    "SortMergeJoinExec": "sort_merge_join",
+    "BroadcastNestedLoopJoinExec": "broadcast_nested_loop_join",
+    "CartesianProductExec": "cartesian_product",
+    "HashAggregateExec": "hash_aggregate",
+    "ObjectHashAggregateExec": "object_hash_aggregate",
+    "SortAggregateExec": "sort_aggregate",
+    "TakeOrderedAndProjectExec": "take_ordered",
+    "WindowExec": "window",
+    "WindowGroupLimitExec": "window_group_limit",
+    "ExpandExec": "expand",
+    "GenerateExec": "generate",
+    "BatchEvalPythonExec": "python_batch_eval",
+    "ArrowEvalPythonExec": "python_arrow_eval",
+    "FlatMapGroupsInPandasExec": "python_grouped_map",
+    "FlatMapCoGroupsInPandasExec": "python_cogrouped_map",
+    "MapInPandasExec": "python_map_in_arrow",
+    "PythonMapInArrowExec": "python_map_in_arrow",
+    "MapInArrowExec": "python_map_in_arrow",
+    "InMemoryTableScanExec": "cached_scan",  # leaf: build plans not entered
+    "ReusedExchangeExec": "reused_exchange",
+}
+
+
+def _walk_counts(jnode, out: dict[str, int]) -> None:
+    """Count load-bearing node classes of a JVM SparkPlan tree. Descends
+    children only — not into InMemoryTableScan cached plans (their
+    compilation context is session history, which is exactly the
+    nondeterminism this gate must not measure)."""
+    cls = jnode.getClass().getSimpleName()
+    if cls == "ShuffleExchangeExec":
+        part = jnode.outputPartitioning().toString()
+        if part.startswith("hashpartitioning"):
+            key = "shuffle_hash_exchange"
+        elif part.startswith("rangepartitioning"):
+            key = "shuffle_range_exchange"
+        elif part.startswith("SinglePartition"):
+            key = "shuffle_single_exchange"
+        else:
+            key = "shuffle_roundrobin_exchange"
+        out[key] = out.get(key, 0) + 1
+    elif cls in _OPS:
+        key = _OPS[cls]
+        out[key] = out.get(key, 0) + 1
+        if cls == "InMemoryTableScanExec":
+            return
+    kids = jnode.children()
+    for i in range(kids.size()):
+        _walk_counts(kids.apply(i), out)
+    try:  # expression-embedded subquery plans (scalar/IN subqueries)
+        subs = jnode.subqueries()
+        for i in range(subs.size()):
+            _walk_counts(subs.apply(i), out)
+    except Exception:
+        pass
 
 
 def fingerprint(df_or_build, spark=None) -> dict[str, int]:
@@ -95,15 +137,22 @@ def fingerprint(df_or_build, spark=None) -> dict[str, int]:
         else:
             df = df_or_build
             df.sparkSession.catalog.clearCache()
+        # re-assert AFTER the build: the reset forces catalog.register to
+        # re-run inside the build, and register -> tune_session turns AQE
+        # back on (it tunes driver-owned sessions) — without this line
+        # every "static" fingerprint silently measured an adaptive plan
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
         df.collect()
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        root = df._jdf.queryExecution().executedPlan()
+        if root.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            raise RuntimeError(
+                "fingerprint executed an ADAPTIVE plan (AQE re-enabled "
+                "mid-measurement?) — the gate must only pin static plans"
+            )
+        out: dict[str, int] = {}
+        _walk_counts(root, out)
     finally:
         sess.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-    out: dict[str, int] = {}
-    for name, pat in _OPS:
-        n = len(re.findall(pat, plan))
-        if n:
-            out[name] = n
     return out
 
 
@@ -142,7 +191,19 @@ def headline_queries() -> dict[str, object]:
         "dag_critical_path",        # iterative longest-path fold
         "text_vocab_coverage",      # frequency-ranked coverage curve
     ]
-    return {n: qs[n][0] for n in names if n in qs}
+    out = {n: qs[n][0] for n in names if n in qs}
+
+    # the shared cached index builds are LEAVES to every fingerprint above
+    # (the walk never enters InMemoryTableScan), so the build plan itself
+    # is pinned here as its own uncached entry — a regression in the
+    # shingle explode / minhash fold / band stack shows up in this shape
+    def _lsh_signature_build(spark, sf_dir):
+        from kalytical_spark.operators.dedup import _shingles_df, banded_signatures
+
+        return banded_signatures(_shingles_df(spark, sf_dir))
+
+    out["memo_lsh_signature_build"] = _lsh_signature_build
+    return out
 
 
 _PIN = os.path.join(
