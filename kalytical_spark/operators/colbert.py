@@ -195,29 +195,28 @@ def fit_token_cells(spark: SparkSession, sf_dir: str):
 
     emb = t(spark, sf_dir, "embeddings")
     n_part = spark.sparkContext.defaultParallelism
-    toks = _token_view(emb).repartition(n_part).cache()
-    n_tok = toks.count()
+    # exactly MAXSIM_NTOK token rows per embedding row (posexplode of a
+    # fixed 8-element sequence), so the count is metadata arithmetic —
+    # materializing the token cache just to size K cost a whole job at
+    # small scale
+    n_tok = emb.count() * MAXSIM_NTOK
     k_cells = min(max(K_CELLS, n_tok // TOKENS_PER_CELL), TOK_FIT_SAMPLE)
+    # three regimes, outputs bit-identical across all of them:
+    #   n_tok <= TOK_FIT_SAMPLE: the fit sample IS the whole token corpus,
+    #     so fit AND assignment run on the driver over one collected top-k
+    #     (no token cache, no second job — the sf0.1 memo's remaining cost
+    #     was exactly those two);
+    #   k_cells <= _TOK_DRIVER_FIT_MAX_K: driver fit, distributed assign;
+    #   else: fully distributed (the 100x scale shape).
+    whole_corpus_on_driver = n_tok <= TOK_FIT_SAMPLE
+    if whole_corpus_on_driver:
+        toks = _token_view(emb)  # single consumer: no repartition, no cache
+    else:
+        toks = _token_view(emb).repartition(n_part).cache()
 
     hashed = toks.withColumn(
         "h", F.md5(F.concat_ws(":", F.col("vec_id"), F.col("tok")))
     )
-    # seeds: the md5-smallest k_cells tokens — the only sample-sized
-    # collect left, and it is exactly the K x dim the driver must hold
-    seed_rows = hashed.orderBy("h").limit(k_cells).select("h", "tvec").collect()
-    seed_rows.sort(key=lambda r: r.h)
-    C = np.stack([np.asarray(r.tvec, dtype=np.float64) for r in seed_rows])
-    # the training sample stays a DataFrame (limit -> single partition,
-    # so spread it back out); row order inside partitions is irrelevant:
-    # the per-iteration reduce is an integer sum
-    sample = (
-        hashed.orderBy("h")
-        .limit(TOK_FIT_SAMPLE)
-        .select("tvec")
-        .repartition(n_part)
-        .cache()
-    )
-    sample.count()
 
     dim = MAXSIM_TDIM
     sum_cols = [f"s{k}" for k in range(dim)]
@@ -259,13 +258,23 @@ def fit_token_cells(spark: SparkSession, sf_dir: str):
     # distributed rounds keep the r6 scale fix (driver traffic K x dim
     # per round, matmul split across executors). Paths are bit-identical:
     # int64 partial sums are associative, so chunking cannot change them.
+    driver_rows = None
     if k_cells <= _TOK_DRIVER_FIT_MAX_K:
-        Xs = np.stack(
-            [
-                np.asarray(r.tvec, dtype=np.float64)
-                for r in sample.select("tvec").collect()
-            ]
+        # ONE top-k job feeds the seeds, the training sample, AND (when the
+        # corpus fits the sample bound) the assignment input — the earlier
+        # separate seed job + distributed sample cache were two jobs of
+        # pure overhead (measured ~1.2 s of the 4.9 s sf0.1 memo)
+        driver_rows = (
+            hashed.orderBy("h")
+            .limit(TOK_FIT_SAMPLE)
+            .select("h", "vec_id", "tvec")
+            .collect()
         )
+        driver_rows.sort(key=lambda r: r.h)
+        C = np.stack(
+            [np.asarray(r.tvec, dtype=np.float64) for r in driver_rows[:k_cells]]
+        )
+        Xs = np.stack([np.asarray(r.tvec, dtype=np.float64) for r in driver_rows])
         Xs_e9 = _snap_e9(Xs)
         for _ in range(_TOK_ITERS):
             Cb = np.round(C, 6)
@@ -278,6 +287,24 @@ def fit_token_cells(spark: SparkSession, sf_dir: str):
             present = np.nonzero(counts)[0]
             C = _mean_update(C, present, counts[present], sums[present])
     else:
+        # seeds: the md5-smallest k_cells tokens — the only sample-sized
+        # collect on this path, exactly the K x dim the driver must hold
+        seed_rows = (
+            hashed.orderBy("h").limit(k_cells).select("h", "tvec").collect()
+        )
+        seed_rows.sort(key=lambda r: r.h)
+        C = np.stack([np.asarray(r.tvec, dtype=np.float64) for r in seed_rows])
+        # the training sample stays a DataFrame (limit -> single partition,
+        # so spread it back out); row order inside partitions is irrelevant:
+        # the per-iteration reduce is an integer sum
+        sample = (
+            hashed.orderBy("h")
+            .limit(TOK_FIT_SAMPLE)
+            .select("tvec")
+            .repartition(n_part)
+            .cache()
+        )
+        sample.count()
         for _ in range(_TOK_ITERS):
             bCr = spark.sparkContext.broadcast(np.round(C, 6))
 
@@ -323,8 +350,8 @@ def fit_token_cells(spark: SparkSession, sf_dir: str):
                 [[r[c] for c in sum_cols] for r in agg_rows],
             )
             bCr.unpersist()
+        sample.unpersist()
 
-    sample.unpersist()
     Cr = np.round(C, 6)
 
     # --- hierarchical (two-level) corpus assignment -----------------------
@@ -362,52 +389,41 @@ def fit_token_cells(spark: SparkSession, sf_dir: str):
         np.nonzero(final_gid == g)[0].astype(np.int64) for g in range(G)
     ]
 
+    if whole_corpus_on_driver and driver_rows is not None:
+        # the collected fit sample IS the whole token corpus: run the SAME
+        # routing function on it here (per-token and batch-invariant, so
+        # the postings are bit-identical to the distributed pass) and skip
+        # the second distributed job entirely (driver_rows is None only
+        # when the fit threshold is forced down, e.g. the bit-identity
+        # test's monkeypatch — then the distributed pass below runs)
+        cells = _route_tokens_top2(Xs, Cr, Gc, members)
+        # distinct here too (it's one np.unique over rows already in hand;
+        # a Spark .distinct() on driver-born rows would buy a shuffle job)
+        pairs = np.unique(
+            np.stack(
+                [
+                    np.array([r.vec_id for r in driver_rows], dtype=np.int64),
+                    cells.astype(np.int64),
+                ],
+                axis=1,
+            ),
+            axis=0,
+        )
+        pdf = pd.DataFrame({"vec_id": pairs[:, 0], "cell": pairs[:, 1].astype("int32")})
+        postings = spark.createDataFrame(pdf, schema="vec_id long, cell int").cache()
+        postings.count()
+        _TOK_FIT_CACHE[memo_key] = (postings, Cr)
+        return _TOK_FIT_CACHE[memo_key]
+
     bC = spark.sparkContext.broadcast((Cr, Gc, members))
 
     def assign(batches):
-        # top-2 coarse groups per token (boundary tokens see both sides'
-        # members — measured: top-1 routing agreed with the exact flat
-        # argmax on only ~58% of fixture tokens at tiny K; top-2 restores
-        # near-exact assignment while staying O(2*sqrt(K)) per token)
         Cb, Gb, mem = bC.value
-        cn = (Cb * Cb).sum(axis=1)
-        gn = (Gb * Gb).sum(axis=1)
-        n_grp = Gb.shape[0]
         for pdf in batches:
             X = np.stack(pdf["tvec"].map(lambda a: np.asarray(a, dtype=np.float64)))
-            gs = 2.0 * (X @ Gb.T) - gn
-            g1 = gs.argmax(axis=1)
-            if n_grp > 1:
-                gs[np.arange(len(X)), g1] = -np.inf
-                g2 = gs.argmax(axis=1)
-            else:
-                g2 = g1
-            best_v = np.full(len(X), -np.inf)
-            best_c = np.full(len(X), np.iinfo(np.int32).max, dtype=np.int64)
-            for gid in (g1, g2):
-                for g in np.unique(gid):
-                    m = mem[g]
-                    idx = np.nonzero(gid == g)[0]
-                    if len(m) == 0:
-                        continue
-                    s = 2.0 * (X[idx] @ Cb[m].T) - cn[m]
-                    j = s.argmax(axis=1)
-                    v = s[np.arange(len(idx)), j]
-                    c = m[j]
-                    # max by value; exact ties keep the LOWER cell id (the
-                    # flat argmax convention)
-                    take = (v > best_v[idx]) | (
-                        (v == best_v[idx]) & (c < best_c[idx])
-                    )
-                    upd = idx[take]
-                    best_v[upd] = v[take]
-                    best_c[upd] = c[take]
-            miss = np.nonzero(~np.isfinite(best_v))[0]
-            if len(miss):  # both probed groups cell-less: flat fallback
-                s = 2.0 * (X[miss] @ Cb.T) - cn
-                best_c[miss] = s.argmax(axis=1)
-            cell = best_c.astype(np.int32)
-            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell": cell})
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": _route_tokens_top2(X, Cb, Gb, mem)}
+            )
 
     # the doc-level posting list: DISTINCT (doc, cell) — a doc appears in a
     # cell once no matter how many of its tokens land there
@@ -418,6 +434,52 @@ def fit_token_cells(spark: SparkSession, sf_dir: str):
     toks.unpersist()
     _TOK_FIT_CACHE[memo_key] = (postings, Cr)
     return _TOK_FIT_CACHE[memo_key]
+
+
+def _route_tokens_top2(X, Cb, Gb, mem):
+    """Hierarchical token->cell routing shared by the driver-resident and
+    distributed assignment paths (bit-identical by construction: per-token,
+    batch-invariant, ties to the lower cell id).
+
+    Top-2 coarse groups per token: boundary tokens see both sides'
+    members — measured: top-1 routing agreed with the exact flat argmax on
+    only ~58% of fixture tokens at tiny K; top-2 restores near-exact
+    assignment while staying O(2*sqrt(K)) per token."""
+    import numpy as np
+
+    cn = (Cb * Cb).sum(axis=1)
+    gn = (Gb * Gb).sum(axis=1)
+    n_grp = Gb.shape[0]
+    gs = 2.0 * (X @ Gb.T) - gn
+    g1 = gs.argmax(axis=1)
+    if n_grp > 1:
+        gs[np.arange(len(X)), g1] = -np.inf
+        g2 = gs.argmax(axis=1)
+    else:
+        g2 = g1
+    best_v = np.full(len(X), -np.inf)
+    best_c = np.full(len(X), np.iinfo(np.int32).max, dtype=np.int64)
+    for gid in (g1, g2):
+        for g in np.unique(gid):
+            m = mem[g]
+            idx = np.nonzero(gid == g)[0]
+            if len(m) == 0:
+                continue
+            s = 2.0 * (X[idx] @ Cb[m].T) - cn[m]
+            j = s.argmax(axis=1)
+            v = s[np.arange(len(idx)), j]
+            c = m[j]
+            # max by value; exact ties keep the LOWER cell id (the flat
+            # argmax convention)
+            take = (v > best_v[idx]) | ((v == best_v[idx]) & (c < best_c[idx]))
+            upd = idx[take]
+            best_v[upd] = v[take]
+            best_c[upd] = c[take]
+    miss = np.nonzero(~np.isfinite(best_v))[0]
+    if len(miss):  # both probed groups cell-less: flat fallback
+        s = 2.0 * (X[miss] @ Cb.T) - cn
+        best_c[miss] = s.argmax(axis=1)
+    return best_c.astype(np.int32)
 
 
 def sim_maxsim_ivf_pruned(
