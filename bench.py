@@ -46,6 +46,7 @@ def _memo_builders():
         kmeans_ivf,
         pq,
         replay,
+        setsim,
     )
 
     return [
@@ -66,6 +67,8 @@ def _memo_builders():
         # token-level k-means cells for the pruned MaxSim path (8x the
         # points of the pooled fit: one fit over the exploded token view)
         ("memo:token_kmeans_fit", lambda s, d: colbert.fit_token_cells(s, d)[0]),
+        # exact set-similarity verified pairs (prefix join + narrow verify)
+        ("memo:setsim_pairs", setsim.dedup_setsim_prefix),
         # sequential fire-decision ledger (applyInPandas fold)
         ("memo:replay_decisions", replay.dag_replay_decisions),
     ]
@@ -92,9 +95,14 @@ def main() -> None:
         names = [n for n in _ONLY.split(",") if n in queries]
 
     timings: dict[str, float] = {}
-    # Pre-pay each shared memo as its own timed line (skipped on focused
-    # SPARK_GRAFT_BENCH_QUERIES runs, which measure end-to-end cost):
-    if not _ONLY:
+    # Pre-pay each shared memo as its own timed line. Focused
+    # SPARK_GRAFT_BENCH_QUERIES runs skip this (they measure end-to-end
+    # cost) UNLESS SPARK_GRAFT_BENCH_PREPAY_MEMOS=1: the isolated-JVM
+    # regression re-measure (tools/bench_diff.py) needs the focused median
+    # to be MEMO-WARM like the suite median it is compared against —
+    # without the prepay, a memo-consuming query's isolated number carries
+    # the shared build and reads as a fake 2-6x regression.
+    if not _ONLY or os.environ.get("SPARK_GRAFT_BENCH_PREPAY_MEMOS") == "1":
         for memo_name, build in _memo_builders():
             t0 = time.time()
             try:

@@ -255,9 +255,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     memo_key = (app_key(spark), sf_dir)
     if memo_key in _PAIR_CACHE:
         return _PAIR_CACHE[memo_key]
-    sh, long = signature_tables(spark, sf_dir)
+    cand = _lsh_candidates(spark, sf_dir).cache()
+    cand.count()  # cand feeds both the intersection and the final join
+    result = lsh_pairs_plan(spark, sf_dir, cand).cache()
+    result.count()  # materialize so the candidate table can be released
+    # sh/long stay cached in _SIG_CACHE (the shared index artifact); only
+    # the mine-private candidate table is dropped
+    cand.unpersist()
+    _PAIR_CACHE[memo_key] = result
+    return result
+
+
+def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-bucket candidate pairs (doc_a < doc_b, with set sizes)."""
+    _sh, long = signature_tables(spark, sf_dir)
     l, r = long.alias("l"), long.alias("r")
-    cand = (
+    return (
         l.join(
             r,
             (F.col("l.band_idx") == F.col("r.band_idx"))
@@ -271,15 +284,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r.n_sh").alias("n_b"),
         )
         .distinct()
-        .cache()  # cand feeds both the intersection and the final join
     )
-    cand.count()  # eager for the same reason
-    # verify ONLY candidate pairs: intersect shingle sets via two joins keyed
-    # on the candidate ids — never the all-pairs intersection (that would
-    # defeat LSH at scale; the oracle may do it the slow way, we must not).
-    # Prune the shingle table to candidate docs FIRST (broadcast semi-join):
-    # candidates are a vanishing fraction of the corpus, so the (doc, shingle)
-    # intersection shuffle moves only their shingles, not the whole table.
+
+
+def lsh_pairs_plan(
+    spark: SparkSession, sf_dir: str, cand: DataFrame | None = None
+) -> DataFrame:
+    """The UNCACHED mine+verify pipeline — the single construction the
+    memoized query materializes and the plan-fingerprint gate pins
+    structurally (a memo-warm read executes as one cached scan, which
+    would blind the gate to this plan).
+
+    Verify ONLY candidate pairs: intersect shingle sets via two joins keyed
+    on the candidate ids — never the all-pairs intersection (that would
+    defeat LSH at scale; the oracle may do it the slow way, we must not).
+    Prune the shingle table to candidate docs FIRST (broadcast semi-join):
+    candidates are a vanishing fraction of the corpus, so the (doc, shingle)
+    intersection shuffle moves only their shingles, not the whole table."""
+    sh, _long = signature_tables(spark, sf_dir)
+    if cand is None:
+        cand = _lsh_candidates(spark, sf_dir)
     cand_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
@@ -300,17 +324,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_inter").cast("double")
         / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
     )
-    result = (
-        verified.filter(F.col("jaccard") >= LSH_VERIFY_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
-        .cache()
+    return verified.filter(F.col("jaccard") >= LSH_VERIFY_THRESHOLD).select(
+        "doc_a", "doc_b", "jaccard"
     )
-    result.count()  # materialize so the candidate table can be released
-    # sh/long stay cached in _SIG_CACHE (the shared index artifact); only
-    # the mine-private candidate table is dropped
-    cand.unpersist()
-    _PAIR_CACHE[memo_key] = result
-    return result
 
 
 def _sql_minhash_lsh_ctes() -> str:

@@ -118,6 +118,19 @@ def dag_replay_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (app_key(spark), sf_dir)
     if key in _DECISIONS_CACHE:
         return _DECISIONS_CACHE[key]
+    # eager: the ledger feeds multiple downstream consumers (summary,
+    # retry ledger, credit queries) — materialize before any of them
+    # plans, so AQE sees final cache statistics (common.eager_cache)
+    out = eager_cache(replay_decisions_plan(spark, sf_dir))
+    _DECISIONS_CACHE[key] = out
+    return out
+
+
+def replay_decisions_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNCACHED ledger pipeline — the single construction the memoized
+    query materializes and the plan-fingerprint gate pins structurally (a
+    memo-warm read executes as one cached scan, which would blind the
+    gate to this plan; tools/plan_fingerprint.py r8)."""
     deliveries = _deliveries(spark, sf_dir)
     fires_simple = _fires_simple(deliveries)
     multi = deliveries.filter(
@@ -126,12 +139,7 @@ def dag_replay_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     fires_multi = multi.groupBy("pipeline_uuid").applyInPandas(
         _fold_group, schema=_DECISION_SCHEMA
     )
-    # eager: the ledger feeds multiple downstream consumers (summary,
-    # retry ledger, credit queries) — materialize before any of them
-    # plans, so AQE sees final cache statistics (common.eager_cache)
-    out = eager_cache(fires_simple.unionByName(fires_multi))
-    _DECISIONS_CACHE[key] = out
-    return out
+    return fires_simple.unionByName(fires_multi)
 
 
 def dag_replay_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -55,7 +55,14 @@ def isolated_median(name: str) -> float | None:
     the scale sweep instead')."""
     if name.startswith("memo:"):
         return None
-    env = dict(os.environ, SPARK_GRAFT_BENCH_QUERIES=name)
+    # prepay shared memo builds so the focused median is memo-warm like
+    # the suite median it is judged against (a memo-consuming query would
+    # otherwise carry the build and read as a fake regression)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_BENCH_QUERIES=name,
+        SPARK_GRAFT_BENCH_PREPAY_MEMOS="1",
+    )
     try:
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
