@@ -261,7 +261,11 @@ def _parse_bmp_rle8(buf: bytes) -> tuple[int, int, int, np.ndarray]:
             idx[y, x : x + count] = val
             x += count
         elif val == 0:  # end of line
-            if y + 1 >= height:
+            # an EOL on the final stored row (immediately before EOB) is
+            # legal BI_RLE8: it positions x=0, y past-the-end, and only a
+            # subsequent DRAWING op at y == height is malformed (the run /
+            # absolute-mode bounds checks below catch that)
+            if y >= height:
                 raise ValueError("EOL past the last row")
             x, y = 0, y + 1
         elif val == 1:  # end of bitmap

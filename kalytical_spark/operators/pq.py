@@ -37,7 +37,7 @@ from .kmeans_ivf import (
     make_probe,
 )
 from .similarity import QUERY_STRIDE, TOP_K
-from .common import t
+from .common import app_key, session_memo, t
 
 PQ_M = 8  # subspaces
 PQ_KS = 16  # codes per subspace (fits 4 bits; stored as int)
@@ -131,14 +131,21 @@ def _train_codebooks(spark: SparkSession, sf_dir: str):
     return assignments, C, np.round(B, 6), nemb
 
 
-def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ top-k: ADC over 8-byte codes within probed cells, exact
-    re-rank of the shortlist. Same output shape as the other sim_topk_*
-    queries (query_id, rank, vec_id, cos_sim)."""
+# session memo: the trained+encoded PQ index is shared by sim_topk_ivfpq
+# and its verified twin (ann_verify.py) — same convention as
+# kmeans_ivf._FIT_CACHE (one fit per (session, sf_dir)).
+_PQ_CACHE: dict[tuple[str, str], tuple] = session_memo({})
+
+
+def _pq_index(spark: SparkSession, sf_dir: str):
+    """(encoded cached DF [vec_id, cell, codes], centroids C, codebooks B)
+    — the stored IVF-PQ index artifact, memoized per (session, sf_dir)."""
     import numpy as np
 
+    key = (app_key(spark), sf_dir)
+    if key in _PQ_CACHE:
+        return _PQ_CACHE[key]
     assignments, C, B, joined_nemb = _train_codebooks(spark, sf_dir)
-    emb = t(spark, sf_dir, "embeddings")
     dim = C.shape[1]
     dsub = dim // PQ_M
     bB = spark.sparkContext.broadcast(B)
@@ -167,6 +174,24 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     encoded.count()
     joined_nemb.unpersist()
+    _PQ_CACHE[key] = (encoded, C, B)
+    return _PQ_CACHE[key]
+
+
+def pq_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ADC shortlist (query_id, vec_id): probe N_PROBE cells, score
+    candidates from codes alone, keep the PQ_RERANK best per query. This is
+    the LEARNED leg of the search (its quality is the recall report's
+    contract); the exact re-rank downstream of it is deterministic and is
+    brute-force-audited by the verified twin in ann_verify.py."""
+    import numpy as np
+
+    encoded, C, B = _pq_index(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    dim = C.shape[1]
+    dsub = dim // PQ_M
+    bB = spark.sparkContext.broadcast(B)
+    bC = spark.sparkContext.broadcast(C)
 
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -213,15 +238,23 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(adc, schema="query_id long, vec_id long, adc_sim double")
     )
     short_w = W.partitionBy("query_id").orderBy(F.desc("adc_sim"), F.asc("vec_id"))
-    shortlist = (
+    return (
         cand.withColumn("srk", F.row_number().over(short_w))
         .filter(F.col("srk") <= PQ_RERANK)
         .select("query_id", "vec_id")
     )
 
+
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k: ADC over 8-byte codes within probed cells, exact
+    re-rank of the shortlist. Same output shape as the other sim_topk_*
+    queries (query_id, rank, vec_id, cos_sim)."""
+    emb = t(spark, sf_dir, "embeddings")
+    shortlist = pq_shortlist(spark, sf_dir)
+
     # exact re-rank: fetch true vectors ONLY for the shortlist
-    qn = queries.select(
-        "query_id", F.col("q_emb").alias("q_full")
+    qn = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_full")
     )
     ev = emb.select("vec_id", F.col("embedding").alias("v_full"))
     joined = shortlist.join(F.broadcast(qn), "query_id").join(ev, "vec_id")

@@ -93,6 +93,7 @@ def _load_optional():
         "embgraph",
         "video",
         "preference",
+        "ann_verify",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))

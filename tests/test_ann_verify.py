@@ -1,0 +1,122 @@
+"""The bounded-oracle ANN verification twins (ann_verify.py): each must be
+all-TRUE on the real pipelines, and the audit must have TEETH — a tampered
+top-k (dropped row, corrupted score, swapped neighbor, non-dense ranks)
+must flip the matching boolean."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kalytical_spark.operators import ann_verify
+from tests.conftest import SF_SMALL
+
+TWINS = [
+    "sim_topk_kmeans_ivf_verified",
+    "sim_topk_ivf_incremental_verified",
+    "sim_topk_ivfpq_verified",
+    "sim_maxsim_ivf_pruned_verified",
+]
+
+
+@pytest.mark.parametrize("name", TWINS)
+def test_verified_twin_all_true(spark, name):
+    fn, _oracle = ann_verify.QUERIES[name]
+    rows = fn(spark, SF_SMALL).collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert r["k"] == 10
+    assert r["n_queries"] > 0
+    assert r["n_sampled"] == min(ann_verify.ANN_VERIFY_SAMPLE_Q, r["n_queries"])
+    for flag in (
+        "rows_complete_ok",
+        "ranks_dense_ok",
+        "scores_exact_ok",
+        "sampled_topk_exact_ok",
+    ):
+        assert r[flag] is True, (name, flag, r)
+
+
+def _audit(spark, topk, candidates):
+    from kalytical_spark.operators.similarity import _cos_rounded
+
+    return (
+        ann_verify._topk_verify_summary(
+            spark,
+            SF_SMALL,
+            topk,
+            candidates,
+            "cos_sim",
+            _cos_rounded(F.col("q_emb"), F.col("embedding")),
+        )
+        .collect()[0]
+        .asDict()
+    )
+
+
+@pytest.fixture(scope="module")
+def kmeans_parts(spark):
+    from kalytical_spark.operators.kmeans_ivf import (
+        fit_kmeans_cells,
+        sim_topk_kmeans_ivf,
+    )
+
+    assignments, C = fit_kmeans_cells(spark, SF_SMALL)
+    topk = sim_topk_kmeans_ivf(spark, SF_SMALL).cache()
+    cand = ann_verify._kmeans_candidates(spark, SF_SMALL, assignments, C).cache()
+    return topk, cand
+
+
+def test_teeth_dropped_row(spark, kmeans_parts):
+    """Deleting one returned neighbor breaks completeness (and dense ranks,
+    since the gap leaves rmax != cnt)."""
+    topk, cand = kmeans_parts
+    victim = topk.orderBy("query_id", "rank").first()
+    tampered = topk.filter(
+        ~(
+            (F.col("query_id") == victim.query_id)
+            & (F.col("rank") == victim.rank)
+        )
+    )
+    r = _audit(spark, tampered, cand)
+    assert r["rows_complete_ok"] is False
+
+
+def test_teeth_corrupted_score(spark, kmeans_parts):
+    """Perturbing one reported score must fail the independent re-scoring
+    (and the sampled re-rank cannot mask it)."""
+    topk, cand = kmeans_parts
+    tampered = topk.withColumn(
+        "cos_sim",
+        F.when(F.col("rank") == 1, F.col("cos_sim") - 0.01).otherwise(
+            F.col("cos_sim")
+        ),
+    )
+    r = _audit(spark, tampered, cand)
+    assert r["scores_exact_ok"] is False
+
+
+def test_teeth_swapped_neighbor(spark, kmeans_parts):
+    """Replacing a returned neighbor with a non-top-k candidate (keeping a
+    correct score for it) must fail the sampled exhaustive re-rank."""
+    topk, cand = kmeans_parts
+    # kick out every rank-1 neighbor and promote the rest: rank set stays
+    # dense only per remaining count, so shift ranks down to stay dense —
+    # the surviving set is NOT the exact top-k of the candidate set
+    tampered = topk.filter(F.col("rank") > 1).withColumn(
+        "rank", F.col("rank") - F.lit(1)
+    )
+    r = _audit(spark, tampered, cand)
+    # completeness breaks too (k-1 rows per query), but the sampled
+    # re-rank is the check that must catch the wrong membership
+    assert r["sampled_topk_exact_ok"] is False
+
+
+def test_teeth_non_dense_ranks(spark, kmeans_parts):
+    """Duplicated rank values must fail the dense-rank contract."""
+    topk, cand = kmeans_parts
+    tampered = topk.withColumn(
+        "rank", F.when(F.col("rank") == 2, F.lit(1)).otherwise(F.col("rank"))
+    )
+    r = _audit(spark, tampered, cand)
+    assert r["ranks_dense_ok"] is False

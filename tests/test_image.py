@@ -113,6 +113,43 @@ def test_rle8_decodes_absolute_and_delta_modes():
     assert not row[10:].any()
 
 
+def test_rle8_accepts_trailing_eol_before_eob():
+    # spec-conformant third-party streams may end the FINAL row with an
+    # EOL escape before EOB (positioning x=0 past-the-end); the decoder
+    # must accept it — but a DRAWING op after that EOL is malformed
+    import struct as _s
+    w = image.RLE_WIDTH
+    stream = bytes([2, 7,      # encoded run: 2 x 7 on the only row
+                    0, 0,      # EOL on the last row (legal)
+                    0, 1])     # EOB
+    pal = image._encode_bmp_rle8(np.zeros(1, dtype=np.uint8))[54: image._RLE_HDR]
+    file_hdr = _s.pack("<2sIHHI", b"BM", image._RLE_HDR + len(stream), 0, 0,
+                       image._RLE_HDR)
+    info_hdr = _s.pack("<IiiHHIIiiII", 40, w, 1, 1, 8, 1, len(stream),
+                       2835, 2835, 256, 0)
+    width, height, rle_bytes, pixels = image._parse_bmp_rle8(
+        file_hdr + info_hdr + pal + stream
+    )
+    assert (width, height) == (w, 1)
+    assert list(pixels.reshape(-1)[:2]) == [7, 7]
+    # drawing past the trailing EOL must still raise
+    bad = bytes([2, 7, 0, 0, 1, 9, 0, 1])
+    bad_hdr = _s.pack("<2sIHHI", b"BM", image._RLE_HDR + len(bad), 0, 0,
+                      image._RLE_HDR)
+    bad_info = _s.pack("<IiiHHIIiiII", 40, w, 1, 1, 8, 1, len(bad),
+                       2835, 2835, 256, 0)
+    with pytest.raises(ValueError, match="overruns"):
+        image._parse_bmp_rle8(bad_hdr + bad_info + pal + bad)
+    # and a SECOND EOL past the end must raise too
+    bad2 = bytes([2, 7, 0, 0, 0, 0, 0, 1])
+    bad2_hdr = _s.pack("<2sIHHI", b"BM", image._RLE_HDR + len(bad2), 0, 0,
+                       image._RLE_HDR)
+    bad2_info = _s.pack("<IiiHHIIiiII", 40, w, 1, 1, 8, 1, len(bad2),
+                        2835, 2835, 256, 0)
+    with pytest.raises(ValueError, match="EOL past"):
+        image._parse_bmp_rle8(bad2_hdr + bad2_info + pal + bad2)
+
+
 def test_rle8_rejects_malformed():
     good = image._encode_bmp_rle8(np.array([1, 1, 2], dtype=np.uint8))
     with pytest.raises(ValueError):

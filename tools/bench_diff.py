@@ -48,13 +48,27 @@ def _load_queries(path: str) -> dict[str, float]:
     return {k: v for k, v in d.get("queries", {}).items() if v >= 0}
 
 
-def isolated_median(name: str) -> float | None:
+# isolated_median sentinels: a MEMO build can't be focused (not a failure —
+# its regression signal lives in SCALE_SWEEP.json); a FAILED re-measure
+# (timeout / crash / unparseable bench output) means the candidate is
+# UNVERIFIED, which must never be silently conflated with the memo skip
+# (ADVICE r8: a regression whose isolation run dies was mislabeled
+# 'compare via the sweep' and exited 0).
+MEMO_SKIP = "memo-skip"
+
+
+class IsolationFailed(RuntimeError):
+    """The focused fresh-JVM re-measure itself failed; carries the cause."""
+
+
+def isolated_median(name: str) -> float | str:
     """Warm median of one query in a FRESH JVM: bench.py focused via
-    SPARK_GRAFT_BENCH_QUERIES. memo:* lines are index builds, not registry
-    queries — they cannot be focused (None = caller reports 'compare via
-    the scale sweep instead')."""
+    SPARK_GRAFT_BENCH_QUERIES. Returns the median, or MEMO_SKIP for memo:*
+    build lines (not registry queries — cannot be focused). Raises
+    IsolationFailed when the re-measure subprocess times out, crashes, or
+    emits no parsable result for the query."""
     if name.startswith("memo:"):
-        return None
+        return MEMO_SKIP
     # prepay shared memo builds so the focused median is memo-warm like
     # the suite median it is judged against (a memo-consuming query would
     # otherwise carry the build and read as a fake regression)
@@ -69,14 +83,22 @@ def isolated_median(name: str) -> float | None:
             capture_output=True, text=True, timeout=900, env=env,
         )
     except subprocess.TimeoutExpired:
-        return None
+        raise IsolationFailed("re-measure timed out after 900s")
+    if proc.returncode != 0:
+        tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-3:]
+        raise IsolationFailed(
+            f"bench.py exited {proc.returncode}: {' | '.join(tail)[:300]}"
+        )
     for line in reversed(proc.stdout.strip().splitlines()):
         if line.startswith("{"):
             try:
-                return json.loads(line)["queries"].get(name)
-            except (ValueError, KeyError):
-                return None
-    return None
+                med = json.loads(line)["queries"].get(name)
+            except (ValueError, KeyError) as exc:
+                raise IsolationFailed(f"unparseable bench output: {exc}")
+            if med is None:
+                raise IsolationFailed("bench output lacks the focused query")
+            return med
+    raise IsolationFailed("bench.py produced no JSON result line")
 
 
 def main() -> None:
@@ -107,7 +129,7 @@ def main() -> None:
           f"{len(new.keys() - old.keys())} new, {len(old.keys() - new.keys())} gone")
     for ratio, o, n, name in sorted(improved, reverse=True):
         print(f"improved  {name:40s} {o:7.2f}s -> {n:7.2f}s  ({ratio:.1f}x)")
-    confirmed = 0
+    confirmed = unverified = 0
     for i, (ratio, o, n, name) in enumerate(sorted(candidates, reverse=True)):
         if not isolate:
             print(f"CANDIDATE {name:40s} {o:7.2f}s -> {n:7.2f}s  ({ratio:.1f}x)"
@@ -117,8 +139,16 @@ def main() -> None:
             print(f"CANDIDATE {name:40s} {o:7.2f}s -> {n:7.2f}s  ({ratio:.1f}x)"
                   f"  [re-measure budget ({MAX_ISOLATED}) exhausted]")
             continue
-        iso = isolated_median(name)
-        if iso is None:
+        try:
+            iso = isolated_median(name)
+        except IsolationFailed as exc:
+            # an UNVERIFIED candidate is not cleared: report the cause and
+            # make the run exit nonzero so the failure can't pass silently
+            unverified += 1
+            print(f"UNVERIFIED {name:39s} {o:7.2f}s -> {n:7.2f}s  ({ratio:.1f}x)"
+                  f"  [isolation re-measure FAILED: {exc}]")
+            continue
+        if iso == MEMO_SKIP:
             print(f"CANDIDATE {name:40s} {o:7.2f}s -> {n:7.2f}s  ({ratio:.1f}x)"
                   "  [memo build: compare via SCALE_SWEEP.json]")
         elif iso >= o * CANDIDATE_RATIO and iso - o >= FLAG_ABS_SEC:
@@ -131,7 +161,7 @@ def main() -> None:
                   f"(isolated {iso:.2f}s: suite-order effect, not a regression)")
     if not candidates:
         print("no candidates above the movement thresholds")
-    sys.exit(1 if confirmed else 0)
+    sys.exit(1 if (confirmed or unverified) else 0)
 
 
 if __name__ == "__main__":
