@@ -124,10 +124,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exhaustive n-gram Jaccard near-dup pairs (candidate generation via
     shared shingles, then |A ∩ B| / |A ∪ B| >= threshold). The exact baseline
     for the LSH variant below."""
-    # the shared signature memo's shingle table (already cached and
-    # materialized) — a private .cache() here would pin a second full copy
-    # of the corpus shingles in executor storage for the session
-    sh, _long = signature_tables(spark, sf_dir)
+    # the shared memo's shingle table (already cached and materialized) —
+    # a private .cache() here would pin a second full copy of the corpus
+    # shingles in executor storage for the session; the exhaustive miner
+    # never reads the banded table, so it takes the shingle layer alone
+    sh = shingle_table(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -206,8 +207,25 @@ _PAIR_CACHE: dict[tuple[int, str], DataFrame] = session_memo({})
 # the STORED INDEX artifact of the LSH family — production persists them
 # per ingest and appends deltas. The full mine and the incremental delta
 # mine (dedup_incremental.py) share one cached build per session instead
-# of each re-shingling the corpus.
+# of each re-shingling the corpus. The shingle set is its own memo layer:
+# the prefix-filter join (setsim.py), the exhaustive miners and the
+# calibration rebuild consume ONLY shingles, and charging them the
+# minhash/banding build too cost a measured 29s of the textdedup k100
+# sweep leg for an artifact that chain never reads.
+_SH_CACHE: dict[tuple[str, str], DataFrame] = session_memo({})
 _SIG_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = session_memo({})
+
+
+def shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached, materialized (doc_id, shingle) set — the shared base layer
+    of every shingle consumer; banded minhash signatures stack on top via
+    signature_tables for the callers that need them."""
+    key = (app_key(spark), sf_dir)
+    if key not in _SH_CACHE:
+        sh = _shingles_df(spark, sf_dir).cache()
+        sh.count()
+        _SH_CACHE[key] = sh
+    return _SH_CACHE[key]
 
 
 def signature_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -217,8 +235,7 @@ def signature_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataF
     would not materialize the pruned-away minhash aggregates."""
     key = (app_key(spark), sf_dir)
     if key not in _SIG_CACHE:
-        sh = _shingles_df(spark, sf_dir).cache()
-        sh.count()
+        sh = shingle_table(spark, sf_dir)
         long = banded_signatures(sh).cache()
         long.count()
         _SIG_CACHE[key] = (sh, long)

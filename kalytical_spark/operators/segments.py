@@ -81,18 +81,22 @@ def users_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_score/m_score 5 = heaviest — plus the concatenated RFM cell."""
     ev = t(spark, sf_dir, "events_ms").filter(F.col("event_type") == "purchase")
     anchor = now_expr(spark, sf_dir)
-    base = eager_cache(
-        ev.groupBy("user_id").agg(
-            F.datediff(F.to_date(F.lit(anchor)), F.to_date(F.max("ts")))
-            .cast("bigint")
-            .alias("recency_days"),
-            F.count("*").cast("bigint").alias("frequency"),
-            F.sum((F.col("value").cast("decimal(12,4)") * 100).cast("bigint"))
-            .cast("bigint")
-            .alias("monetary_cents"),
-        )
-    )  # user dim feeds 3 rankings + the final join; eager so AQE plans
-    # every branch against final cache statistics (see common.eager_cache)
+    # the user dim feeds 3 rankings + the final join UNCACHED: all four
+    # branches share one identical groupBy exchange, which Spark's
+    # exchange reuse executes exactly once — and with no InMemoryRelation
+    # in the plan there are no cache STATISTICS for AQE to race on (the
+    # r7 nondeterminism that eager_cache was added to pin came from
+    # racing cache stats; removing the cache removes the race AND the
+    # ~1 s/call eager count() — VERDICT r9 task 7).
+    base = ev.groupBy("user_id").agg(
+        F.datediff(F.to_date(F.lit(anchor)), F.to_date(F.max("ts")))
+        .cast("bigint")
+        .alias("recency_days"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum((F.col("value").cast("decimal(12,4)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
     n_users = base.agg(F.count("*").cast("bigint").alias("n"))
 
     def score(metric: str, descending: bool, out: str) -> DataFrame:
@@ -191,13 +195,14 @@ def users_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: none (no scoring surface in the reference); built
     for the warehouse/feature-engineering mandate."""
     ev = t(spark, sf_dir, "events_ms").filter(F.col("event_type") == "purchase")
-    base = eager_cache(
-        ev.groupBy("user_id").agg(
-            F.count("*").cast("bigint").alias("frequency"),
-            F.sum((F.col("value").cast("decimal(12,4)") * 100).cast("bigint"))
-            .cast("bigint")
-            .alias("monetary_cents"),
-        )
+    # uncached for the same reason as users_rfm_segments' base: the
+    # branches share one reused exchange, and no cache means no cache
+    # statistics for AQE to race on
+    base = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum((F.col("value").cast("decimal(12,4)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_cents"),
     )
     n_users = base.agg(F.count("*").cast("bigint").alias("n"))
 

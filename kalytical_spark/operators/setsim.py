@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from .common import app_key, session_memo
-from .dedup import _SQL_SHINGLES, signature_tables
+from .dedup import _SQL_SHINGLES, shingle_table
 
 SETSIM_T_MILLI = 500  # Jaccard threshold 0.5, integer cross-multiplied
 
@@ -53,8 +53,13 @@ def _prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs surviving the prefix + length + positional filters
     (doc_a, doc_b, n_a, n_b) — the pre-verification set whose cardinality
     is the scale story of this operator (tools/scale_bench.py's textdedup
-    chain records it per scale point)."""
-    sh, _long = signature_tables(spark, sf_dir)
+    chain records it per scale point).
+
+    Consumes the SHINGLE memo layer only (dedup.shingle_table): charging
+    this path the minhash/banding build too cost a measured 29s of the
+    229s textdedup k100 sweep leg for a table the prefix join never
+    reads (r9)."""
+    sh = shingle_table(spark, sf_dir)
     df = sh.groupBy("shingle").agg(F.count("*").cast("bigint").alias("sh_df"))
     wdoc = W.partitionBy("doc_id").orderBy("sh_df", "shingle")
     ranked = sh.join(df.hint("shuffle_hash"), "shingle").select(
@@ -90,6 +95,27 @@ def _prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (
                 1000 * F.least("a.n_sh", "b.n_sh")
                 >= SETSIM_T_MILLI * F.greatest("a.n_sh", "b.n_sh")
+            )
+            # positional bound applied PER JOINED ROW, ahead of the
+            # aggregate (r9): per-doc ranks restrict ONE global order, so
+            # the pair's rarest shared token achieves (min rn_a, min rn_b)
+            # simultaneously and every other shared token ranks after it
+            # in BOTH docs — the bound is monotonically tighter in (rn_a,
+            # rn_b), so dropping rows that fail on their own ranks can
+            # never drop a pair whose minimizing row passes, and if the
+            # minimizing row fails every row fails. Same expression as the
+            # post-aggregate filter below; here it shrinks the groupBy
+            # shuffle (the dominant exchange of candidate generation).
+            & (
+                (1000 + SETSIM_T_MILLI)
+                * (
+                    1
+                    + F.least(
+                        F.col("a.n_sh") - F.col("a.rn"),
+                        F.col("b.n_sh") - F.col("b.rn"),
+                    )
+                )
+                >= SETSIM_T_MILLI * (F.col("a.n_sh") + F.col("b.n_sh"))
             ),
         )
         .groupBy(
@@ -172,7 +198,7 @@ def setsim_pairs_plan(
     construction the memoized query materializes and the plan-fingerprint
     gate pins structurally (a memo-warm read executes as one cached scan,
     which would blind the gate to this plan)."""
-    sh, _long = signature_tables(spark, sf_dir)
+    sh = shingle_table(spark, sf_dir)
     if cand is None:
         cand = _prefix_candidates(spark, sf_dir)
     cand_ids = (

@@ -9,7 +9,9 @@ task 5 named this the one incremental operator without one).
 Maintained state under ``index_dir``:
 
 * ``bands/b<batch_id>/``    — (doc_id, n_sh, band_idx, band_key) delta
-* ``shingles/b<batch_id>/`` — (doc_id, shingle) delta
+* ``bands/c<token>/``       — compacted segment (visible ONLY via the
+                              ``_segments.json`` manifest — see below)
+* ``shingles/b<batch_id>/`` — (doc_id, shingle) delta (+ c<token> dirs)
 * ``pairs/``                — versioned snapshot (doc_a, doc_b, jaccard)
                               with the applied-batch ledger INSIDE each
                               commit (streaming/maintenance.py protocol)
@@ -21,7 +23,10 @@ Per micro-batch (the production daily-ingest shape):
    stream and batch can never band differently);
 2. append both deltas as per-batch directories (``mode=overwrite`` into a
    batch-id-named dir: a replayed batch rewrites the same bytes, so the
-   index append is idempotent without a ledger);
+   index append is idempotent without a ledger). Delta files are bounded
+   (_DELTA_PARTITIONS): every future batch re-reads the stored index, so
+   executor-count-sized file fan-out per delta would make the stored
+   read footer-bound long before it is data-bound;
 3. mine candidates as delta-bands x ALL-bands (the stored index including
    this delta) — never all x all. least/greatest normalization + distinct
    make the candidate set invariant to whether the delta was already
@@ -29,26 +34,48 @@ Per micro-batch (the production daily-ingest shape):
    crashed-between-append-and-commit replay converge;
 4. verify candidates against the shingle store (semi-join pruned to
    candidate docs, two hash joins + count — the dedup_incremental.py
-   shape), filter at the shared LSH_VERIFY_THRESHOLD;
+   shape), filter at the shared LSH_VERIFY_THRESHOLD. The candidate-id
+   semi-join is shuffle_hash-hinted, NOT broadcast: candidate-doc ids
+   grow with corpus/ingest size, the one thing a broadcast must not do
+   (the setsim_pairs_plan rule, applied here too — ADVICE r8);
 5. commit old-pairs UNION new-pairs as the next version of ``pairs/``
    with the batch id folded into the ledger pre-commit — exactly-once on
-   top of the file source's at-least-once replay.
+   top of the file source's at-least-once replay;
+6. every ``compact_every`` applied batches, fold the per-batch delta dirs
+   of APPLIED batches into one compacted segment (manifest-committed, see
+   ``compact_dedup_index``), so the stored-index read plan stays O(open
+   segments), not O(batches ever ingested).
+
+Storage access goes through the Hadoop FileSystem API resolved from the
+index path (works on HDFS/S3A/local alike — a driver-local os.listdir
+would pin the sink to a POSIX view of the index; ADVICE r8).
+
+Compaction protocol (single-maintainer: the sink itself between batches,
+or an offline call while the stream is stopped — same assumption every
+lock-free table-format compactor makes):
+
+* delta dirs are ``b<batch_id>``; compacted segments are ``c<token>``;
+* WITHOUT a manifest, readers see exactly the b-dirs (c-dirs are
+  invisible), so a compaction that crashes before its manifest flip
+  leaves the old view fully intact;
+* the manifest lists ``segments`` (live c-dirs) and ``replaced`` (b-dirs
+  folded into them); readers = manifest segments + b-dirs not replaced;
+* the manifest rewrite is the commit point; replaced dirs are
+  garbage-collected after the flip and a crash mid-GC just leaves
+  ignored dirs for the next compaction's GC.
 
 Equivalence contract (tests/test_streaming_dedup.py): any verified pair
 (a, b) is mined exactly once — at the batch where its LATER member
 arrives (both-in-batch pairs at that batch) — so after draining a
 sharded corpus the pairs table equals the monolithic
 ``dedup_minhash_lsh`` mine value-for-value, jaccard doubles included
-(same integer n_inter/n_a/n_b, same single IEEE division).
+(same integer n_inter/n_a/n_b, same single IEEE division). Compaction
+preserves it bit-for-bit: segments hold the same rows, just fewer files.
 
 Scale: per-ingest cost is O(|delta| x band collision rate) — the stored
 band table is probed on band_key (hash join), the unchanged bulk of the
 corpus is never re-shingled, and the pair snapshot only grows by the
-delta's verified pairs. The per-batch directories are the honest
-append-only index shape (a real deployment would target partitioned
-parquet or a table format; compaction of small per-batch files rides
-versioned.compact_version, and the band/shingle stores can be compacted
-offline without changing any batch's visible contents).
+delta's verified pairs.
 
 Reference parity: the reference's MQ poller consumes one message batch at
 a time and upserts derived state per batch (mq_poller.py:21-44,
@@ -59,6 +86,7 @@ deliberately NOT reproduced — the ledger makes replays exact no-ops.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -75,34 +103,200 @@ from .maintenance import _applied_batches, _has_ledger
 _BANDS = "bands"
 _SHINGLES = "shingles"
 _PAIRS = "pairs"
+_MANIFEST = "_segments.json"
+# per-delta file bound: micro-batch deltas are small next to the executor
+# count, and EVERY later batch re-reads the stored index — unbounded
+# per-delta fan-out (32 files/batch at the 5k bench) made the stored read
+# footer-bound. A production build sizes this from the shard byte size.
+_DELTA_PARTITIONS = 4
+_DEFAULT_COMPACT_EVERY = 16
 
 
 def _delta_dir(index_dir: str, kind: str, batch_id: int) -> str:
     return os.path.join(index_dir, kind, f"b{batch_id}")
 
 
+def _hadoop(spark: SparkSession, path_str: str):
+    """(FileSystem, Path, jvm) for a path, resolved through the session's
+    Hadoop conf — the same view executors use, DFS schemes included."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path, jvm
+
+
+def _read_manifest(spark: SparkSession, root: str) -> dict:
+    fs, path, jvm = _hadoop(spark, os.path.join(root, _MANIFEST))
+    if not fs.exists(path):
+        return {"segments": [], "replaced": []}
+    stream = fs.open(path)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
+def _write_manifest(spark: SparkSession, root: str, manifest: dict) -> None:
+    """delete+rename flip — atomic enough under the single-maintainer
+    assumption (no reader is concurrent with a compaction)."""
+    fs, final, jvm = _hadoop(spark, os.path.join(root, _MANIFEST))
+    tmp = jvm.org.apache.hadoop.fs.Path(os.path.join(root, _MANIFEST + ".tmp"))
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(manifest, sort_keys=True), "utf-8"))
+    finally:
+        out.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise IOError(f"manifest rename failed under {root}")
+
+
+def _live_dirs(spark: SparkSession, root: str) -> list[str]:
+    """The readable view of one index kind: manifest segments (c-dirs)
+    plus b-dirs the manifest has not replaced. c-dirs are NEVER visible
+    without the manifest — that is what makes a crashed compaction (data
+    written, manifest unflipped) an exact no-op."""
+    fs, path, jvm = _hadoop(spark, root)
+    if not fs.exists(path):
+        return []
+    manifest = _read_manifest(spark, root)
+    replaced = set(manifest["replaced"])
+    live = []
+    for st in fs.listStatus(path):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        if not name.startswith("b") or name in replaced:
+            continue
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
+            live.append(os.path.join(root, name))
+    live.sort()
+    seg = [os.path.join(root, s) for s in manifest["segments"]]
+    return seg + live
+
+
 def _stored(spark: SparkSession, index_dir: str, kind: str) -> DataFrame | None:
-    """Union of every appended per-batch delta, or None before first
-    ingest. Directory names are opaque (b<id>), so this is a plain
-    recursive parquet read — no partition-column inference to collide
-    with the delta schemas."""
-    root = os.path.join(index_dir, kind)
-    if not os.path.isdir(root):
+    """Union of the live segments + per-batch deltas, or None before first
+    ingest. Directory names are opaque to Spark (b<id>/c<token>), so this
+    is a plain multi-path parquet read — no partition-column inference to
+    collide with the delta schemas."""
+    dirs = _live_dirs(spark, os.path.join(index_dir, kind))
+    if not dirs:
         return None
-    subdirs = [
-        os.path.join(root, d)
-        for d in sorted(os.listdir(root))
-        if os.path.exists(os.path.join(root, d, "_SUCCESS"))
-    ]
-    if not subdirs:
-        return None
-    return spark.read.parquet(*subdirs)
+    return spark.read.parquet(*dirs)
 
 
-def dedup_index_sink(index_dir: str):
+def compact_dedup_index(spark: SparkSession, index_dir: str) -> int:
+    """Fold every APPLIED batch's delta dir (plus prior compacted
+    segments) into ONE segment per kind, manifest-committed. Unapplied
+    deltas (a batch that crashed between its index append and its pair
+    commit) are left alone — their replay rewrites them in place. Returns
+    the number of directories folded. Single-maintainer: never run
+    concurrently with an active sink batch (the sink's own periodic
+    compaction runs between batches, which satisfies this)."""
+    pairs_dir = os.path.join(index_dir, _PAIRS)
+    applied = _applied_batches(pairs_dir)
+    folded = 0
+    for kind in (_BANDS, _SHINGLES):
+        root = os.path.join(index_dir, kind)
+        fs, rpath, jvm = _hadoop(spark, root)
+        if not fs.exists(rpath):
+            continue
+        manifest = _read_manifest(spark, root)
+        view = _live_dirs(spark, root)
+        eligible = [
+            d
+            for d in view
+            if os.path.basename(d).startswith("c")
+            or int(os.path.basename(d)[1:]) in applied
+        ]
+        if len(eligible) <= 1:
+            continue
+        token = f"c{max(applied) if applied else 0}_{len(manifest['replaced'])}"
+        seg_dir = os.path.join(root, token)
+        (
+            spark.read.parquet(*eligible)
+            .repartition(_DELTA_PARTITIONS)
+            .write.mode("overwrite")
+            .parquet(seg_dir)
+        )
+        new_replaced = sorted(
+            set(manifest["replaced"])
+            | {os.path.basename(d) for d in eligible if os.path.basename(d).startswith("b")}
+        )
+        old_segments = [
+            s for s in manifest["segments"] if s != token
+        ]  # prior c-dirs being folded away
+        _write_manifest(
+            spark, root, {"segments": [token], "replaced": new_replaced}
+        )
+        # GC after the flip: replaced b-dirs and superseded c-dirs are
+        # invisible already, so a crash mid-delete just leaves ignored
+        # dirs for the next compaction's sweep
+        pruned = []
+        for name in new_replaced:
+            p = jvm.org.apache.hadoop.fs.Path(os.path.join(root, name))
+            if fs.exists(p):
+                fs.delete(p, True)
+        for name in old_segments:
+            p = jvm.org.apache.hadoop.fs.Path(os.path.join(root, name))
+            if fs.exists(p):
+                fs.delete(p, True)
+        # prune replaced to names that could ever reappear: none can (a
+        # compacted batch id is in the applied ledger, so its replay
+        # early-returns before writing), so the list resets to empty —
+        # keeping the manifest O(1) instead of O(batches ever ingested)
+        _write_manifest(spark, root, {"segments": [token], "replaced": pruned})
+        folded += len(eligible)
+    return folded
+
+
+def dedup_index_sink(index_dir: str, compact_every: int = _DEFAULT_COMPACT_EVERY):
     """Build the foreachBatch function that maintains the LSH index and
     the verified-pair snapshot at ``index_dir`` (module docstring for the
-    full protocol)."""
+    full protocol). ``compact_every``: fold delta dirs into one segment
+    whenever the applied-batch count crosses a multiple of this (0
+    disables; compaction also remains available offline via
+    compact_dedup_index)."""
+
+    # incremental stored-index VIEW, maintained across this closure's
+    # batches: re-reading (schema-inferring + re-planning) the whole dir
+    # tree per batch was a measured ~0.4 s/batch of pure driver overhead
+    # at the 5k bench. The view is a lazy union of per-batch parquet
+    # reads; `seen` holds the dir names it covers, and every access
+    # revalidates those names against the CURRENT listing (a cheap FS
+    # stat), so a restart, an external compaction, or any other dir-set
+    # change rebuilds instead of scanning a stale file index. A
+    # crashed-batch REPLAY rewrites a dir the view already covers (same
+    # rows, new part files) — _append_view detects that and relists.
+    view: dict[str, DataFrame] = {}
+    seen: dict[str, set[str]] = {}
+
+    def _ensure_view(spark: SparkSession, kind: str) -> DataFrame | None:
+        dirs = _live_dirs(spark, os.path.join(index_dir, kind))
+        names = {os.path.basename(d) for d in dirs}
+        if kind in view and names == seen.get(kind):
+            return view[kind]
+        seen[kind] = names
+        view[kind] = spark.read.parquet(*dirs) if dirs else None
+        return view[kind]
+
+    def _append_view(
+        spark: SparkSession, kind: str, batch_id: int, delta_read: DataFrame
+    ) -> DataFrame:
+        cur = _ensure_view(spark, kind)
+        name = f"b{batch_id}"
+        if name in seen[kind]:
+            # replayed uncommitted batch: its dir was just rewritten, so
+            # any plan listing the OLD part files is stale — relist
+            view.pop(kind, None)
+            seen.pop(kind, None)
+            return _ensure_view(spark, kind)
+        seen[kind].add(name)
+        view[kind] = delta_read if cur is None else cur.unionByName(delta_read)
+        return view[kind]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -113,19 +307,27 @@ def dedup_index_sink(index_dir: str):
             return  # replayed, fully-committed batch: exact no-op
 
         # 1-2. band + shingle the delta with the full mine's construction,
-        # then append idempotently (a replay rewrites the same per-batch dir)
-        delta_sh = shingles_from_docs(batch_df)
+        # then append idempotently (a replay rewrites the same per-batch
+        # dir). The shingle delta is cached for the band pass instead of
+        # round-tripping through its own parquet read-back; the band write
+        # keeps the groupBy's AQE-coalesced partitioning (an explicit
+        # repartition here was one whole extra shuffle stage per batch).
+        delta_sh = (
+            shingles_from_docs(batch_df)
+            .repartition(_DELTA_PARTITIONS, "doc_id")
+            .cache()
+        )
         delta_sh.write.mode("overwrite").parquet(
             _delta_dir(index_dir, _SHINGLES, batch_id)
         )
-        delta_sh = spark.read.parquet(_delta_dir(index_dir, _SHINGLES, batch_id))
         banded_signatures(delta_sh).write.mode("overwrite").parquet(
             _delta_dir(index_dir, _BANDS, batch_id)
         )
+        delta_sh.unpersist()
 
         # 3. delta x ALL candidate mine (stored index now includes the delta)
-        all_bands = _stored(spark, index_dir, _BANDS)
         delta_bands = spark.read.parquet(_delta_dir(index_dir, _BANDS, batch_id))
+        all_bands = _append_view(spark, _BANDS, batch_id, delta_bands)
         d, o = delta_bands.alias("d"), all_bands.alias("o")
         cand = (
             d.join(
@@ -147,14 +349,19 @@ def dedup_index_sink(index_dir: str):
             .distinct()
         )
 
-        # 4. exact-Jaccard verification over candidate docs' shingles only
-        all_sh = _stored(spark, index_dir, _SHINGLES)
+        # 4. exact-Jaccard verification over candidate docs' shingles only.
+        # shuffle_hash, never broadcast: candidate ids scale with the
+        # corpus (the setsim_pairs_plan rule — ADVICE r8)
+        delta_sh_read = spark.read.parquet(
+            _delta_dir(index_dir, _SHINGLES, batch_id)
+        )
+        all_sh = _append_view(spark, _SHINGLES, batch_id, delta_sh_read)
         cand_ids = (
             cand.select(F.col("doc_a").alias("doc_id"))
             .union(cand.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
-        sh_c = all_sh.join(F.broadcast(cand_ids), "doc_id", "leftsemi")
+        sh_c = all_sh.join(cand_ids.hint("shuffle_hash"), "doc_id", "leftsemi")
         inter = (
             cand.select("doc_a", "doc_b")
             .join(sh_c.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
@@ -190,12 +397,18 @@ def dedup_index_sink(index_dir: str):
             )
 
         def commit_ledger(vdir: str) -> None:
-            import json
-
             with open(os.path.join(vdir, "_applied_batches.json"), "w") as fh:
                 json.dump(sorted(applied | {batch_id}), fh)
 
         versioned.write_version(merged, pairs_dir, pre_commit=commit_ledger)
+
+        # 6. periodic in-protocol compaction (between batches, so the
+        # single-maintainer assumption holds by construction); the folded
+        # dirs are deleted, so the incremental view must relist
+        if compact_every and len(applied | {batch_id}) % compact_every == 0:
+            compact_dedup_index(spark, index_dir)
+            view.clear()
+            seen.clear()
 
     return sink
 
@@ -206,6 +419,7 @@ def start_dedup_maintenance_query(
     schema,
     index_dir: str,
     checkpoint_dir: str,
+    compact_every: int = _DEFAULT_COMPACT_EVERY,
 ):
     """Wire a file-source document feed into the dedup index sink, one
     shard file per micro-batch (availableNow, like the other sinks)."""
@@ -215,7 +429,7 @@ def start_dedup_maintenance_query(
         .parquet(docs_dir)
     )
     return (
-        feed.writeStream.foreachBatch(dedup_index_sink(index_dir))
+        feed.writeStream.foreachBatch(dedup_index_sink(index_dir, compact_every))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -76,6 +76,70 @@ def test_stream_dedup_equals_monolithic_mine(spark):
         assert _pairs(versioned.read_version(spark, pairs_dir).collect()) == want
 
 
+def test_compaction_preserves_view_and_results(spark):
+    """Folding applied batches' delta dirs into one manifest-committed
+    segment must keep the stored band/shingle view row-identical, keep
+    later batches' mining results identical, and make a crashed compaction
+    (segment written, manifest unflipped) an exact no-op."""
+    docs = t(spark, SF_ORACLE, "documents")
+    shards = [docs.filter(F.col("doc_id") % N_SHARDS == i) for i in range(N_SHARDS)]
+    with tempfile.TemporaryDirectory() as tmp:
+        # reference: no compaction
+        ref_ix = os.path.join(tmp, "ref")
+        ref_sink = dedup_maintenance.dedup_index_sink(ref_ix, compact_every=0)
+        for i, b in enumerate(shards):
+            ref_sink(b, i)
+        want = _pairs(
+            versioned.read_version(spark, os.path.join(ref_ix, "pairs")).collect()
+        )
+
+        # compacted mid-stream: after 2 batches, fold, then keep ingesting
+        ix = os.path.join(tmp, "compacted")
+        sink = dedup_maintenance.dedup_index_sink(ix, compact_every=0)
+        sink(shards[0], 0)
+        sink(shards[1], 1)
+        before = {
+            kind: sorted(
+                tuple(r)
+                for r in dedup_maintenance._stored(spark, ix, kind).collect()
+            )
+            for kind in ("bands", "shingles")
+        }
+        assert dedup_maintenance.compact_dedup_index(spark, ix) > 0
+        for kind in ("bands", "shingles"):
+            root = os.path.join(ix, kind)
+            dirs = dedup_maintenance._live_dirs(spark, root)
+            assert len(dirs) == 1 and os.path.basename(dirs[0]).startswith("c")
+            # replaced b-dirs are gone from disk after GC
+            assert not [d for d in os.listdir(root) if d.startswith("b")]
+            after = sorted(
+                tuple(r)
+                for r in dedup_maintenance._stored(spark, ix, kind).collect()
+            )
+            assert after == before[kind]
+        sink(shards[2], 2)
+        sink(shards[3], 3)
+        got = _pairs(
+            versioned.read_version(spark, os.path.join(ix, "pairs")).collect()
+        )
+        assert got == want
+
+        # crashed compaction: a c-dir written WITHOUT a manifest flip is
+        # invisible — the view falls back to exactly the b-dirs
+        crash_ix = os.path.join(tmp, "crash")
+        csink = dedup_maintenance.dedup_index_sink(crash_ix, compact_every=0)
+        csink(shards[0], 0)
+        view0 = dedup_maintenance._live_dirs(spark, os.path.join(crash_ix, "bands"))
+        bands = dedup_maintenance._stored(spark, crash_ix, "bands")
+        bands.limit(1).write.mode("overwrite").parquet(
+            os.path.join(crash_ix, "bands", "c_orphan")
+        )
+        assert (
+            dedup_maintenance._live_dirs(spark, os.path.join(crash_ix, "bands"))
+            == view0
+        )
+
+
 def test_crashed_batch_replay_converges(spark):
     """Crash seam: the index deltas were appended but the pair commit
     never happened (the foreachBatch contract's replay case). Re-running

@@ -377,6 +377,11 @@ def main() -> None:
     import subprocess
 
     args = sys.argv[1:]
+    runs = 1
+    if "--runs" in args:
+        i = args.index("--runs")
+        runs = int(args[i + 1])
+        del args[i : i + 2]
     if args and args[0] in CHAINS:
         chain = args[0]
         ks_arg = args[1] if len(args) > 1 else "1,2,5,10"
@@ -387,28 +392,49 @@ def main() -> None:
 
     sweep: dict[str, dict] = {}
     for k in ks:
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--single", chain, str(k)],
-                capture_output=True,
-                text=True,
-                timeout=1800,
+        # --runs N: N fresh-JVM runs per point, per-entry MEDIAN recorded
+        # (VERDICT r8 task 6: single-shot sweep points on CPU-bound legs
+        # carry ~2x run-to-run variance; a median-marked point is the
+        # re-measure-before-believing rule applied at write time)
+        results = []
+        for _ in range(runs):
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--single", chain, str(k)],
+                    capture_output=True,
+                    text=True,
+                    timeout=1800,
+                )
+            except subprocess.TimeoutExpired:
+                # one stuck point must not lose the completed ones: skip it
+                # and still persist the sweep below
+                print(f"# scale point {chain}:k{k} timed out after 1800s", file=sys.stderr)
+                continue
+            line = next(
+                (l for l in proc.stdout.splitlines() if l.startswith("RESULT")), None
             )
-        except subprocess.TimeoutExpired:
-            # one stuck point must not lose the completed ones: skip it and
-            # still persist the sweep below
-            print(f"# scale point {chain}:k{k} timed out after 1800s", file=sys.stderr)
+            if line is None:
+                print(
+                    f"# scale point {chain}:k{k} failed:\n{proc.stderr[-2000:]}",
+                    file=sys.stderr,
+                )
+                continue
+            results.append(json.loads(line[len("RESULT"):]))
+        if not results:
             continue
-        line = next(
-            (l for l in proc.stdout.splitlines() if l.startswith("RESULT")), None
-        )
-        if line is None:
-            print(
-                f"# scale point {chain}:k{k} failed:\n{proc.stderr[-2000:]}",
-                file=sys.stderr,
+        point = results[-1]  # counts/spill from the last completed run
+        if len(results) > 1:
+            import statistics
+
+            point["queries"] = {
+                name: round(statistics.median(r["queries"][name] for r in results), 3)
+                for name in point["queries"]
+            }
+            point["chain_total_sec"] = round(
+                statistics.median(r["chain_total_sec"] for r in results), 3
             )
-            continue
-        sweep[f"{chain}:k{k}"] = json.loads(line[len("RESULT"):])
+            point["runs"] = len(results)
+        sweep[f"{chain}:k{k}"] = point
         print(json.dumps({f"{chain}:k{k}": sweep[f"{chain}:k{k}"]}), flush=True)
 
     # merge into the persisted sweep: a focused rerun of one point
