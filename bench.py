@@ -47,6 +47,7 @@ def _memo_builders():
         pq,
         replay,
         setsim,
+        spans,
     )
 
     return [
@@ -63,12 +64,15 @@ def _memo_builders():
         # learned k-means cells (Lloyd's fit + final assignment)
         ("memo:kmeans_fit", lambda s, d: kmeans_ivf.fit_kmeans_cells(s, d)[0]),
         # IVF-PQ codebooks (residual quantizers + code assignments)
-        ("memo:pq_codebooks", lambda s, d: pq._train_codebooks(s, d)[0]),
+        ("memo:pq_codebooks", lambda s, d: pq._pq_index(s, d)[0]),
         # token-level k-means cells for the pruned MaxSim path (8x the
         # points of the pooled fit: one fit over the exploded token view)
         ("memo:token_kmeans_fit", lambda s, d: colbert.fit_token_cells(s, d)[0]),
         # exact set-similarity verified pairs (prefix join + narrow verify)
         ("memo:setsim_pairs", setsim.dedup_setsim_prefix),
+        # duplicated-window position table: shared by the substring-span
+        # miner, the rate rollup, and the excise consumer
+        ("memo:span_positions", spans._dup_positions),
         # sequential fire-decision ledger (applyInPandas fold)
         ("memo:replay_decisions", replay.dag_replay_decisions),
     ]

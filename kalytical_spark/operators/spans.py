@@ -46,12 +46,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .common import t
+from .common import app_key, session_memo, t
 
 SPAN_PLANT_OFFSET = 8 << 40
 SPAN_PLANT_MOD = 40
 SPAN_L = 8  # minimum duplicated run, in tokens
 _MIN_PLANT_TOKS = 4  # both halves non-degenerate
+
+# session memo of the duplicated-window position table (the setsim
+# _SETSIM_CACHE pattern, r9): all three family queries consume it, and
+# uncached each re-paid the gram explode + 40M-at-k100 md5 pass — the
+# dominant leg of each. In production this is the stored artifact of a
+# span-dedup ingest; bench.py prepays it as its own memo:span_positions
+# line so per-query times stay comparable.
+_POS_CACHE: dict[tuple[str, str], DataFrame] = session_memo({})
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,6 +83,17 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dup_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (doc_id, source, n_toks, pos) duplicated-window table —
+    see dup_positions_plan for the construction (pinnable uncached twin)."""
+    key = (app_key(spark), sf_dir)
+    if key not in _POS_CACHE:
+        pos = dup_positions_plan(spark, sf_dir).cache()
+        pos.count()
+        _POS_CACHE[key] = pos
+    return _POS_CACHE[key]
+
+
+def dup_positions_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, n_toks, pos) for every L-window whose gram occurs
     >= 2 times corpus-wide. Grams ride as md5 hashes, never as text."""
     # guard: Spark's sequence(1, n) flips to a DESCENDING sequence when
