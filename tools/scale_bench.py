@@ -455,7 +455,10 @@ def main() -> None:
             "k=10 is the sf1-equivalent table; docs replicas use disjoint "
             "vocabularies and events replicas disjoint user/event id "
             "ranges, so work scales linearly by construction — the "
-            "measured curve shows whether the ENGINE does"
+            "measured curve shows whether the ENGINE does. Points carrying "
+            "a 'runs' field are per-entry MEDIANS over that many fresh-JVM "
+            "runs (--runs, r9); points without it are single-shot — apply "
+            "the re-measure-before-believing rule to those."
         ),
         "points": dict(sorted(points.items(), key=lambda kv: _point_sort_key(kv[0]))),
     }
