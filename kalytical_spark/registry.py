@@ -94,6 +94,7 @@ def _load_optional():
         "video",
         "preference",
         "ann_verify",
+        "packing",
     ):
         try:
             mods.append(__import__(f"kalytical_spark.operators.{name}", fromlist=[name]))
