@@ -63,9 +63,12 @@ def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bool_or_null_first(*conds: Column) -> Column:
-    """OR-fold where the null-guard conditions MUST come first so a null
-    operand can only widen to TRUE, never to null (Kleene OR)."""
+def _violation(*conds: Column) -> Column:
+    """Kleene OR-fold of violation conditions. The isNull guards in each
+    call site guarantee the later comparisons are only evaluated over
+    non-null operands (Kleene OR is symmetric — any TRUE disjunct widens
+    a null — so guard ORDER is immaterial; the guards exist so the fold
+    can never be null and silently drop out of the violation SUM)."""
     out = conds[0]
     for c in conds[1:]:
         out = out | c
@@ -90,7 +93,14 @@ def _topk_verify_summary(
     rounding convention as <score_col>."""
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = _queries_df(spark, sf_dir)
+    # both cached: the audit's legs are independent subtrees of one final
+    # plan, and uncached they would re-run the production search (topk,
+    # n_queries x k rows) and the index's candidate generation (the
+    # dominant stage — the PQ twin would otherwise replay the ADC scan
+    # three times) once per consumer. Sizes are session-bounded: k rows
+    # per query and one (query, vec) pair per probed candidate.
     topk = topk.cache()
+    candidates = candidates.cache()
 
     sampled = (
         queries.select("query_id")
@@ -111,7 +121,7 @@ def _topk_verify_summary(
     shape = per_q.join(cand_cnt, "query_id", "full").agg(
         F.coalesce(
             F.sum(
-                _bool_or_null_first(
+                _violation(
                     F.col("cnt").isNull(),
                     F.col("n_cand").isNull(),
                     F.col("cnt") != F.least(F.lit(TOP_K).cast("long"), F.col("n_cand")),
@@ -121,7 +131,7 @@ def _topk_verify_summary(
         ).alias("n_incomplete"),
         F.coalesce(
             F.sum(
-                _bool_or_null_first(
+                _violation(
                     F.col("cnt").isNull(),
                     F.col("rmin") != 1,
                     F.col("rmax") != F.col("cnt"),
@@ -167,7 +177,7 @@ def _topk_verify_summary(
         .agg(
             F.coalesce(
                 F.sum(
-                    _bool_or_null_first(
+                    _violation(
                         F.col("ref_rank").isNull(),
                         F.col("got_rank").isNull(),
                         F.col("ref_rank") != F.col("got_rank"),

@@ -226,24 +226,24 @@ def compact_dedup_index(spark: SparkSession, index_dir: str) -> int:
             set(manifest["replaced"])
             | {os.path.basename(d) for d in eligible if os.path.basename(d).startswith("b")}
         )
-        old_segments = [
-            s for s in manifest["segments"] if s != token
-        ]  # prior c-dirs being folded away
         _write_manifest(
             spark, root, {"segments": [token], "replaced": new_replaced}
         )
-        # GC after the flip: replaced b-dirs and superseded c-dirs are
-        # invisible already, so a crash mid-delete just leaves ignored
-        # dirs for the next compaction's sweep
+        # GC after the flip: replaced b-dirs, superseded c-dirs, AND any
+        # orphaned c-dir from a compaction that crashed before its own
+        # manifest flip (c-dirs are only ever visible via the manifest,
+        # so every c-dir other than the one just committed is garbage).
+        # All of them are invisible already, so a crash mid-delete just
+        # leaves ignored dirs for the next compaction's sweep.
         pruned = []
         for name in new_replaced:
             p = jvm.org.apache.hadoop.fs.Path(os.path.join(root, name))
             if fs.exists(p):
                 fs.delete(p, True)
-        for name in old_segments:
-            p = jvm.org.apache.hadoop.fs.Path(os.path.join(root, name))
-            if fs.exists(p):
-                fs.delete(p, True)
+        for st in fs.listStatus(rpath):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("c") and name != token:
+                fs.delete(st.getPath(), True)
         # prune replaced to names that could ever reappear: none can (a
         # compacted batch id is in the applied ledger, so its replay
         # early-returns before writing), so the list resets to empty —
@@ -261,43 +261,13 @@ def dedup_index_sink(index_dir: str, compact_every: int = _DEFAULT_COMPACT_EVERY
     disables; compaction also remains available offline via
     compact_dedup_index)."""
 
-    # incremental stored-index VIEW, maintained across this closure's
-    # batches: re-reading (schema-inferring + re-planning) the whole dir
-    # tree per batch was a measured ~0.4 s/batch of pure driver overhead
-    # at the 5k bench. The view is a lazy union of per-batch parquet
-    # reads; `seen` holds the dir names it covers, and every access
-    # revalidates those names against the CURRENT listing (a cheap FS
-    # stat), so a restart, an external compaction, or any other dir-set
-    # change rebuilds instead of scanning a stale file index. A
-    # crashed-batch REPLAY rewrites a dir the view already covers (same
-    # rows, new part files) — _append_view detects that and relists.
-    view: dict[str, DataFrame] = {}
-    seen: dict[str, set[str]] = {}
-
-    def _ensure_view(spark: SparkSession, kind: str) -> DataFrame | None:
-        dirs = _live_dirs(spark, os.path.join(index_dir, kind))
-        names = {os.path.basename(d) for d in dirs}
-        if kind in view and names == seen.get(kind):
-            return view[kind]
-        seen[kind] = names
-        view[kind] = spark.read.parquet(*dirs) if dirs else None
-        return view[kind]
-
-    def _append_view(
-        spark: SparkSession, kind: str, batch_id: int, delta_read: DataFrame
-    ) -> DataFrame:
-        cur = _ensure_view(spark, kind)
-        name = f"b{batch_id}"
-        if name in seen[kind]:
-            # replayed uncommitted batch: its dir was just rewritten, so
-            # any plan listing the OLD part files is stale — relist
-            view.pop(kind, None)
-            seen.pop(kind, None)
-            return _ensure_view(spark, kind)
-        seen[kind].add(name)
-        view[kind] = delta_read if cur is None else cur.unionByName(delta_read)
-        return view[kind]
-
+    # stored-index reads are plain per-batch _stored() calls on purpose: a
+    # closure-cached incremental view was tried (r9) and is self-defeating
+    # — every batch appends a new b-dir, so any correctly-revalidating
+    # cache key (the dir-name set) changes every batch and the "cached"
+    # path never hits, while an unvalidated cache binds to deleted part
+    # files after a replay overwrite or a compaction. The listing cost the
+    # cache targeted is already bounded by _DELTA_PARTITIONS + compaction.
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         pairs_dir = os.path.join(index_dir, _PAIRS)
@@ -327,7 +297,7 @@ def dedup_index_sink(index_dir: str, compact_every: int = _DEFAULT_COMPACT_EVERY
 
         # 3. delta x ALL candidate mine (stored index now includes the delta)
         delta_bands = spark.read.parquet(_delta_dir(index_dir, _BANDS, batch_id))
-        all_bands = _append_view(spark, _BANDS, batch_id, delta_bands)
+        all_bands = _stored(spark, index_dir, _BANDS)
         d, o = delta_bands.alias("d"), all_bands.alias("o")
         cand = (
             d.join(
@@ -352,10 +322,7 @@ def dedup_index_sink(index_dir: str, compact_every: int = _DEFAULT_COMPACT_EVERY
         # 4. exact-Jaccard verification over candidate docs' shingles only.
         # shuffle_hash, never broadcast: candidate ids scale with the
         # corpus (the setsim_pairs_plan rule — ADVICE r8)
-        delta_sh_read = spark.read.parquet(
-            _delta_dir(index_dir, _SHINGLES, batch_id)
-        )
-        all_sh = _append_view(spark, _SHINGLES, batch_id, delta_sh_read)
+        all_sh = _stored(spark, index_dir, _SHINGLES)
         cand_ids = (
             cand.select(F.col("doc_a").alias("doc_id"))
             .union(cand.select(F.col("doc_b").alias("doc_id")))
@@ -403,12 +370,9 @@ def dedup_index_sink(index_dir: str, compact_every: int = _DEFAULT_COMPACT_EVERY
         versioned.write_version(merged, pairs_dir, pre_commit=commit_ledger)
 
         # 6. periodic in-protocol compaction (between batches, so the
-        # single-maintainer assumption holds by construction); the folded
-        # dirs are deleted, so the incremental view must relist
+        # single-maintainer assumption holds by construction)
         if compact_every and len(applied | {batch_id}) % compact_every == 0:
             compact_dedup_index(spark, index_dir)
-            view.clear()
-            seen.clear()
 
     return sink
 

@@ -37,7 +37,11 @@ def main() -> None:
     t_band = time.time() - t0
     print(f"LEG banded_build       {t_band:7.2f}s  rows={n_long}", flush=True)
 
-    # seed the memo so _prefix_candidates reuses this sh/long
+    # seed BOTH memo layers so _prefix_candidates reuses this sh (it now
+    # reads the shingle layer directly — seeding only _SIG_CACHE would
+    # silently rebuild and double-cache the corpus shingles inside the
+    # timed candidates leg)
+    dedup._SH_CACHE[(dedup.app_key(spark), sf_dir)] = sh
     dedup._SIG_CACHE[(dedup.app_key(spark), sf_dir)] = (sh, long)
 
     t0 = time.time()
