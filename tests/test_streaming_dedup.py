@@ -105,7 +105,9 @@ def test_compaction_preserves_view_and_results(spark):
             )
             for kind in ("bands", "shingles")
         }
-        assert dedup_maintenance.compact_dedup_index(spark, ix) > 0
+        # min_members=2: two similar-sized deltas share a tier, so the
+        # tiered policy folds them (defaults would wait for 4 members)
+        assert dedup_maintenance.compact_dedup_index(spark, ix, min_members=2) > 0
         for kind in ("bands", "shingles"):
             root = os.path.join(ix, kind)
             dirs = dedup_maintenance._live_dirs(spark, root)
@@ -138,6 +140,131 @@ def test_compaction_preserves_view_and_results(spark):
             dedup_maintenance._live_dirs(spark, os.path.join(crash_ix, "bands"))
             == view0
         )
+
+
+def _stub_applied(index_dir: str, ids) -> None:
+    """Fabricate the pairs-ledger view compact_dedup_index consults, so
+    compaction policy can be exercised without running the (expensive)
+    mine per batch — the policy only needs to know which batch ids are
+    applied."""
+    import json
+
+    pdir = os.path.join(index_dir, "pairs", "v1")
+    os.makedirs(pdir, exist_ok=True)
+    with open(os.path.join(index_dir, "pairs", "_latest"), "w") as fh:
+        fh.write("1")
+    with open(os.path.join(pdir, "_applied_batches.json"), "w") as fh:
+        json.dump(sorted(ids), fh)
+
+
+def _drain_with_policy(spark, tmp: str, name: str, n_batches: int, **compact_kw):
+    """Write n_batches equal-sized band deltas, compacting every 4 with
+    the given policy; returns (bytes written by compaction, stored rows)."""
+    index_dir = os.path.join(tmp, name)
+    rows_per_batch = 5000
+    stats: dict = {}
+    for i in range(n_batches):
+        # distinct ids + incompressible md5 band keys: segment BYTE size
+        # stays linear in rows, so the size-tier bucketing behaves as it
+        # would on real data (tiny constant deltas are metadata-dominated
+        # and would all collapse into one byte-size tier)
+        delta = spark.range(i * rows_per_batch, (i + 1) * rows_per_batch).selectExpr(
+            "id AS doc_id",
+            "CAST(1 AS BIGINT) AS n_sh",
+            "'0' AS band_idx",
+            "md5(CAST(id AS STRING)) AS band_key",
+        ).coalesce(1)
+        delta.write.mode("overwrite").parquet(
+            dedup_maintenance._delta_dir(index_dir, "bands", i)
+        )
+        _stub_applied(index_dir, range(i + 1))
+        if (i + 1) % 4 == 0:
+            dedup_maintenance.compact_dedup_index(
+                spark, index_dir, stats=stats, **compact_kw
+            )
+    rows = dedup_maintenance._stored(spark, index_dir, "bands").count()
+    return stats.get("bytes_written", 0), rows
+
+
+def test_tiered_compaction_write_amplification(spark):
+    """The size-tiered policy must rewrite each row O(log N) times over a
+    long drain — materially less write I/O than the r9 fold-everything
+    policy (recovered here as min_members=2 + one giant tier), at an
+    identical stored view."""
+    N = 64
+    with tempfile.TemporaryDirectory() as tmp:
+        full_bytes, full_rows = _drain_with_policy(
+            spark, tmp, "full", N, min_members=2, fanout=2**60
+        )
+        tier_bytes, tier_rows = _drain_with_policy(spark, tmp, "tiered", N)
+        assert tier_rows == full_rows == 5000 * N
+        # fold-everything rewrites the whole index every 4 batches
+        # (quadratic); tiered folds each row ~log_4 times. At 64 batches
+        # the analytic ratio is ~2.8x and grows with N — assert the
+        # measured separation with headroom for parquet size noise.
+        assert full_bytes > 2 * tier_bytes, (full_bytes, tier_bytes)
+        # tiered view must stay bounded: live segments O(min_members*logN)
+        live = dedup_maintenance._live_dirs(
+            spark, os.path.join(tmp, "tiered", "bands")
+        )
+        assert len(live) <= 8, live
+
+
+def test_manifest_commit_is_crash_safe(spark):
+    """Versioned-manifest protocol: the store is never manifest-less
+    mid-commit. A crashed rename leaves the old version readable; a crash
+    after the rename (before old-version GC) leaves two versions and the
+    reader takes the highest; the next commit sweeps stale versions."""
+    import json
+
+    with tempfile.TemporaryDirectory() as tmp:
+        root = os.path.join(tmp, "bands")
+        os.makedirs(root)
+        m1 = dedup_maintenance._write_manifest(
+            spark, root, {"version": 0, "next_id": 1, "segments": ["c0"], "replaced": []}
+        )
+        assert m1["version"] == 1
+        assert dedup_maintenance._read_manifest(spark, root)["segments"] == ["c0"]
+
+        # crash BEFORE rename: a tmp file must be invisible to readers
+        with open(os.path.join(root, "_segments.v2.json.tmp"), "w") as fh:
+            json.dump({"segments": ["cBAD"]}, fh)
+        assert dedup_maintenance._read_manifest(spark, root)["segments"] == ["c0"]
+
+        # crash AFTER rename, before old-version GC: both versions on
+        # disk, reader takes the highest
+        with open(os.path.join(root, "_segments.v2.json"), "w") as fh:
+            json.dump(
+                {"version": 2, "next_id": 2, "segments": ["c1"], "replaced": []}, fh
+            )
+        got = dedup_maintenance._read_manifest(spark, root)
+        assert got["segments"] == ["c1"] and got["version"] == 2
+        assert os.path.exists(os.path.join(root, "_segments.v1.json"))
+
+        # next commit GCs every stale version and becomes the only one
+        m3 = dedup_maintenance._write_manifest(spark, root, got)
+        assert m3["version"] == 3
+        names = [n for n in os.listdir(root) if n.startswith("_segments.v")]
+        assert names == ["_segments.v3.json"], names
+
+
+def test_delta_file_fanout_is_bounded(spark):
+    """Both per-batch delta writes must land at most _DELTA_PARTITIONS
+    data files (the shingle delta by explicit repartition, the band delta
+    structurally via the reused doc_id hash partitioning) — the stored
+    index is re-read every batch, so per-delta file fan-out is the
+    footer-bound failure mode the knob exists to prevent (ADVICE r9)."""
+    docs = t(spark, SF_ORACLE, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        ix = os.path.join(tmp, "ix")
+        dedup_maintenance.dedup_index_sink(ix, compact_every=0)(docs, 0)
+        for kind in ("bands", "shingles"):
+            d = os.path.join(ix, kind, "b0")
+            files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            assert 1 <= len(files) <= dedup_maintenance._DELTA_PARTITIONS, (
+                kind,
+                files,
+            )
 
 
 def test_crashed_batch_replay_converges(spark):
