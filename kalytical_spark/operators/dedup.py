@@ -10,8 +10,10 @@ Design for scale:
 * MinHash+LSH is the 100 TB path: per-doc signatures (one groupBy over the
   exploded shingles with K min-aggregates), band keys, pair generation only
   within band buckets, then exact-Jaccard verification of the (tiny)
-  candidate set. Everything stays JVM-side; hashes are md5-based so both
-  engines derive identical signatures (hex-string min == 128-bit numeric min).
+  candidate set. Everything stays JVM-side and pure-integer after ONE md5
+  per shingle (the Kirsch-Mitzenmacher affine family, _minhash_slice_cols);
+  both engines parse the same md5 hex slices to the same BIGINTs, so the
+  signatures are identical by construction.
 
 Determinism: Jaccard ratios are single IEEE divisions of exact counts;
 cosine is rounded to 4 decimals BEFORE thresholding/ranking (float noise is
@@ -169,30 +171,64 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
 """
 
 
-_SLICES_PER_MD5 = 4  # 32 hex chars -> 4 independent 32-bit (8-hex) slices
+# 31-bit minhash values: two slices pack into one BIGINT band key
+# (mh_a * 2^31 + mh_b < 2^62), keeping the band table pure-integer
+_MH_MOD = 1 << 31
+
+
+def _base_hash_cols() -> list:
+    """The ONE md5 evaluation per shingle, split into the digest's two
+    leading 32-bit halves as BIGINTs — materialized as their own
+    projection (h1, h2) so the 16 slice expressions stay trivial
+    multiply-add-mods. Inlining the digest into every slice was measured
+    at ~10s of extra per-JVM Janino compile time at docs:k30 (16 wide
+    md5+conv trees pre-CSE) while executing identically warm."""
+    digest = F.md5(F.col("shingle"))
+    return [
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(digest, 9, 8), 16, 10).cast("bigint").alias("h2"),
+    ]
 
 
 def _minhash_slice_cols() -> list:
-    """16 32-bit hash slices per shingle from only 4 md5 evaluations:
-    slice i = hex chars [8*(i%4)+1 .. +8] of md5('s{i//4}:' || shingle).
-    One wide md5 per seed is 4x less hashing than md5-per-minhash and
-    collapses the aggregate codegen; projecting the slices BEFORE the
-    groupBy lets whole-stage codegen's subexpression elimination evaluate
-    each seed's md5 once. Lexicographic min of a fixed-width lowercase hex
-    slice equals numeric min of the 32-bit value, identically in both
-    engines."""
+    """16 31-bit minhash values per shingle over the (h1, h2) base-hash
+    columns: the affine double-hash family g_i = (h1 + i*h2) mod 2^31
+    (Kirsch-Mitzenmacher, the standard construction for deriving K
+    hashes from one base hash — the same shape datasketch-style MinHash
+    uses for its permutation family). One md5 + 16 integer multiply-adds
+    replaces r9's 4 md5 evaluations per shingle, and the min-aggregates
+    fold BIGINTs instead of hex strings (hash- instead of
+    sort-aggregable — PLANS.md r10 re-pin; same-day A/B at docs:k30:
+    17.0 -> 5.4 s warm median). h1 + 15*h2 < 2^36, so the arithmetic
+    never overflows a BIGINT and the mod never sees a negative. DuckDB
+    derives identical values from the same hex slices
+    (sql_minhash_sig_select), so the signatures are engine-identical by
+    construction. Callers project _base_hash_cols first."""
     return [
-        F.substring(
-            F.md5(F.concat(F.lit(f"s{i // _SLICES_PER_MD5}:"), F.col("shingle"))),
-            8 * (i % _SLICES_PER_MD5) + 1,
-            8,
-        ).alias(f"sl{i}")
+        ((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(_MH_MOD)).alias(f"sl{i}")
         for i in range(N_MINHASH)
     ]
 
 
 def _minhash_aggs() -> list:
     return [F.min(f"sl{i}").alias(f"mh{i}") for i in range(N_MINHASH)]
+
+
+def sql_minhash_sig_select(source: str = "sh", with_n_sh: bool = True) -> str:
+    """The DuckDB twin of the signature fold, as one SELECT over a
+    (doc_id, shingle) relation — THE single SQL spelling of the minhash
+    family (lsh CTE chain and the calibration oracle both inline it, so
+    the two can never hash differently)."""
+    n_sh = "CAST(COUNT(*) AS BIGINT) AS n_sh,\n         " if with_n_sh else ""
+    mh = ",\n         ".join(
+        f"MIN((h1 + {i} * h2) % {_MH_MOD}) AS mh{i}" for i in range(N_MINHASH)
+    )
+    return f"""SELECT doc_id, {n_sh}{mh}
+  FROM (SELECT doc_id,
+               CAST('0x' || substring(md5(shingle), 1, 8) AS BIGINT) AS h1,
+               CAST('0x' || substring(md5(shingle), 9, 8) AS BIGINT) AS h2
+        FROM {source})
+  GROUP BY doc_id"""
 
 
 # session-scoped memo of the verified pair set: the LSH mine is the shared
@@ -248,12 +284,18 @@ def banded_signatures(sh: DataFrame) -> DataFrame:
     mine and the incremental delta mine (dedup_incremental.py), so the two
     can never band differently."""
     sig = (
-        sh.select("doc_id", *_minhash_slice_cols())
+        sh.select("doc_id", *_base_hash_cols())
+        .select("doc_id", *_minhash_slice_cols())
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_sh"), *_minhash_aggs())
     )
+    # band key = the two 31-bit member hashes packed into one BIGINT
+    # (< 2^62): integer equality join, no hashing of hex strings (r9
+    # md5'd the concatenation — a third md5 per band per doc)
     band_cols = [
-        F.md5(F.concat_ws("|", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))).alias(f"band{b}")
+        (F.col(f"mh{2 * b}") * F.lit(_MH_MOD) + F.col(f"mh{2 * b + 1}")).alias(
+            f"band{b}"
+        )
         for b in range(N_BANDS)
     ]
     banded = sig.select("doc_id", "n_sh", *band_cols)
@@ -353,13 +395,8 @@ def _sql_minhash_lsh_ctes() -> str:
     threshold (dedup_minhash_lsh at {LSH_VERIFY_THRESHOLD}, curation at its
     NEAR_DUP_JACCARD). The banding must mirror the Spark side exactly or a
     high-Jaccard pair missed by the bands would diverge between engines."""
-    mh = ",\n         ".join(
-        f"MIN(substring(md5('s{i // _SLICES_PER_MD5}:' || shingle), "
-        f"{8 * (i % _SLICES_PER_MD5) + 1}, 8)) AS mh{i}"
-        for i in range(N_MINHASH)
-    )
     bands = ",\n         ".join(
-        f"md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS band{b}" for b in range(N_BANDS)
+        f"mh{2 * b} * {_MH_MOD} + mh{2 * b + 1} AS band{b}" for b in range(N_BANDS)
     )
     band_union = "\nUNION ALL\n".join(
         f"  SELECT doc_id, n_sh, '{b}' AS band_idx, band{b} AS band_key FROM banded"
@@ -367,9 +404,7 @@ def _sql_minhash_lsh_ctes() -> str:
     )
     return f"""sh AS ({_SQL_SHINGLES}),
 sig AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh,
-         {mh}
-  FROM sh GROUP BY doc_id
+  {sql_minhash_sig_select()}
 ), banded AS (
   SELECT doc_id, n_sh,
          {bands}

@@ -295,8 +295,9 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     at its threshold — systematic bias here means the banding math is
     wrong, spread is the expected binomial noise.
 
-    Exactness: n_match is a sum of 16 string-equality indicators (the
-    fixed-width hex slices compare identically in both engines);
+    Exactness: n_match is a sum of 16 BIGINT-equality indicators (both
+    engines derive the same 31-bit minhash values from the same md5 hex
+    slices — dedup._minhash_slice_cols / dedup.sql_minhash_sig_select);
     est_milli is one truncating div; the exact Jaccard is the pair
     miner's own rounded output, re-derived by the oracle from shingle
     sets.
@@ -304,7 +305,12 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two broadcast joins of the signature table against the
     pair-bounded frame; signatures come off the CACHED shingle table
     (one groupBy, the mine already paid it)."""
-    from .dedup import _minhash_aggs, _minhash_slice_cols, signature_tables
+    from .dedup import (
+        _base_hash_cols,
+        _minhash_aggs,
+        _minhash_slice_cols,
+        signature_tables,
+    )
 
     pairs = dedup_minhash_lsh(spark, sf_dir)  # (doc_a, doc_b, jaccard)
     sh, _long = signature_tables(spark, sf_dir)
@@ -319,6 +325,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = (
         sh.join(F.broadcast(pair_ids), "doc_id", "leftsemi")
+        .select("doc_id", *_base_hash_cols())
         .select("doc_id", *_minhash_slice_cols())
         .groupBy("doc_id")
         .agg(*_minhash_aggs())
@@ -357,13 +364,8 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _calibration_oracle() -> str:
     from .dedup import LSH_VERIFY_THRESHOLD as _THR
-    from .dedup import N_MINHASH, _SLICES_PER_MD5
+    from .dedup import N_MINHASH, sql_minhash_sig_select
 
-    mh = ",\n         ".join(
-        f"MIN(substring(md5('s{i // _SLICES_PER_MD5}:' || shingle), "
-        f"{8 * (i % _SLICES_PER_MD5) + 1}, 8)) AS mh{i}"
-        for i in range(N_MINHASH)
-    )
     match = " + ".join(
         f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
         for i in range(N_MINHASH)
@@ -373,9 +375,7 @@ WITH {_sql_minhash_lsh_ctes()},
 cal_pairs AS (
   SELECT doc_a, doc_b, jaccard FROM lsh_pairs WHERE jaccard >= {_THR}
 ), cal_sig AS (
-  SELECT doc_id,
-         {mh}
-  FROM sh GROUP BY doc_id
+  {sql_minhash_sig_select(with_n_sh=False)}
 )
 SELECT p.doc_a, p.doc_b,
        CAST({match} AS BIGINT) AS n_match,
