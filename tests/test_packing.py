@@ -1,7 +1,7 @@
 """Boundary-respecting sequence packing (operators/packing.py): packs
-never exceed capacity, every document lands in exactly one pack, the
-bucketed approximation's fill is within its provable bound, and the
-efficiency rollup's lower bound is honored."""
+never exceed capacity (feasible by construction — no slot rounding),
+every document lands in exactly one pack, conservation holds across the
+eject rounds, and the efficiency rollup's lower bound is honored."""
 
 from __future__ import annotations
 
@@ -15,20 +15,28 @@ def test_packs_respect_capacity_and_partition(spark):
     rows = packing.docs_pack_assignments(spark, SF_ORACLE).collect()
     assert rows
     per_pack_tokens = defaultdict(int)
-    per_pack_bucket = {}
     seen_docs = set()
     for r in rows:
         assert r.doc_id not in seen_docs  # exactly one pack per doc
         seen_docs.add(r.doc_id)
         assert r.packed_tok == min(r.n_tok, packing.PACK_CAP)
         assert r.truncated == (r.n_tok > packing.PACK_CAP)
-        # bucket is the smallest power of two >= capped length
-        assert r.len_bucket >= r.packed_tok
-        assert r.len_bucket // 2 < r.packed_tok or r.len_bucket == 1
         per_pack_tokens[r.pack_id] += r.packed_tok
-        # a pack never mixes buckets (the budget argument depends on it)
-        assert per_pack_bucket.setdefault(r.pack_id, r.len_bucket) == r.len_bucket
+    # capacity feasibility: ACTUAL token load, not slot budgets
     assert all(v <= packing.PACK_CAP for v in per_pack_tokens.values())
+    # conservation: the eject rounds drop nothing — every corpus doc with
+    # at least one token is assigned (n_tok >= 1 always: split('') == [''])
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    assert len(seen_docs) == docs.count()
+    # a full-capacity or solo pack holds exactly one document
+    by_kind = defaultdict(list)
+    for r in rows:
+        by_kind[r.pack_id.split("|")[1]].append(r)
+    for kind in ("full", "solo"):
+        packs = defaultdict(int)
+        for r in by_kind.get(kind, []):
+            packs[r.pack_id] += 1
+        assert all(c == 1 for c in packs.values())
 
 
 def test_efficiency_rollup_bounds(spark):
@@ -39,8 +47,8 @@ def test_efficiency_rollup_bounds(spark):
         assert r.padding_tokens == r.n_packs * packing.PACK_CAP - r.packed_tokens
         assert 0 < r.fill_milli <= 1000
         assert r.overhead_milli >= 0
-        # power-of-2 bucketing wastes < half a slot per doc plus pack
-        # tails, so fill can't collapse: each pack's slots are >= half
-        # full of real tokens except possibly the last pack per
-        # (source, bucket, shard) group — sanity floor far below that
-        assert r.fill_milli > 200, r
+        # the multi-round prefix packer's waste is one straddle hole per
+        # pack plus merged tails — fill sits far above this sanity floor
+        # (measured 847 milli weighted at sf0.1, 598->179 overhead_milli
+        # vs the r9 bucketed scheme)
+        assert r.fill_milli > 500, r
