@@ -113,30 +113,39 @@ def _load_optional():
 # has a bounded window (CORRECTNESS_r01 covered exactly the first 50
 # entries). Order by value: oracle-backed queries a prior driver gate has
 # NEVER checked come first (read from the newest CORRECTNESS_r*.json
-# snapshot), then previously-green oracle queries, then rows-only entries
+# snapshot), then previously-green oracle queries STALEST-PROOF-FIRST
+# (ascending round of their latest green record — VERDICT r9 task 4: the
+# old module-order tiebreak recycled the same ~44 recent names through
+# every window while some proofs dated to r1-r3), then rows-only entries
 # (which only get a weaker row-count check anyway).
 
 
-def _previously_gated() -> set[str]:
-    """Names whose LATEST driver snapshot proved them fully green. A name
-    whose last record was an err or a weaker rows-only check has never been
-    value-hash-proven, so it must re-queue at the front (e.g. a query whose
-    oracle was added after its err row, or whose output shape was fixed)."""
+def _previously_gated() -> dict[str, int]:
+    """Name -> round of the LATEST driver snapshot that proved it fully
+    green. A name whose last record was an err or a weaker rows-only check
+    has never been value-hash-proven, so it is absent here and re-queues at
+    the front (e.g. a query whose oracle was added after its err row, or
+    whose output shape was fixed)."""
     import glob
     import json
     import os
+    import re
 
     snaps = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json")))
-    latest: dict[str, dict] = {}
+    latest: dict[str, tuple[int, dict]] = {}
     for snap in snaps:
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", snap)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(snap) as fh:
-                latest.update(json.load(fh))
+                rows = json.load(fh)
         except (OSError, ValueError):
             continue
+        for name, row in rows.items():
+            latest[name] = (rnd, row)
     return {
-        name
-        for name, row in latest.items()
+        name: rnd
+        for name, (rnd, row) in latest.items()
         if isinstance(row, dict)
         and row.get("err") is None
         and row.get("rows_match")
@@ -159,7 +168,11 @@ def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], s
     def prio(item):
         name, (_fn, oracle) = item
         if oracle is None:
-            return 2
-        return 1 if name in gated else 0
+            return (2, 0)
+        if name not in gated:
+            return (0, 0)
+        # previously green: stalest proof first; registration (module)
+        # order breaks ties within a round via the stable sort
+        return (1, gated[name])
 
     return dict(sorted(out.items(), key=prio))
