@@ -112,6 +112,41 @@ def test_teeth_swapped_neighbor(spark, kmeans_parts):
     assert r["sampled_topk_exact_ok"] is False
 
 
+def test_audit_cache_invariant_and_releases_storage(spark, monkeypatch):
+    """The audit result must not depend on whether the candidate cache was
+    retained (the count-gate can disable it at scale), and a completed
+    audit must leave no new persistent RDD behind (ADVICE r9: repeated
+    audits were accumulating corpus-scale candidate caches)."""
+    from kalytical_spark.operators.kmeans_ivf import (
+        fit_kmeans_cells,
+        sim_topk_kmeans_ivf,
+    )
+
+    assignments, C = fit_kmeans_cells(spark, SF_SMALL)  # warm the fit memo
+
+    def fresh():
+        return (
+            sim_topk_kmeans_ivf(spark, SF_SMALL),
+            ann_verify._kmeans_candidates(spark, SF_SMALL, assignments, C),
+        )
+
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    topk, cand = fresh()
+    r_cached = _audit(spark, topk, cand)
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
+
+    monkeypatch.setattr(ann_verify, "ANN_VERIFY_CACHE_MAX_ROWS", 0)
+    topk, cand = fresh()
+    r_uncached = _audit(spark, topk, cand)
+    assert r_uncached == r_cached
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
+    assert all(
+        r_cached[f]
+        for f in ("rows_complete_ok", "ranks_dense_ok", "scores_exact_ok",
+                  "sampled_topk_exact_ok")
+    )
+
+
 def test_teeth_non_dense_ranks(spark, kmeans_parts):
     """Duplicated rank values must fail the dense-rank contract."""
     topk, cand = kmeans_parts
