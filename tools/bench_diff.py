@@ -61,14 +61,24 @@ class IsolationFailed(RuntimeError):
     """The focused fresh-JVM re-measure itself failed; carries the cause."""
 
 
-def isolated_median(name: str) -> float | str:
+def isolated_median(name: str, pin_cpus: int | None = None) -> float | str:
     """Warm median of one query in a FRESH JVM: bench.py focused via
     SPARK_GRAFT_BENCH_QUERIES. Returns the median, or MEMO_SKIP for memo:*
     build lines (not registry queries — cannot be focused). Raises
     IsolationFailed when the re-measure subprocess times out, crashes, or
-    emits no parsable result for the query."""
+    emits no parsable result for the query.
+
+    ``pin_cpus`` (or env SPARK_GRAFT_BENCH_PIN): run the re-measure under
+    ``taskset -c 0-(pin-1)`` with SPARK_GRAFT_CPUS=pin — a fixed CPU set
+    with task-slot count < the box's cores leaves scheduler headroom for
+    background load, narrowing run-to-run bands (VERDICT r9 task 6;
+    before/after table in BENCH_NOTES.md). Pinned medians are only
+    comparable to other PINNED runs at the same pin count — the default
+    (unpinned, all cores) stays the cross-round comparison config."""
     if name.startswith("memo:"):
         return MEMO_SKIP
+    if pin_cpus is None and os.environ.get("SPARK_GRAFT_BENCH_PIN"):
+        pin_cpus = int(os.environ["SPARK_GRAFT_BENCH_PIN"])
     # prepay shared memo builds so the focused median is memo-warm like
     # the suite median it is judged against (a memo-consuming query would
     # otherwise carry the build and read as a fake regression)
@@ -77,9 +87,13 @@ def isolated_median(name: str) -> float | str:
         SPARK_GRAFT_BENCH_QUERIES=name,
         SPARK_GRAFT_BENCH_PREPAY_MEMOS="1",
     )
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    if pin_cpus:
+        env["SPARK_GRAFT_CPUS"] = str(pin_cpus)
+        cmd = ["taskset", "-c", f"0-{pin_cpus - 1}"] + cmd
     try:
         proc = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
+            cmd,
             capture_output=True, text=True, timeout=900, env=env,
         )
     except subprocess.TimeoutExpired:

@@ -382,6 +382,16 @@ def main() -> None:
         i = args.index("--runs")
         runs = int(args[i + 1])
         del args[i : i + 2]
+    # --pin N: run each fresh-JVM point under taskset -c 0-(N-1) with
+    # SPARK_GRAFT_CPUS=N — a fixed CPU set below the box's core count
+    # leaves scheduler headroom for background load, narrowing bands
+    # (VERDICT r9 task 6). Pinned points record a "pin" field and are
+    # only comparable to other points at the same pin.
+    pin = 0
+    if "--pin" in args:
+        i = args.index("--pin")
+        pin = int(args[i + 1])
+        del args[i : i + 2]
     if args and args[0] in CHAINS:
         chain = args[0]
         ks_arg = args[1] if len(args) > 1 else "1,2,5,10"
@@ -398,12 +408,18 @@ def main() -> None:
         # re-measure-before-believing rule applied at write time)
         results = []
         for _ in range(runs):
+            cmd = [sys.executable, os.path.abspath(__file__), "--single", chain, str(k)]
+            env = dict(os.environ)
+            if pin:
+                env["SPARK_GRAFT_CPUS"] = str(pin)
+                cmd = ["taskset", "-c", f"0-{pin - 1}"] + cmd
             try:
                 proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--single", chain, str(k)],
+                    cmd,
                     capture_output=True,
                     text=True,
                     timeout=1800,
+                    env=env,
                 )
             except subprocess.TimeoutExpired:
                 # one stuck point must not lose the completed ones: skip it
@@ -434,6 +450,8 @@ def main() -> None:
                 statistics.median(r["chain_total_sec"] for r in results), 3
             )
             point["runs"] = len(results)
+        if pin:
+            point["pin"] = pin
         sweep[f"{chain}:k{k}"] = point
         print(json.dumps({f"{chain}:k{k}": sweep[f"{chain}:k{k}"]}), flush=True)
 
