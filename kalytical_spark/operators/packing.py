@@ -102,7 +102,10 @@ def _round_assign(df: DataFrame, rnd: int, shards: int, eject_tail: bool):
         df = df.withColumn(
             "grp_tokens", F.max(F.col("cb") + F.col("packed_tok")).over(grp)
         )
-        keep = keep & (F.col("pk") < F.expr(f"(grp_tokens - 1) div {PACK_CAP}"))
+        # eject only PARTIAL final packs: pk < grp_tokens div CAP keeps an
+        # exactly-full last pack (grp_tokens a multiple of CAP) instead of
+        # pointlessly re-packing a zero-waste pack through later rounds
+        keep = keep & (F.col("pk") < F.expr(f"grp_tokens div {PACK_CAP}"))
     df = df.withColumn("keep", keep)
     kept = df.filter("keep").select(
         *_COLS,
@@ -130,6 +133,14 @@ def _assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = [full]
     for rnd, shards, eject_tail in _ROUNDS:
         kept, rest = _round_assign(rest, rnd, shards, eject_tail)
+        # materialize the (small, ~5x-shrinking) ejected frame: without
+        # this, every later union branch re-executes all earlier rounds'
+        # corpus-scale window cascades — ReuseExchange dedups only the
+        # shuffle, not the sort/window above it. localCheckpoint blocks
+        # are released with the frame by the context cleaner (the bpe.py
+        # iterative-state convention; on a cluster that must survive
+        # executor loss, reliable checkpoint() — components.py note).
+        rest = rest.localCheckpoint()
         parts.append(kept)
     solos = rest.select(
         *_COLS,
@@ -157,20 +168,23 @@ def docs_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline owner actually watches (overhead_milli is the price of the
     boundary-respecting constraint + the one-pass approximation)."""
     a = _assignments(spark, sf_dir)
+    # ONE consumption of the assignment tree: doc counts roll up through
+    # the per-pack aggregate (n_docs = sum of per-pack doc counts), so the
+    # corpus-scale union is aggregated once, not once per rollup branch
     per_pack = a.groupBy("source", "pack_id").agg(
-        F.sum("packed_tok").alias("pack_tokens")
+        F.sum("packed_tok").alias("pack_tokens"),
+        F.count("*").alias("pack_docs"),
+        F.sum(F.col("truncated").cast("bigint")).alias("pack_trunc"),
     )
-    packs = per_pack.groupBy("source").agg(
+    per_source = per_pack.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_packs"),
         F.sum("pack_tokens").cast("bigint").alias("packed_tokens"),
-    )
-    docs = a.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum(F.col("truncated").cast("bigint")).cast("bigint").alias("n_truncated"),
+        F.sum("pack_docs").cast("bigint").alias("n_docs"),
+        F.sum("pack_trunc").cast("bigint").alias("n_truncated"),
     )
     lb = F.expr(f"(packed_tokens + {PACK_CAP} - 1) div {PACK_CAP}").cast("bigint")
     return (
-        docs.join(packs, "source")
+        per_source
         .select(
             "source",
             "n_docs",
@@ -197,8 +211,8 @@ def docs_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_round(rnd: int, src: str, shards: int, eject_tail: bool) -> str:
     shard = f"doc_id % {shards}" if shards > 1 else "CAST(0 AS BIGINT)"
     tail = (
-        f" AND cb // {PACK_CAP} < (MAX(cb + packed_tok)"
-        f" OVER (PARTITION BY source, shard) - 1) // {PACK_CAP}"
+        f" AND cb // {PACK_CAP} < MAX(cb + packed_tok)"
+        f" OVER (PARTITION BY source, shard) // {PACK_CAP}"
         if eject_tail
         else ""
     )

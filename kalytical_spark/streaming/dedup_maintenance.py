@@ -164,7 +164,21 @@ def _manifest_versions(spark: SparkSession, root: str) -> list[int]:
         return []
     out = []
     for st in fs.listStatus(path):
-        m = _MANIFEST_RE.match(st.getPath().getName())
+        name = st.getPath().getName()
+        if name == "_segments.json":
+            # pre-versioned-manifest index (and pre-integer band keys):
+            # silently ignoring it would drop every compacted segment
+            # from the read view and the next compaction sweep would GC
+            # them — refuse loudly instead (there is no in-place upgrade:
+            # the r10 band_key type change requires a re-mine anyway)
+            raise RuntimeError(
+                f"{root} carries a legacy single-file _segments.json "
+                "manifest from a pre-r10 index; this build reads only "
+                "versioned _segments.v<N>.json manifests and r10 also "
+                "changed the band_key type — rebuild the index by "
+                "replaying the document stream into a fresh index_dir"
+            )
+        m = _MANIFEST_RE.match(name)
         if m:
             out.append(int(m.group(1)))
     return sorted(out)

@@ -39,6 +39,33 @@ def test_packs_respect_capacity_and_partition(spark):
         assert all(c == 1 for c in packs.values())
 
 
+def test_exactly_full_tail_pack_is_kept(spark):
+    """A group's final pack ejects to the next round only when PARTIAL:
+    an exactly-full final pack (group tokens a multiple of PACK_CAP) has
+    zero waste and must not churn through later rounds."""
+    from pyspark.sql import Row
+
+    quarter = packing.PACK_CAP // 4
+    rows = [
+        Row(doc_id=i, source="s", n_tok=quarter, packed_tok=quarter, truncated=False)
+        for i in range(8)  # exactly two full packs
+    ]
+    kept, ejected = packing._round_assign(spark.createDataFrame(rows), 1, 1, True)
+    assert ejected.count() == 0
+    packs = kept.groupBy("pack_id").count().collect()
+    assert sorted(p["count"] for p in packs) == [4, 4]
+
+    # a partial final pack still ejects
+    rows_partial = rows + [
+        Row(doc_id=9, source="s", n_tok=10, packed_tok=10, truncated=False)
+    ]
+    kept2, ejected2 = packing._round_assign(
+        spark.createDataFrame(rows_partial), 1, 1, True
+    )
+    assert kept2.count() + ejected2.count() == 9
+    assert ejected2.count() >= 1  # the 10-token tail
+
+
 def test_efficiency_rollup_bounds(spark):
     rows = packing.docs_packing_efficiency(spark, SF_ORACLE).collect()
     assert rows

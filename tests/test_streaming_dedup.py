@@ -248,6 +248,23 @@ def test_manifest_commit_is_crash_safe(spark):
         assert names == ["_segments.v3.json"], names
 
 
+def test_legacy_manifest_is_refused(spark):
+    """A pre-r10 single-file _segments.json must fail loudly: silently
+    ignoring it would drop its compacted segments from the read view and
+    the next compaction sweep would GC them (unrecoverable data loss)."""
+    import json
+
+    import pytest
+
+    with tempfile.TemporaryDirectory() as tmp:
+        root = os.path.join(tmp, "bands")
+        os.makedirs(root)
+        with open(os.path.join(root, "_segments.json"), "w") as fh:
+            json.dump({"segments": ["c0"], "replaced": []}, fh)
+        with pytest.raises(RuntimeError, match="legacy"):
+            dedup_maintenance._read_manifest(spark, root)
+
+
 def test_delta_file_fanout_is_bounded(spark):
     """Both per-batch delta writes must land at most _DELTA_PARTITIONS
     data files (the shingle delta by explicit repartition, the band delta

@@ -68,17 +68,19 @@ def isolated_median(name: str, pin_cpus: int | None = None) -> float | str:
     IsolationFailed when the re-measure subprocess times out, crashes, or
     emits no parsable result for the query.
 
-    ``pin_cpus`` (or env SPARK_GRAFT_BENCH_PIN): run the re-measure under
-    ``taskset -c 0-(pin-1)`` with SPARK_GRAFT_CPUS=pin — a fixed CPU set
-    with task-slot count < the box's cores leaves scheduler headroom for
-    background load, narrowing run-to-run bands (VERDICT r9 task 6;
-    before/after table in BENCH_NOTES.md). Pinned medians are only
-    comparable to other PINNED runs at the same pin count — the default
-    (unpinned, all cores) stays the cross-round comparison config."""
+    ``pin_cpus``: run the re-measure under ``taskset -c 0-(pin-1)`` with
+    SPARK_GRAFT_CPUS=pin — a fixed CPU set with task-slot count < the
+    box's cores leaves scheduler headroom for background load (VERDICT
+    r9 task 6; measured band table in BENCH_NOTES.md — on an
+    uncontended box it does NOT narrow bands). Pinned medians are only
+    comparable to other PINNED runs at the same pin count, so the
+    regression-verdict path (main) NEVER pins: judging a pinned
+    isolated median against an unpinned prior-round suite median would
+    systematically mint false CONFIRMED flags on any well-parallelizing
+    query. Pinning is an explicit-argument-only rig for band
+    experiments."""
     if name.startswith("memo:"):
         return MEMO_SKIP
-    if pin_cpus is None and os.environ.get("SPARK_GRAFT_BENCH_PIN"):
-        pin_cpus = int(os.environ["SPARK_GRAFT_BENCH_PIN"])
     # prepay shared memo builds so the focused median is memo-warm like
     # the suite median it is judged against (a memo-consuming query would
     # otherwise carry the build and read as a fake regression)
@@ -98,6 +100,10 @@ def isolated_median(name: str, pin_cpus: int | None = None) -> float | str:
         )
     except subprocess.TimeoutExpired:
         raise IsolationFailed("re-measure timed out after 900s")
+    except FileNotFoundError as exc:
+        # e.g. no taskset binary on a minimal host: the re-measure failed,
+        # which must surface as a per-query UNVERIFIED, not kill the diff
+        raise IsolationFailed(f"re-measure could not launch: {exc}")
     if proc.returncode != 0:
         tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-3:]
         raise IsolationFailed(
