@@ -57,12 +57,17 @@ PACK_CAP = 512  # tokens per training sequence (preprocess.PACK_WINDOW twin)
 PACK_SHARDS = 8  # round-1 parallelism of the per-group rank; cluster-sized
 
 # (round, shard_count, eject_tail): shards shrink 4x per round so ejected
-# tails merge across shards; the last round keeps its tail (nothing to
-# merge into) and its straddlers become singleton packs
+# tails merge across shards while per-group row counts stay bounded (the
+# ejected mass shrinks ~5x per round); the last round keeps its tail
+# (nothing to merge into) and its straddlers become singleton packs. The
+# geometric decay is tied to PACK_SHARDS so a production setting (e.g.
+# 10k shards on a large cluster) keeps EVERY round's windows bounded —
+# a hardcoded final shard count of 1 would funnel round 3's straddler
+# mass (~one doc per round-2 pack) through one window per source.
 _ROUNDS = [
     (1, PACK_SHARDS, True),
     (2, max(1, PACK_SHARDS // 4), True),
-    (3, 1, False),
+    (3, max(1, PACK_SHARDS // 16), False),
 ]
 
 _COLS = ["doc_id", "source", "n_tok", "packed_tok", "truncated"]
