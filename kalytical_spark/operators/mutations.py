@@ -264,7 +264,14 @@ GROUP BY 1, 2, 3
 """
 
 
-APPROX_USERS_EPS = 0.05  # HLL++ default rsd; estimates are deterministic
+APPROX_USERS_EPS = 0.05  # asserted bound = 2.5x the REQUESTED rsd below
+# rsd is a STANDARD ERROR, not a hard bound: asserting |err| <= 1x rsd
+# (the r9 form, eps == default rsd 0.05) failed at sf0.1, where HLL++
+# at 1500 distinct users measured 6.67% error — caught by the r10
+# full-oracle robustness pass at sf0.1 (gated sfs happened to pass).
+# Requesting rsd 0.02 measures 0.0-0.4% error at every sf, so the 5%
+# assert now carries >10x headroom while staying a real accuracy claim.
+APPROX_USERS_RSD = 0.02
 
 
 def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -286,7 +293,7 @@ def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate — no Expand without a distinct — and the lone countDistinct
     # joins back on the low-cardinality event_type
     approx = ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_count_distinct("user_id", APPROX_USERS_RSD).alias("approx_users"),
         F.percentile_approx("value", 0.5).alias("approx_median_value"),
         F.expr("percentile(value, 0.4)").alias("p40"),
         F.expr("percentile(value, 0.6)").alias("p60"),
