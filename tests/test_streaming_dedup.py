@@ -248,6 +248,40 @@ def test_manifest_commit_is_crash_safe(spark):
         assert names == ["_segments.v3.json"], names
 
 
+def test_compaction_sweep_clears_crashed_gc_leftovers(spark):
+    """Crash window between the manifest flip and the replaced-list
+    prune: replaced b-dirs may survive on disk (invisible) with the
+    manifest still listing them. The next compaction's sweep must delete
+    them, prune the list, and leave the view untouched."""
+    import json
+
+    with tempfile.TemporaryDirectory() as tmp:
+        index_dir = os.path.join(tmp, "ix")
+        root = os.path.join(index_dir, "bands")
+        delta = spark.range(100).selectExpr(
+            "id AS doc_id", "CAST(1 AS BIGINT) AS n_sh",
+            "'0' AS band_idx", "id AS band_key"
+        ).coalesce(1)
+        # b0 was folded into c0 but its GC crashed; b1 is live
+        for name in ("b0", "b1", "c0"):
+            delta.write.mode("overwrite").parquet(os.path.join(root, name))
+        dedup_maintenance._write_manifest(
+            spark, root,
+            {"version": 0, "next_id": 1, "segments": ["c0"], "replaced": ["b0"]},
+        )
+        _stub_applied(index_dir, [0, 1])
+        view_before = dedup_maintenance._live_dirs(spark, root)
+        assert [os.path.basename(d) for d in view_before] == ["c0", "b1"]
+
+        # only 2 live segments, different tiers impossible here — defaults
+        # won't fold, but the sweep must still run
+        dedup_maintenance.compact_dedup_index(spark, index_dir)
+        assert not os.path.exists(os.path.join(root, "b0"))
+        manifest = dedup_maintenance._read_manifest(spark, root)
+        assert manifest["replaced"] == [] and manifest["segments"] == ["c0"]
+        assert dedup_maintenance._live_dirs(spark, root) == view_before
+
+
 def test_legacy_manifest_is_refused(spark):
     """A pre-r10 single-file _segments.json must fail loudly: silently
     ignoring it would drop its compacted segments from the read view and
