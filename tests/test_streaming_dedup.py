@@ -76,6 +76,42 @@ def test_stream_dedup_equals_monolithic_mine(spark):
         assert _pairs(versioned.read_version(spark, pairs_dir).collect()) == want
 
 
+def test_in_sink_tiered_compaction_e2e(spark):
+    """Drain 16 one-file shards with compact_every=4 (default tier
+    policy): the sink's own periodic size-tiered compactions fire four
+    times mid-stream, and the final pair snapshot must still equal the
+    monolithic batch mine exactly. Covers the in-sink path end-to-end —
+    the main equivalence test's 4 batches never reach the default
+    compaction cadence."""
+    n_shards = 16
+    docs = t(spark, SF_ORACLE, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "shards")
+        for i in range(n_shards):
+            docs.filter(F.col("doc_id") % n_shards == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        index_dir = os.path.join(tmp, "index")
+        q = dedup_maintenance.start_dedup_maintenance_query(
+            spark, src, docs.schema, index_dir, os.path.join(tmp, "ckpt"),
+            compact_every=4,
+        )
+        try:
+            assert q.awaitTermination(600)
+        finally:
+            q.stop()
+        got = _pairs(
+            versioned.read_version(spark, os.path.join(index_dir, "pairs")).collect()
+        )
+        want = _pairs(dedup.dedup_minhash_lsh(spark, SF_ORACLE).collect())
+        assert got == want and len(got) > 0
+        # compaction actually fired: c-segments exist in the live view
+        live = dedup_maintenance._live_dirs(
+            spark, os.path.join(index_dir, "bands")
+        )
+        assert any(os.path.basename(d).startswith("c") for d in live), live
+
+
 def test_compaction_preserves_view_and_results(spark):
     """Folding applied batches' delta dirs into one manifest-committed
     segment must keep the stored band/shingle view row-identical, keep
