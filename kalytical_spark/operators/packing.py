@@ -74,7 +74,16 @@ _COLS = ["doc_id", "source", "n_tok", "packed_tok", "truncated"]
 
 
 def _staged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    # NULL text coalesces to 0 tokens: size(split(NULL)) is NULL in both
+    # engines, and a NULL n_tok/packed_tok fails BOTH routing filters
+    # (== PACK_CAP and < PACK_CAP), silently dropping the document from
+    # every pack — an engine-agreeing bug the oracle gate cannot catch on
+    # clean fixtures (ADVICE r10). 0-token docs ride the normal prefix-sum
+    # path (they consume no capacity) so conservation holds on dirty data;
+    # non-null text is always >= 1 token (split('') == ['']).
+    n_tok = F.coalesce(
+        F.size(F.split("text", " ")).cast("bigint"), F.lit(0).cast("bigint")
+    )
     return t(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
@@ -256,9 +265,9 @@ def _sql_assign() -> str:
     return f"""
 staged AS (
   SELECT doc_id, source,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-         LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), {PACK_CAP}) AS packed_tok,
-         CAST(len(string_split(text, ' ')) AS BIGINT) > {PACK_CAP} AS truncated
+         CAST(COALESCE(len(string_split(text, ' ')), 0) AS BIGINT) AS n_tok,
+         LEAST(CAST(COALESCE(len(string_split(text, ' ')), 0) AS BIGINT), {PACK_CAP}) AS packed_tok,
+         CAST(COALESCE(len(string_split(text, ' ')), 0) AS BIGINT) > {PACK_CAP} AS truncated
   FROM documents
 ), full_docs AS (
   SELECT doc_id, source, n_tok, packed_tok, truncated,

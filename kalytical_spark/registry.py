@@ -131,11 +131,22 @@ def _previously_gated() -> dict[str, int]:
     import os
     import re
 
-    snaps = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json")))
+    def rnd_of(snap: str) -> int:
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", snap)
+        return int(m.group(1)) if m else 0
+
+    # order by PARSED round, not filename: lexicographic order puts r100
+    # between r10 and r11, so from round 100 an older snapshot would
+    # overwrite a newer record in `latest` (ADVICE r10)
+    snaps = sorted(
+        glob.glob(
+            os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json")
+        ),
+        key=rnd_of,
+    )
     latest: dict[str, tuple[int, dict]] = {}
     for snap in snaps:
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", snap)
-        rnd = int(m.group(1)) if m else 0
+        rnd = rnd_of(snap)
         try:
             with open(snap) as fh:
                 rows = json.load(fh)

@@ -79,3 +79,34 @@ def test_efficiency_rollup_bounds(spark):
         # (measured 847 milli weighted at sf0.1, 598->179 overhead_milli
         # vs the r9 bucketed scheme)
         assert r.fill_milli > 500, r
+
+
+def test_null_text_docs_are_conserved(spark):
+    """NULL text must coalesce to 0 tokens, not silently vanish: a NULL
+    n_tok fails both routing filters (== CAP and < CAP), dropping the doc
+    from every pack in BOTH engines — the oracle gate agrees and the
+    clean-fixture conservation test never sees it (ADVICE r10)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Row
+
+    rows = [Row(doc_id=1, source="s", text=None)] + [
+        Row(doc_id=i, source="s", text="a b c") for i in range(2, 12)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        # a full sf-dir view (catalog.register wants every table), with
+        # only the documents table swapped for the dirty fixture
+        for name in os.listdir(SF_ORACLE):
+            if name != "documents.parquet":
+                os.symlink(
+                    os.path.join(SF_ORACLE, name), os.path.join(tmp, name)
+                )
+        spark.createDataFrame(rows).write.parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        got = packing.docs_pack_assignments(spark, tmp).collect()
+        assert {r.doc_id for r in got} == {r.doc_id for r in rows}
+        null_doc = [r for r in got if r.doc_id == 1][0]
+        assert null_doc.n_tok == 0 and null_doc.packed_tok == 0
+        assert null_doc.truncated is False

@@ -368,12 +368,13 @@ def bench_dedup_sink(spark, sf_dir: str, n_files: int) -> dict:
     """The streaming delta-LSH dedup maintenance sink
     (streaming/dedup_maintenance.py): docs/sec through the per-batch
     band + shingle append, delta x ALL candidate mine, verification, and
-    ledgered pair-snapshot commit. State size = the maintained pair
-    snapshot per version (the band/shingle stores grow by exactly the
-    delta, so the pair curve is the interesting one)."""
+    manifest-ledgered delta pair commit. State size = the per-batch pair
+    delta dirs (the r11 segment protocol: per-batch pair I/O is
+    O(|delta pairs|); the pair-count curve per batch is the cumulative
+    sum of delta sizes)."""
     from pyspark.sql import functions as F
 
-    from kalytical_spark import versioned
+    from kalytical_spark.streaming import dedup_maintenance
     from kalytical_spark.streaming.dedup_maintenance import (
         start_dedup_maintenance_query,
     )
@@ -394,19 +395,24 @@ def bench_dedup_sink(spark, sf_dir: str, n_files: int) -> dict:
     q = start_dedup_maintenance_query(spark, src, docs.schema, index, ckpt)
     q.awaitTermination()
     wall = time.time() - t0
-    pairs_dir = os.path.join(index, "pairs")
-    versions = versioned.current_version(pairs_dir) or 0
-    curve = [
-        versioned.read_version(spark, pairs_dir, v).count()
-        for v in range(1, versions + 1)
-    ]
+    applied = sorted(dedup_maintenance._applied(spark, index))
+    # per-batch delta pair counts, cumulated into the same state-size
+    # curve the r10 versioned snapshots exposed (compacted batches fold
+    # into c-segments, so count the live view once and the deltas that
+    # still exist individually)
+    delta_counts = []
+    for b in applied:
+        d = dedup_maintenance._delta_dir(index, "pairs", b)
+        if os.path.isdir(d):
+            delta_counts.append(spark.read.parquet(d).count())
+    final_pairs = dedup_maintenance.read_pairs(spark, index).count()
     return {
         "docs_total": n_docs,
         "wall_sec": round(wall, 3),
         "docs_per_sec": round(n_docs / wall, 1),
-        "versions_committed": versions,
-        "final_pairs": curve[-1] if curve else 0,
-        "pairs_per_version": curve,
+        "batches_applied": len(applied),
+        "final_pairs": final_pairs,
+        "pairs_per_delta": delta_counts,
         "batches": _progress_points(q),
     }
 
