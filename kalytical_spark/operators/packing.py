@@ -18,13 +18,19 @@ feasible BY CONSTRUCTION: a kept document's whole token span lies inside
 one PACK_CAP window, so a pack's actual token load can never exceed
 PACK_CAP — no slot rounding anywhere, the packs hold real token counts.
 
-Measured at sf0.1 (DuckDB twin, exact): overhead vs the
-ceil(tokens/capacity) lower bound 598 -> 179 milli, fill 614 -> 847
-milli, zero capacity violations, 15/5000 singleton leftovers. The
-residual overhead is one straddle hole per pack (~ half an average
-document) plus the final tails — intrinsic to a one-pass boundary rule;
-the efficiency rollup reports it per source so the approximation quality
-stays a measured, oracle-checked number.
+Measured at sf0.1 (DuckDB twin, exact; re-measured r11 on current code —
+the r10 round carried two numbers from different code days, 179 in this
+docstring vs 159 in the round-close notes; 159 is the current value):
+overhead vs the ceil(tokens/capacity) lower bound 598 -> 159 milli
+(624 packs vs a 538-pack lower bound), fill 614 -> 847 milli, zero
+capacity violations, 15/5000 singleton leftovers. The residual is
+intrinsic to the one-pass boundary rule: mean padding is ~78 tokens per
+512-token pack, i.e. one straddle hole of ~half an average document
+(the doc whose span would cross the boundary is ejected, leaving the
+hole), plus the merged final tails — matching the analytic estimate, so
+no further rounds are scheduled against it. The efficiency rollup
+reports it per source so the approximation quality stays a measured,
+oracle-checked number.
 
 Scale: every step is a window over (source x shard) groups — round 1
 shards = PACK_SHARDS (the knob that tracks cluster size), round r shards

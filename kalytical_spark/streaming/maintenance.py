@@ -96,10 +96,25 @@ def seed_ledger(table_dir: str) -> None:
         os.replace(tmp, path)
 
 
-def maintenance_sink(table_dir: str, group_cols: list[str], value_col: str):
+def maintenance_sink(
+    table_dir: str,
+    group_cols: list[str],
+    value_col: str,
+    keep_last: int | None = None,
+):
     """Build the foreachBatch function: fold signed CDC deltas into the
     versioned aggregate at ``table_dir`` (schema: group_cols + n +
-    sum_dec), exactly once per batch_id."""
+    sum_dec), exactly once per batch_id.
+
+    ``keep_last``: retention window — after each commit, vacuum snapshot
+    versions older than the most recent ``keep_last`` (time travel keeps
+    working within the window). Default None keeps ALL versions, which on
+    a long-lived stream accumulates one full aggregate snapshot per batch
+    — fine for bounded replays and tests, but a production deployment
+    should set a window (VERDICT r10 task 7: nothing scheduled the
+    offline ``versioned.vacuum`` otherwise). The vacuum runs after the
+    pointer swap, so a crash between commit and vacuum just leaves extra
+    history for the next batch's sweep."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # crashed-in-the-commit-window recovery: adopt a pointerless
@@ -158,6 +173,8 @@ def maintenance_sink(table_dir: str, group_cols: list[str], value_col: str):
         # any point either exposes the old (version, ledger) pair or the
         # new one — never data without its ledger
         versioned.write_version(merged, table_dir, pre_commit=commit_ledger)
+        if keep_last is not None:
+            versioned.vacuum(table_dir, keep_last)
 
     return sink
 
@@ -170,6 +187,7 @@ def start_maintenance_query(
     group_cols: list[str],
     value_col: str,
     checkpoint_dir: str,
+    keep_last: int | None = None,
 ):
     """Wire a file-source change feed into the maintenance sink (bounded
     by availableNow, like the other streaming queries in this package)."""
@@ -182,7 +200,7 @@ def start_maintenance_query(
     )
     return (
         feed.writeStream.foreachBatch(
-            maintenance_sink(table_dir, group_cols, value_col)
+            maintenance_sink(table_dir, group_cols, value_col, keep_last=keep_last)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

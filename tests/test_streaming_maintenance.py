@@ -159,3 +159,37 @@ def test_ledger_is_atomic_with_commit(spark):
         assert versioned.write_version(df, tbl, pre_commit=ledger) == 2
         assert maintenance._applied_batches(tbl) == {7}
         assert not os.path.exists(os.path.join(tbl, "v2", "_partial"))
+
+
+def test_retention_window_vacuums_old_versions(spark):
+    """keep_last retention: the sink vacuums snapshot versions beyond the
+    window after each commit (nothing else schedules versioned.vacuum on
+    a long-lived stream — VERDICT r10 task 7), while time travel keeps
+    working for every retained version and the fold stays exactly-once."""
+    with tempfile.TemporaryDirectory() as tmp:
+        tbl = os.path.join(tmp, "agg")
+        sink = maintenance.maintenance_sink(tbl, ["g"], "v", keep_last=2)
+        for i in range(5):
+            batch = spark.createDataFrame(
+                [("added", f"g{i}", float(i + 1))], "change_type string, g string, v double"
+            )
+            sink(batch, i)
+        live = sorted(
+            int(d[1:])
+            for d in os.listdir(tbl)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+        assert live == [4, 5], live
+        assert versioned.current_version(tbl) == 5
+        # time travel within the window still works; the current snapshot
+        # carries the full ledger
+        assert versioned.read_version(spark, tbl, 4).count() == 4
+        assert maintenance._applied_batches(tbl) == {0, 1, 2, 3, 4}
+        # replay after vacuum is still a no-op
+        sink(
+            spark.createDataFrame(
+                [("added", "g0", 1.0)], "change_type string, g string, v double"
+            ),
+            0,
+        )
+        assert versioned.current_version(tbl) == 5

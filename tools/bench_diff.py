@@ -181,6 +181,26 @@ def main() -> None:
                   f"(isolated {iso:.2f}s: suite-order effect, not a regression)")
     if not candidates:
         print("no candidates above the movement thresholds")
+    movers = sorted(candidates + improved, reverse=True)
+    if movers:
+        # round-close rule (VERDICT r10 task 3): an INTENTIONAL >1.5x move
+        # on touched code is an accepted cost, not noise — r10 shipped a
+        # deliberate 4x on sim_maxsim_ivf_pruned_verified without a line
+        # in the notes because this tool only adjudicated noise-vs-
+        # regression. The checklist makes the accounting explicit either
+        # way; untouched movers resolve through the isolation verdicts
+        # above.
+        print(
+            "\n# ROUND-CLOSE CHECKLIST: for each mover below whose code was"
+            "\n# touched this round, add a row to the 'Accepted cost changes'"
+            "\n# table in BENCH_NOTES.md (query, old -> new, causing commit,"
+            "\n# why the cost is accepted). The table must exist each round"
+            "\n# even if empty."
+        )
+        for ratio, o, n, name in movers:
+            direction = "slower" if n > o else "faster"
+            print(f"mover     {name:40s} {o:7.2f}s -> {n:7.2f}s  "
+                  f"({ratio:.1f}x {direction})")
     sys.exit(1 if (confirmed or unverified) else 0)
 
 
