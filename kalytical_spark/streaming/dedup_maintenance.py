@@ -150,6 +150,7 @@ from ..operators.dedup import (
     banded_signatures,
     shingles_from_docs,
 )
+from .maintenance import decode_ledger, encode_ledger
 
 _BANDS = "bands"
 _SHINGLES = "shingles"
@@ -337,8 +338,13 @@ def _applied(spark: SparkSession, index_dir: str) -> set[int]:
     """Applied-batch ids from the pairs manifest — the exactly-once
     ledger. Committed atomically with the segment list (one manifest
     rename), so a reader can never observe pairs whose batch id the
-    ledger has but not vice versa."""
-    return set(_read_manifest(spark, os.path.join(index_dir, _PAIRS))["applied"])
+    ledger has but not vice versa. Stored as inclusive ranges
+    (maintenance.encode_ledger): sequential batch ids make the encoded
+    form O(1), where a flat id list would rewrite O(batches) bytes per
+    commit."""
+    return decode_ledger(
+        _read_manifest(spark, os.path.join(index_dir, _PAIRS))["applied"]
+    )
 
 
 def read_pairs(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -371,7 +377,9 @@ def _commit_pairs(
     )
     manifest = _read_manifest(spark, pairs_root)
     _write_manifest(
-        spark, pairs_root, {**manifest, "applied": sorted(applied | {batch_id})}
+        spark,
+        pairs_root,
+        {**manifest, "applied": encode_ledger(applied | {batch_id})},
     )
 
 
@@ -417,7 +425,7 @@ def migrate_versioned_pairs(spark: SparkSession, index_dir: str) -> None:
             "next_id": 1,
             "segments": ["c0"],
             "replaced": [],
-            "applied": ledger,
+            "applied": encode_ledger(set(ledger)),
         },
     )
     fs.rename(

@@ -38,6 +38,38 @@ from ..operators.common import DEC
 _LEDGER = "_applied_batches.json"
 
 
+def encode_ledger(ids: set[int]) -> list[list[int]]:
+    """Applied-batch ids as sorted inclusive [lo, hi] ranges. foreachBatch
+    ids are sequential, so the applied set is a contiguous prefix (plus at
+    most a replay frontier) and the encoded form is O(1) ranges — storing
+    the flat id list made every ledger commit rewrite O(batches) bytes,
+    O(batches^2) over a stream's lifetime: the same quadratic-maintenance
+    genus as the r10 pairs-snapshot debt, just in metadata. (The
+    in-memory set is still O(batches); at the daily-shard cadence the
+    sinks model, that is thousands of ints over years — the stored-bytes
+    quadratic was the part that compounded.)"""
+    out: list[list[int]] = []
+    for b in sorted(ids):
+        if out and b == out[-1][1] + 1:
+            out[-1][1] = b
+        else:
+            out.append([b, b])
+    return out
+
+
+def decode_ledger(raw) -> set[int]:
+    """Inverse of encode_ledger; also accepts the pre-r11 flat id list so
+    existing ledgers keep reading."""
+    ids: set[int] = set()
+    for item in raw:
+        if isinstance(item, int):
+            ids.add(item)
+        else:
+            lo, hi = item
+            ids.update(range(lo, hi + 1))
+    return ids
+
+
 def _applied_batches(table_dir: str) -> set[int]:
     """Applied-batch ids from the CURRENT snapshot's ledger. A committed
     version without a readable ledger is corruption, not an empty set —
@@ -52,7 +84,7 @@ def _applied_batches(table_dir: str) -> set[int]:
     path = os.path.join(table_dir, f"v{v}", _LEDGER)
     try:
         with open(path) as fh:
-            return set(json.load(fh))
+            return decode_ledger(json.load(fh))
     except (OSError, ValueError) as exc:
         raise RuntimeError(
             f"maintenance table {table_dir} v{v} has no readable batch "
@@ -71,7 +103,17 @@ def _has_ledger(version_dir: str) -> bool:
     try:
         with open(os.path.join(version_dir, _LEDGER)) as fh:
             ledger = json.load(fh)
-        return isinstance(ledger, list) and all(isinstance(b, int) for b in ledger)
+        if not isinstance(ledger, list):
+            return False
+        return all(
+            isinstance(b, int)
+            or (
+                isinstance(b, list)
+                and len(b) == 2
+                and all(isinstance(x, int) for x in b)
+            )
+            for b in ledger
+        )
     except (OSError, ValueError):
         return False
 
@@ -166,7 +208,7 @@ def maintenance_sink(
 
         def commit_ledger(vdir: str) -> None:
             with open(os.path.join(vdir, _LEDGER), "w") as fh:
-                json.dump(sorted(applied | {batch_id}), fh)
+                json.dump(encode_ledger(applied | {batch_id}), fh)
 
         # ledger lands inside v{N} BEFORE the pointer swap: the data and
         # the applied-batch set commit atomically together, so a crash at

@@ -193,3 +193,21 @@ def test_retention_window_vacuums_old_versions(spark):
             0,
         )
         assert versioned.current_version(tbl) == 5
+
+
+def test_ledger_range_codec():
+    """The applied-batch ledger is STORED as inclusive ranges — a flat id
+    list rewrote O(batches) bytes per commit, the same quadratic-
+    maintenance genus as the r10 pairs-snapshot debt, in metadata. The
+    codec must round-trip arbitrary sets, collapse sequential streams to
+    one range, and keep reading pre-r11 flat lists."""
+    enc, dec = maintenance.encode_ledger, maintenance.decode_ledger
+    assert enc(set(range(1000))) == [[0, 999]]  # sequential -> O(1)
+    assert enc({5}) == [[5, 5]]
+    assert enc(set()) == []
+    ragged = {0, 1, 2, 7, 9, 10, 11, 12, 99}
+    assert dec(enc(ragged)) == ragged
+    assert enc(ragged) == [[0, 2], [7, 7], [9, 12], [99, 99]]
+    # pre-r11 flat list (and mixed) still decodes
+    assert dec([0, 1, 2, 5]) == {0, 1, 2, 5}
+    assert dec([[0, 2], 5]) == {0, 1, 2, 5}
