@@ -110,10 +110,26 @@ lock-free table-format compactor makes):
   commit leaves at least one complete manifest on disk — the r9
   delete-then-rename flip had a window where NO manifest existed and
   every compacted row silently vanished from the view (ADVICE r9,
-  high). Old manifest versions are garbage-collected only after the new
-  one is committed;
-* replaced dirs are garbage-collected after the flip; a crash mid-GC
-  just leaves invisible dirs that the next compaction's sweep deletes.
+  high). Manifest GC keeps ONE version of grace (everything older than
+  N-1 is swept), so a reader that lists versions and opens the highest
+  can never lose it to a commit landing in between;
+* folded dirs are GC'd DEFERRED: invisible at the manifest flip, swept
+  by the NEXT compaction's entry walk (replaced b-dirs via the
+  manifest list, orphaned c-dirs via the not-in-segments rule). An
+  in-flight reader whose scan was planned over a folded dir gets a
+  full compaction cycle of grace instead of a mid-job missing-file
+  failure; disk briefly holds one extra copy of the folded tier.
+
+Reader contract alongside the single maintainer: reads are
+eventually-consistent, not snapshot-isolated — ``read_pairs``/
+``_stored`` plan against the current manifest + delta dirs, and the
+grace windows above cover the commit races for reads that complete
+within one compaction cycle. A scan that must outlive multiple
+compaction cycles while the stream ingests should either run between
+batches (the single-maintainer cadence makes that a natural barrier) or
+set ``spark.sql.files.ignoreMissingFiles`` and tolerate re-reading a
+superseded view; for full isolation, snapshot the pair table with
+``versioned.write_version`` downstream.
 
 Equivalence contract (tests/test_streaming_dedup.py): any verified pair
 (a, b) is mined exactly once — at the batch where its LATER member
@@ -273,13 +289,20 @@ def _write_manifest(spark: SparkSession, root: str, manifest: dict) -> dict:
         out.close()
     if not fs.rename(tmp, final):
         raise IOError(f"manifest rename failed under {root}")
-    # GC: older versions AND stale tmp files from crashed commits (both
-    # invisible to readers already — this is hygiene, not correctness)
+    # GC with ONE version of grace: delete manifests older than new_v - 1
+    # (plus stale tmp files from crashed commits). Keeping the immediately
+    # prior version closes a concurrent-reader race: a reader lists the
+    # versions, then opens the highest — if every older version were
+    # deleted the instant a commit lands, the listed-highest could vanish
+    # between listStatus and open whenever the single maintainer commits
+    # in that window (each batch flips the pairs manifest, so the window
+    # recurs every batch). With grace=1, the reader's listed-highest is
+    # always >= new_v - 1 and survives the commit.
     rfs, rpath, _ = _hadoop(spark, root)
     for st in rfs.listStatus(rpath):
         name = st.getPath().getName()
         m = _MANIFEST_RE.match(name)
-        if (m and int(m.group(1)) < new_v) or (
+        if (m and int(m.group(1)) < new_v - 1) or (
             name.startswith("_segments.v") and name.endswith(".json.tmp")
         ):
             fs.delete(st.getPath(), False)
@@ -428,10 +451,25 @@ def migrate_versioned_pairs(spark: SparkSession, index_dir: str) -> None:
             "applied": encode_ledger(set(ledger)),
         },
     )
-    fs.rename(
-        jvm.org.apache.hadoop.fs.Path(os.path.join(pairs_root, "_latest")),
-        jvm.org.apache.hadoop.fs.Path(os.path.join(pairs_root, "_latest.migrated")),
+    # Hadoop rename reports failure by RETURNING false (existing
+    # destination from an interrupted attempt, permissions, S3A quirks)
+    # — ignoring it would report success while _latest still exists, so
+    # every later read keeps raising the pre-r11 refusal and re-running
+    # the migration keeps "succeeding" without fixing it. Clear a stale
+    # destination first (it carries no state; _latest is authoritative
+    # until this rename lands), then require the rename to succeed.
+    src = jvm.org.apache.hadoop.fs.Path(os.path.join(pairs_root, "_latest"))
+    dst = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(pairs_root, "_latest.migrated")
     )
+    if fs.exists(dst):
+        fs.delete(dst, False)
+    if not fs.rename(src, dst):
+        raise IOError(
+            f"could not retire {pairs_root}/_latest (rename returned false); "
+            "the index is still in the pre-r11 layout — fix filesystem "
+            "permissions and re-run migrate_versioned_pairs"
+        )
 
 
 def _dir_bytes(fs, jvm, path_str: str) -> int:
@@ -559,13 +597,18 @@ def compact_dedup_index(
                 stats["bytes_written"] = stats.get("bytes_written", 0) + _dir_bytes(
                     fs, jvm, seg_dir
                 )
-            # GC the folded dirs after the flip (all invisible already; a
-            # crash mid-delete leaves dirs for the next call's sweep)
-            for name in member_names:
-                p = jvm.org.apache.hadoop.fs.Path(os.path.join(root, name))
-                if fs.exists(p):
-                    fs.delete(p, True)
-            manifest = _write_manifest(spark, root, {**manifest, "replaced": []})
+            # DEFERRED GC: the folded dirs are invisible the moment the
+            # manifest flips, but they are NOT deleted here — the NEXT
+            # compaction's entry sweep removes them (b-members via the
+            # manifest's replaced list, orphaned c-members via the
+            # not-in-segments rule). A reader that planned its scan over
+            # these paths before the flip therefore gets a full
+            # compaction cycle of grace instead of a mid-job
+            # FileNotFoundException the instant the fold lands; disk
+            # briefly holds one extra copy of the folded tier, bounded by
+            # the compaction cadence. (This is the crashed-GC recovery
+            # path promoted to the only path — one code path, crash-safe
+            # by construction.)
             folded += len(members)
     return folded
 

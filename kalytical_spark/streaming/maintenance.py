@@ -157,6 +157,18 @@ def maintenance_sink(
     offline ``versioned.vacuum`` otherwise). The vacuum runs after the
     pointer swap, so a crash between commit and vacuum just leaves extra
     history for the next batch's sweep."""
+    if keep_last is not None and keep_last < 1:
+        # validate at WIRING time: versioned.vacuum would raise the same
+        # complaint, but only after the first batch's commit — the stream
+        # would then advance exactly one ledgered batch per restart
+        # forever (commit, crash in vacuum, replay no-op, repeat on the
+        # next batch). keep_last=0 is a plausible misreading of the
+        # sibling dedup sink's compact_every=0 "disable" convention; the
+        # disable spelling here is keep_last=None.
+        raise ValueError(
+            f"keep_last must be >= 1 or None (None keeps all versions), "
+            f"got {keep_last}"
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # crashed-in-the-commit-window recovery: adopt a pointerless

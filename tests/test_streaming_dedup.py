@@ -159,8 +159,15 @@ def test_compaction_preserves_view_and_results(spark):
             root = os.path.join(ix, kind)
             dirs = dedup_maintenance._live_dirs(spark, root)
             assert len(dirs) == 1 and os.path.basename(dirs[0]).startswith("c")
-            # replaced b-dirs are gone from disk after GC
+            # DEFERRED GC: folded b-dirs survive the flip (invisible —
+            # in-flight readers get a compaction cycle of grace) and the
+            # NEXT compaction's entry sweep removes them from disk
+            assert [d for d in os.listdir(root) if d.startswith("b")]
+        dedup_maintenance.compact_dedup_index(spark, ix, min_members=2)
+        for kind in ("bands", "shingles"):
+            root = os.path.join(ix, kind)
             assert not [d for d in os.listdir(root) if d.startswith("b")]
+            assert dedup_maintenance._read_manifest(spark, root)["replaced"] == []
         for kind in ("bands", "shingles", "pairs"):
             after = sorted(
                 tuple(r)
@@ -348,11 +355,14 @@ def test_manifest_commit_is_crash_safe(spark):
         assert got["segments"] == ["c1"] and got["version"] == 2
         assert os.path.exists(os.path.join(root, "_segments.v1.json"))
 
-        # next commit GCs every stale version and becomes the only one
+        # next commit GCs stale versions with ONE version of grace (the
+        # prior version survives so a reader's listed-highest can never
+        # vanish between listStatus and open while the maintainer
+        # commits); v1 — older than the grace window — is swept
         m3 = dedup_maintenance._write_manifest(spark, root, got)
         assert m3["version"] == 3
-        names = [n for n in os.listdir(root) if n.startswith("_segments.v")]
-        assert names == ["_segments.v3.json"], names
+        names = sorted(n for n in os.listdir(root) if n.startswith("_segments.v"))
+        assert names == ["_segments.v2.json", "_segments.v3.json"], names
 
 
 def test_compaction_sweep_clears_crashed_gc_leftovers(spark):

@@ -396,15 +396,19 @@ def bench_dedup_sink(spark, sf_dir: str, n_files: int) -> dict:
     q.awaitTermination()
     wall = time.time() - t0
     applied = sorted(dedup_maintenance._applied(spark, index))
-    # per-batch delta pair counts, cumulated into the same state-size
-    # curve the r10 versioned snapshots exposed (compacted batches fold
-    # into c-segments, so count the live view once and the deltas that
-    # still exist individually)
-    delta_counts = []
+    # per-batch delta pair counts, keyed by BATCH ID: compaction may have
+    # folded early deltas into c-segments (and deferred-GC'd the b-dirs),
+    # so an unlabeled list would silently misalign with the batch axis
+    # and stop summing to final_pairs. Folded batches are reported by id
+    # instead of being silently dropped.
+    delta_counts: dict[str, int] = {}
+    folded_batches = []
     for b in applied:
         d = dedup_maintenance._delta_dir(index, "pairs", b)
-        if os.path.isdir(d):
-            delta_counts.append(spark.read.parquet(d).count())
+        if os.path.isdir(d) and os.path.exists(os.path.join(d, "_SUCCESS")):
+            delta_counts[str(b)] = spark.read.parquet(d).count()
+        else:
+            folded_batches.append(b)
     final_pairs = dedup_maintenance.read_pairs(spark, index).count()
     return {
         "docs_total": n_docs,
@@ -413,6 +417,7 @@ def bench_dedup_sink(spark, sf_dir: str, n_files: int) -> dict:
         "batches_applied": len(applied),
         "final_pairs": final_pairs,
         "pairs_per_delta": delta_counts,
+        "compacted_batches": folded_batches,
         "batches": _progress_points(q),
     }
 
