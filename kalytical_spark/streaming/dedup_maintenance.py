@@ -40,7 +40,13 @@ Per micro-batch (the production daily-ingest shape):
    this delta) — never all x all. least/greatest normalization + distinct
    make the candidate set invariant to whether the delta was already
    visible in the stored index, which is exactly what makes a
-   crashed-between-append-and-commit replay converge;
+   crashed-between-append-and-commit replay converge. Physical plan
+   verified (r11, sf0.01 two-batch index): BroadcastHashJoin BuildLeft
+   with the DELTA side broadcast — the stored band table streams through
+   the probe with NO shuffle and no broadcast of corpus-scale data; at
+   shard sizes past the broadcast threshold AQE degrades to a shuffle
+   join, which is the correct fallback (the delta is always the smaller
+   side);
 4. verify candidates against the shingle store (semi-join pruned to
    candidate docs, two hash joins + count — the dedup_incremental.py
    shape), filter at the shared LSH_VERIFY_THRESHOLD. The candidate-id
