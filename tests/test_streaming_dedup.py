@@ -548,3 +548,29 @@ def test_crashed_batch_replay_converges(spark):
         sink_c(b1, 1)  # the replay
         got = _pairs(dedup_maintenance.read_pairs(spark, crash_ix).collect())
         assert got == want
+
+
+def test_reader_grace_across_compaction(spark):
+    """Deferred GC contract: a reader that planned its scan over delta
+    dirs before the maintainer folded them must still execute (the folded
+    dirs are invisible to NEW readers but stay on disk for one compaction
+    cycle); after the next cycle's sweep a fresh read plans over the
+    segment and sees identical rows."""
+    docs = t(spark, SF_ORACLE, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        ix = os.path.join(tmp, "ix")
+        sink = dedup_maintenance.dedup_index_sink(ix, compact_every=0)
+        sink(docs.filter(F.col("doc_id") % 2 == 0), 0)
+        sink(docs.filter(F.col("doc_id") % 2 == 1), 1)
+        pre_planned = dedup_maintenance.read_pairs(spark, ix)  # plans over b0,b1
+        want = _pairs(dedup_maintenance.read_pairs(spark, ix).collect())
+        assert dedup_maintenance.compact_dedup_index(spark, ix, min_members=2) > 0
+        # the fold flipped the manifest; the pre-planned scan's files are
+        # deferred-GC'd, so executing it NOW still works and agrees
+        assert _pairs(pre_planned.collect()) == want
+        # next cycle sweeps the folded dirs; a fresh plan reads segments
+        dedup_maintenance.compact_dedup_index(spark, ix, min_members=2)
+        assert not [
+            d for d in os.listdir(os.path.join(ix, "pairs")) if d.startswith("b")
+        ]
+        assert _pairs(dedup_maintenance.read_pairs(spark, ix).collect()) == want
