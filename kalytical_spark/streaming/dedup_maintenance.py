@@ -117,8 +117,10 @@ lock-free table-format compactor makes):
   delete-then-rename flip had a window where NO manifest existed and
   every compacted row silently vanished from the view (ADVICE r9,
   high). Manifest GC keeps ONE version of grace (everything older than
-  N-1 is swept), so a reader that lists versions and opens the highest
-  can never lose it to a commit landing in between;
+  N-1 is swept) so the common one-commit list-then-open race costs
+  readers nothing, and ``_read_manifest`` re-lists and retries when the
+  listed-highest vanishes anyway (several commits can land inside a
+  slow reader's window — a compaction call flips per fold);
 * folded dirs are GC'd DEFERRED: invisible at the manifest flip, swept
   by the NEXT compaction's entry walk (replaced b-dirs via the
   manifest list, orphaned c-dirs via the not-in-segments rule). An
@@ -250,27 +252,44 @@ def _read_manifest(spark: SparkSession, root: str) -> dict:
     present is always a complete commit — ADVICE r9 high: the old
     delete-then-rename flip of a single ``_segments.json`` had a crash
     window with NO manifest, which silently dropped every compacted row
-    from the stored view)."""
-    versions = _manifest_versions(spark, root)
-    if not versions:
-        return {
-            "version": 0,
-            "next_id": 0,
-            "segments": [],
-            "replaced": [],
-            "applied": [],
-        }
-    v = versions[-1]
-    fs, path, jvm = _hadoop(spark, os.path.join(root, f"_segments.v{v}.json"))
-    stream = fs.open(path)
-    try:
-        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
-    manifest = json.loads(text)
-    manifest["version"] = v
-    manifest.setdefault("applied", [])
-    return manifest
+    from the stored view).
+
+    List-then-open is retried when the listed-highest vanishes before the
+    open: the maintainer may land SEVERAL commits inside a slow reader's
+    window (a compaction call flips once at its entry sweep and once per
+    cascading fold), so the grace window in ``_write_manifest``'s GC —
+    which keeps only the immediately prior version — is a fast path, not
+    the guarantee. The retry re-lists and converges because a fresh
+    listing always contains a complete, undeleted highest version; the
+    versions-went-backward case cannot happen (versions only grow), so a
+    bounded number of attempts only guards against a pathologically
+    unlucky scheduler, not livelock."""
+    for attempt in range(5):
+        versions = _manifest_versions(spark, root)
+        if not versions:
+            return {
+                "version": 0,
+                "next_id": 0,
+                "segments": [],
+                "replaced": [],
+                "applied": [],
+            }
+        v = versions[-1]
+        fs, path, jvm = _hadoop(spark, os.path.join(root, f"_segments.v{v}.json"))
+        try:
+            stream = fs.open(path)
+        except Exception as exc:  # py4j-wrapped FileNotFoundException
+            if "FileNotFoundException" in str(exc) and attempt < 4:
+                continue  # a commit won the race; re-list and take the new highest
+            raise
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        manifest = json.loads(text)
+        manifest["version"] = v
+        manifest.setdefault("applied", [])
+        return manifest
 
 
 def _write_manifest(spark: SparkSession, root: str, manifest: dict) -> dict:
@@ -296,14 +315,12 @@ def _write_manifest(spark: SparkSession, root: str, manifest: dict) -> dict:
     if not fs.rename(tmp, final):
         raise IOError(f"manifest rename failed under {root}")
     # GC with ONE version of grace: delete manifests older than new_v - 1
-    # (plus stale tmp files from crashed commits). Keeping the immediately
-    # prior version closes a concurrent-reader race: a reader lists the
-    # versions, then opens the highest — if every older version were
-    # deleted the instant a commit lands, the listed-highest could vanish
-    # between listStatus and open whenever the single maintainer commits
-    # in that window (each batch flips the pairs manifest, so the window
-    # recurs every batch). With grace=1, the reader's listed-highest is
-    # always >= new_v - 1 and survives the commit.
+    # (plus stale tmp files from crashed commits). The grace version makes
+    # the common single-commit race free for readers (their listed-highest
+    # survives one commit landing between listStatus and open); the
+    # GUARANTEE against multiple commits in that window — a compaction
+    # call flips several times — is _read_manifest's re-list retry, not
+    # this window.
     rfs, rpath, _ = _hadoop(spark, root)
     for st in rfs.listStatus(rpath):
         name = st.getPath().getName()

@@ -574,3 +574,33 @@ def test_reader_grace_across_compaction(spark):
             d for d in os.listdir(os.path.join(ix, "pairs")) if d.startswith("b")
         ]
         assert _pairs(dedup_maintenance.read_pairs(spark, ix).collect()) == want
+
+
+def test_manifest_read_retries_when_listed_version_vanishes(spark, monkeypatch):
+    """Multi-commit reader race: several manifest commits can land inside
+    a slow reader's list-then-open window (a compaction call flips once
+    per fold), so the listed-highest can be GC'd before the open. The
+    read must re-list and converge on the new highest instead of raising
+    FileNotFoundException."""
+    with tempfile.TemporaryDirectory() as tmp:
+        root = os.path.join(tmp, "pairs")
+        os.makedirs(root)
+        with open(os.path.join(root, "_segments.v7.json"), "w") as fh:
+            json.dump(
+                {"version": 7, "next_id": 1, "segments": ["c0"],
+                 "replaced": [], "applied": [[0, 3]]}, fh
+            )
+        real = dedup_maintenance._manifest_versions
+        calls = {"n": 0}
+
+        def stale_once(sp, r, allow_legacy=False):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                # the reader's original listing saw v5, since GC'd
+                return [5]
+            return real(sp, r, allow_legacy)
+
+        monkeypatch.setattr(dedup_maintenance, "_manifest_versions", stale_once)
+        m = dedup_maintenance._read_manifest(spark, root)
+        assert m["version"] == 7 and m["segments"] == ["c0"]
+        assert calls["n"] >= 2  # the retry actually re-listed

@@ -396,19 +396,22 @@ def bench_dedup_sink(spark, sf_dir: str, n_files: int) -> dict:
     q.awaitTermination()
     wall = time.time() - t0
     applied = sorted(dedup_maintenance._applied(spark, index))
-    # per-batch delta pair counts, keyed by BATCH ID: compaction may have
-    # folded early deltas into c-segments (and deferred-GC'd the b-dirs),
-    # so an unlabeled list would silently misalign with the batch axis
-    # and stop summing to final_pairs. Folded batches are reported by id
-    # instead of being silently dropped.
+    # per-batch delta pair counts, keyed by BATCH ID. A batch's count is
+    # correct as long as its b-dir is still readable — including dirs
+    # already FOLDED into a c-segment but not yet swept (deferred GC):
+    # the dir still holds exactly that batch's rows. Only batches whose
+    # delta dir is gone (swept, or unreadable mid-write leftovers) are
+    # listed separately, so sum(pairs_per_delta) == final_pairs exactly
+    # when swept_delta_batches is empty, and the gap is attributable by
+    # id otherwise — never a silently misaligned positional list.
     delta_counts: dict[str, int] = {}
-    folded_batches = []
+    swept = []
     for b in applied:
         d = dedup_maintenance._delta_dir(index, "pairs", b)
         if os.path.isdir(d) and os.path.exists(os.path.join(d, "_SUCCESS")):
             delta_counts[str(b)] = spark.read.parquet(d).count()
         else:
-            folded_batches.append(b)
+            swept.append(b)
     final_pairs = dedup_maintenance.read_pairs(spark, index).count()
     return {
         "docs_total": n_docs,
@@ -417,7 +420,7 @@ def bench_dedup_sink(spark, sf_dir: str, n_files: int) -> dict:
         "batches_applied": len(applied),
         "final_pairs": final_pairs,
         "pairs_per_delta": delta_counts,
-        "compacted_batches": folded_batches,
+        "swept_delta_batches": swept,
         "batches": _progress_points(q),
     }
 
