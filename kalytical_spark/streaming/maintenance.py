@@ -156,7 +156,11 @@ def maintenance_sink(
     should set a window (VERDICT r10 task 7: nothing scheduled the
     offline ``versioned.vacuum`` otherwise). The vacuum runs after the
     pointer swap, so a crash between commit and vacuum just leaves extra
-    history for the next batch's sweep."""
+    history for the next batch's sweep. With readers concurrent to the
+    stream, use ``keep_last >= 2``: at 1, the version a reader resolved
+    from the pointer can be vacuumed the moment the next batch commits —
+    the same one-commit race the dedup index's deferred GC gives a grace
+    window for."""
     if keep_last is not None and keep_last < 1:
         # validate at WIRING time: versioned.vacuum would raise the same
         # complaint, but only after the first batch's commit — the stream

@@ -604,3 +604,30 @@ def test_manifest_read_retries_when_listed_version_vanishes(spark, monkeypatch):
         m = dedup_maintenance._read_manifest(spark, root)
         assert m["version"] == 7 and m["segments"] == ["c0"]
         assert calls["n"] >= 2  # the retry actually re-listed
+
+
+def test_zero_pair_batches_commit_and_read(spark):
+    """A batch with no near-dups must still commit (empty pair delta +
+    ledger flip) and the union read must work over empty delta dirs —
+    the empty-parquet seam (a 0-row write could in principle land no
+    data files) must not break the store."""
+    docs = t(spark, SF_ORACLE, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        ix = os.path.join(tmp, "ix")
+        sink = dedup_maintenance.dedup_index_sink(ix, compact_every=0)
+        # every doc unique: texts disjoint by construction
+        b0 = spark.createDataFrame(
+            [(i, " ".join(f"tok{i}_{j}" for j in range(12))) for i in range(20)],
+            "doc_id long, text string",
+        ).withColumn("source", F.lit("s"))
+        b1 = spark.createDataFrame(
+            [(100 + i, " ".join(f"zz{i}_{j}" for j in range(12))) for i in range(20)],
+            "doc_id long, text string",
+        ).withColumn("source", F.lit("s"))
+        sink(b0, 0)
+        sink(b1, 1)
+        assert dedup_maintenance._applied(spark, ix) == {0, 1}
+        assert dedup_maintenance.read_pairs(spark, ix).count() == 0
+        # compaction over empty deltas is also a no-crash path
+        dedup_maintenance.compact_dedup_index(spark, ix, min_members=2)
+        assert dedup_maintenance.read_pairs(spark, ix).count() == 0
