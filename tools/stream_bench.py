@@ -425,9 +425,77 @@ def bench_dedup_sink(spark, sf_dir: str, n_files: int) -> dict:
     }
 
 
+def bench_dedup_sink_point(
+    spark, corpus_dir: str, n_shards: int, reps: int = 3
+) -> dict:
+    """Reproducible production-shard dedup-sink point (the VERDICT r9/r10
+    throughput recipe): drain <corpus_dir>/documents.parquet split into
+    n_shards one-file shards through a FRESH index per rep, report the
+    median docs/s. Corpora: the scale-sweep dirs under
+    /tmp/kalytical_scale (docs_k5 = 25k docs, docs_k10 = 50k). Usage:
+    python tools/stream_bench.py --dedup-point <corpus_dir> <n_shards>
+    (writes a dedup_sink_points entry into STREAM_BENCH.json, keyed
+    "<n_docs>docs_x<n_shards>shards", preserving the rest of the file)."""
+    from pyspark.sql import functions as F
+
+    from kalytical_spark.streaming.dedup_maintenance import (
+        read_pairs,
+        start_dedup_maintenance_query,
+    )
+
+    docs = spark.read.parquet(os.path.join(corpus_dir, "documents.parquet"))
+    n = docs.count()
+    work = os.path.join(SCRATCH, f"dedup_point_{n}_{n_shards}")
+    shutil.rmtree(work, ignore_errors=True)
+    src = os.path.join(work, "shards")
+    for i in range(n_shards):
+        docs.filter(F.col("doc_id") % n_shards == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    walls, pair_counts = [], []
+    for rep in range(reps):
+        ix = os.path.join(work, f"ix{rep}")
+        ck = os.path.join(work, f"ck{rep}")
+        t0 = time.time()
+        q = start_dedup_maintenance_query(spark, src, docs.schema, ix, ck)
+        assert q.awaitTermination(600)
+        q.stop()
+        walls.append(time.time() - t0)
+        pair_counts.append(read_pairs(spark, ix).count())
+    walls.sort()
+    med = walls[len(walls) // 2]
+    return {
+        "docs_total": n,
+        "n_shards": n_shards,
+        "runs": reps,
+        "wall_sec_median": round(med, 2),
+        "docs_per_sec_median": round(n / med, 1),
+        "wall_sec_all": [round(w, 2) for w in sorted(walls)],
+        "pairs": pair_counts[0],
+        "pairs_deterministic": len(set(pair_counts)) == 1,
+    }
+
+
 def main() -> None:
     from kalytical_spark import catalog
     from kalytical_spark.session import get_spark
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--dedup-point":
+        corpus_dir, n_shards = sys.argv[2], int(sys.argv[3])
+        spark = get_spark("kalytical_stream_bench")
+        point = bench_dedup_sink_point(spark, corpus_dir, n_shards)
+        out = os.path.join(REPO, "STREAM_BENCH.json")
+        try:
+            with open(out) as fh:
+                payload = json.load(fh)
+        except (OSError, ValueError):
+            payload = {}
+        key = f"{point['docs_total']}docs_x{n_shards}shards"
+        payload.setdefault("dedup_sink_points", {})[key] = point
+        with open(out, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        print(json.dumps({key: point}))
+        return
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
