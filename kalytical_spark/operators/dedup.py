@@ -53,8 +53,11 @@ def shingles_from_docs(docs: DataFrame) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     # ONE n-gram construction across the repo (preprocess._grams): the
     # space-joined 3-gram strings here must match the decontamination
-    # family's grams and both DuckDB twins
-    shingles = _grams(toks, 3)
+    # family's grams and both DuckDB twins. The token array is projected
+    # into a column first — slicing a split(text) expression inside the
+    # transform lambda re-splits the document per shingle (interpreted
+    # higher-order function, no CSE across elements).
+    shingles = _grams(F.col("ts"), 3)
     # The docs parquet is a single small file at test scale -> the explode
     # would run in one partition and serialize all downstream hash work.
     # Hash-partition by doc_id: parallelizes minhash/signature computation
@@ -66,6 +69,7 @@ def shingles_from_docs(docs: DataFrame) -> DataFrame:
     return (
         docs.filter(F.size(toks) >= 3)
         .repartition(n_part, "doc_id")
+        .select("doc_id", toks.alias("ts"))
         .select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
     )
 

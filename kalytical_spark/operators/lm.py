@@ -687,10 +687,19 @@ def docs_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted per source as a cross-check column (identical for every s by
     construction — a value-level canary for the join fan-out).
 
-    Scale: the exploded frame is |held-out bigrams| x |sources| — the
-    held-out eval set is the small side at production scale (CCNet-style
-    valuation scores a fixed eval corpus, not the crawl); model joins
-    stay shuffle_hash on token keys, per-source scalars ride a broadcast."""
+    Scale/plan shape (r11 rework, guide §3.3 "explode before a join
+    multiplies the shuffle" + §2.3 "aggregate before you shuffle"): the
+    model joins run on DISTINCT held-out bigrams with their multiplicity
+    m (the held-out eval set is the small side at production scale —
+    CCNet-style valuation scores a fixed eval corpus, not the crawl);
+    per-source counts ride along as source->count maps collected per
+    bigram key, so the |bigrams| x |sources| explosion happens AFTER all
+    shuffled joins, as a broadcast cross join + map lookups with no
+    further exchange before the final source rollup. The global count
+    tables derive from the per-source ones (sum over sources), so the
+    train corpus is exploded exactly twice (bigram pass + token pass),
+    localCheckpoint-pinned so no consumer re-derives them. Sums weighted
+    by m are the identical BIGINT totals of the old per-instance frame."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     split = docs.withColumn("b", _bucket(F.col("doc_id")))
     train = split.filter(F.col("b") < SB_TRAIN_LT).select("source", "text")
@@ -709,13 +718,20 @@ def docs_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", F.col("bgr.w1").alias("w1"), F.col("bgr.w2").alias("w2"))
     )
-    c12 = tr_bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    c12_s = tr_bg.groupBy("source", "w1", "w2").agg(F.count("*").alias("c12_s"))
-    tr_tok = train.select(
-        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    # one corpus pass per n-gram order; every other table derives from these
+    c12_s = (
+        tr_bg.groupBy("source", "w1", "w2")
+        .agg(F.count("*").alias("c12_s"))
+        .localCheckpoint(eager=False)
     )
-    cu = tr_tok.groupBy("tok").agg(F.count("*").alias("cu"))
-    cu_s = tr_tok.groupBy("source", "tok").agg(F.count("*").alias("cu_s"))
+    cu_s = (
+        train.select("source", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("cu_s"))
+        .localCheckpoint(eager=False)
+    )
+    c12 = c12_s.groupBy("w1", "w2").agg(F.sum("c12_s").alias("c12"))
+    cu = cu_s.groupBy("tok").agg(F.sum("cu_s").alias("cu")).localCheckpoint(eager=False)
     # per-source scalars: train tokens removed with s, and surviving vocab
     per_src = (
         cu_s.join(cu, "tok")
@@ -727,26 +743,35 @@ def docs_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("v_lost"),
         )
     )
-    totals = tr_tok.groupBy().agg(
-        F.count("*").alias("n_train"), F.countDistinct("tok").alias("v_train")
+    totals = cu.groupBy().agg(
+        F.sum("cu").alias("n_train"), F.count("*").alias("v_train")
     )
     sources = docs.select("source").distinct()
 
-    sc_bg = _bigrams(score).select("w1", "w2")
-    exploded = (
-        sc_bg.crossJoin(F.broadcast(sources))
-        .join(c12.hint("shuffle_hash"), ["w1", "w2"], "left")
-        .join(c12_s.hint("shuffle_hash"), ["source", "w1", "w2"], "left")
+    # distinct score bigrams with multiplicity: the shuffled joins below
+    # never see the x|sources| fan-out, and repeated bigrams join once
+    sc_bg = _bigrams(score).select("w1", "w2").groupBy("w1", "w2").agg(
+        F.count("*").alias("m")
+    )
+    c12s_map = c12_s.groupBy("w1", "w2").agg(
+        F.map_from_entries(F.collect_list(F.struct("source", "c12_s"))).alias("c12s_map")
+    )
+    cus_map = cu_s.groupBy("tok").agg(
+        F.map_from_entries(F.collect_list(F.struct("source", "cu_s"))).alias("cus_map")
+    )
+    base = (
+        sc_bg.join(c12.hint("shuffle_hash"), ["w1", "w2"], "left")
+        .join(c12s_map.hint("shuffle_hash"), ["w1", "w2"], "left")
         .join(
             cu.select(F.col("tok").alias("w1"), F.col("cu").alias("c1")).hint("shuffle_hash"),
             "w1",
             "left",
         )
         .join(
-            cu_s.select(
-                F.col("source").alias("source"), F.col("tok").alias("w1"), F.col("cu_s").alias("c1_s")
-            ).hint("shuffle_hash"),
-            ["source", "w1"],
+            cus_map.select(F.col("tok").alias("w1"), F.col("cus_map").alias("c1s_map")).hint(
+                "shuffle_hash"
+            ),
+            "w1",
             "left",
         )
         .join(
@@ -755,17 +780,24 @@ def docs_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .join(
-            cu_s.select(
-                F.col("source").alias("source"), F.col("tok").alias("w2"), F.col("cu_s").alias("c2_s")
-            ).hint("shuffle_hash"),
-            ["source", "w2"],
+            cus_map.select(F.col("tok").alias("w2"), F.col("cus_map").alias("c2s_map")).hint(
+                "shuffle_hash"
+            ),
+            "w2",
             "left",
         )
+    )
+    exploded = (
+        base.crossJoin(F.broadcast(sources))
         .join(F.broadcast(per_src), "source", "left")
         .crossJoin(F.broadcast(totals))
+        .withColumn("c12_s", F.element_at("c12s_map", F.col("source")))
+        .withColumn("c1_s", F.element_at("c1s_map", F.col("source")))
+        .withColumn("c2_s", F.element_at("c2s_map", F.col("source")))
     )
     nll = exploded.select(
         "source",
+        "m",
         F.expr(
             "CAST(ROUND(ln(CASE WHEN c1 IS NOT NULL THEN"
             " CAST(c1 + v_train AS DOUBLE) / CAST(coalesce(c12, 0) + 1 AS DOUBLE)"
@@ -786,10 +818,13 @@ def docs_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         nll.groupBy("source")
         .agg(
-            F.count("*").cast("bigint").alias("n_bigrams"),
-            F.sum("nll_full_micro").cast("bigint").alias("nll_full_micro"),
-            F.sum("nll_loo_micro").cast("bigint").alias("nll_loo_micro"),
-            (F.sum("nll_loo_micro") - F.sum("nll_full_micro"))
+            F.sum("m").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("nll_full_micro") * F.col("m")).cast("bigint").alias("nll_full_micro"),
+            F.sum(F.col("nll_loo_micro") * F.col("m")).cast("bigint").alias("nll_loo_micro"),
+            (
+                F.sum(F.col("nll_loo_micro") * F.col("m"))
+                - F.sum(F.col("nll_full_micro") * F.col("m"))
+            )
             .cast("bigint")
             .alias("influence_micro"),
         )

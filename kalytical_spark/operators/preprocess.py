@@ -70,11 +70,16 @@ def _decontam_corpus_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.unionByName(leaked)
     n_part = spark.sparkContext.defaultParallelism
+    # tokenize once into a column before the gram transform: slicing a
+    # split(text) expression inside the lambda re-splits the document per
+    # gram (interpreted higher-order function, no CSE across elements)
     return (
         corpus.filter(F.size(ts) >= NGRAM)
         .repartition(n_part, "doc_id")
+        .select("doc_id", ts.alias("ts"))
         .select(
-            "doc_id", F.explode(F.array_distinct(_grams(ts, NGRAM))).alias("gram")
+            "doc_id",
+            F.explode(F.array_distinct(_grams(F.col("ts"), NGRAM))).alias("gram"),
         )
     )
 
@@ -88,9 +93,11 @@ def _decontam_bench_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter((F.col("doc_id") % 41 == 0) & (F.size(ts) >= BENCH_PROMPT_TOKENS))
         .select(
             F.col("doc_id").alias("bench_id"),
-            F.explode(
-                F.array_distinct(_grams(F.slice(ts, 1, BENCH_PROMPT_TOKENS), NGRAM))
-            ).alias("gram"),
+            F.slice(ts, 1, BENCH_PROMPT_TOKENS).alias("ts"),
+        )
+        .select(
+            "bench_id",
+            F.explode(F.array_distinct(_grams(F.col("ts"), NGRAM))).alias("gram"),
         )
     )
 
@@ -168,7 +175,8 @@ def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gram_stats = (
         base.filter(F.size(ts) >= 2)
-        .select("doc_id", F.explode(_grams(ts, 2)).alias("g2"))
+        .select("doc_id", ts.alias("ts"))  # tokenize once, not per gram
+        .select("doc_id", F.explode(_grams(F.col("ts"), 2)).alias("g2"))
         .groupBy("doc_id")
         .agg(F.count("*").alias("tot_2g"), F.countDistinct("g2").alias("dis_2g"))
     )
@@ -423,10 +431,14 @@ def decontam_longest_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 82 == 0)
         .withColumn("doc_id", F.col("doc_id") + DECONTAM_PLANT_OFFSET)
     )
-    corpus = docs.unionByName(leaked).filter(F.size(ts) >= NGRAM)
+    corpus = (
+        docs.unionByName(leaked)
+        .filter(F.size(ts) >= NGRAM)
+        .select("doc_id", ts.alias("ts"))  # tokenize once, not per gram
+    )
     pos_grams = corpus.select(
         "doc_id",
-        F.posexplode(_grams(ts, NGRAM)).alias("pos0", "gram"),
+        F.posexplode(_grams(F.col("ts"), NGRAM)).alias("pos0", "gram"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
     bench_grams = _decontam_bench_grams(spark, sf_dir)
     hits = pos_grams.join(F.broadcast(bench_grams), "gram").select(

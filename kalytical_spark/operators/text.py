@@ -321,11 +321,24 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round(ln(c/N) * 1e6)) — one ln per distinct token — so the per-doc
     accumulation is exact BIGINT arithmetic; the average is a single IEEE
     division of exact integers. Cross-engine float summation order never
-    matters because nothing float is ever summed."""
+    matters because nothing float is ever summed.
+
+    Plan shape (r11, guide §2.3 "aggregate before you shuffle"): the
+    corpus is exploded ONCE into per-(doc, tok) counts (map-side partial
+    aggregation collapses repeated tokens before any exchange;
+    localCheckpoint pins the pass so model and scoring share it). The
+    model and the corpus total both derive from that table, and the
+    scoring join probes with distinct (doc, tok) pairs instead of every
+    token instance — sums weighted by cnt are the identical BIGINTs."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
-    model = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    total = toks.groupBy().agg(F.count("*").alias("n_total"))
+    doc_tok = (
+        docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    model = doc_tok.groupBy("tok").agg(F.sum("cnt").alias("c"))
+    total = model.groupBy().agg(F.sum("c").alias("n_total"))
     lp = model.crossJoin(F.broadcast(total)).select(
         "tok",
         F.round(
@@ -335,13 +348,16 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lp_micro"),
     )
     return (
-        toks.join(lp.hint("shuffle_hash"), "tok")  # vocab-sized: never broadcast
+        doc_tok.join(lp.hint("shuffle_hash"), "tok")  # vocab-sized: never broadcast
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
-            (-F.sum("lp_micro")).alias("surprisal_micro"),
+            F.sum("cnt").alias("n_tokens"),
+            (-F.sum(F.col("cnt") * F.col("lp_micro"))).alias("surprisal_micro"),
             F.round(
-                (-F.sum("lp_micro")).cast("double") / 1e6 / F.count("*"), 4
+                (-F.sum(F.col("cnt") * F.col("lp_micro"))).cast("double")
+                / 1e6
+                / F.sum("cnt"),
+                4,
             ).alias("avg_surprisal_nats"),
         )
     )
