@@ -47,6 +47,8 @@ def _memo_builders():
         pq,
         replay,
         setsim,
+        similarity,
+        sketches,
         spans,
     )
 
@@ -75,6 +77,15 @@ def _memo_builders():
         ("memo:span_positions", spans._dup_positions),
         # sequential fire-decision ledger (applyInPandas fold)
         ("memo:replay_decisions", replay.dag_replay_decisions),
+        # support-thresholded co-purchase edge list: shared by the triangle
+        # census, clustering coefficient, k-core, LPA, and link prediction
+        ("memo:copurchase_edges", sketches.copurchase_edges),
+        # exact brute-force top-k: ground truth for six recall/ranking
+        # audits (stored audit artifact in production; the declared
+        # sim_topk_bruteforce query itself stays unmemoized)
+        ("memo:exact_topk", similarity.exact_topk_memo),
+        # exact MaxSim top-k: ground truth for the pruned-MaxSim audit
+        ("memo:exact_maxsim", colbert.exact_maxsim_memo),
     ]
 
 

@@ -266,14 +266,21 @@ def dag_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = t(spark, sf_dir, "dag_edges").select(
         F.col("upstream_uuid").alias("src"), F.col("pipeline_uuid").alias("dst")
     )
+    # nodes and the degree-annotated edge list feed EVERY iteration: pin
+    # both once so the unrolled loop neither re-derives them per round nor
+    # accretes an O(iters)-deep Catalyst tree (the r11 before-plan was
+    # 1,913 operators — planning+codegen of that tree dominated the query
+    # at bench scale; kcore/LPA already truncate per round). Guide §3.3
+    # ("materialising an intermediate truncates the plan") + §2.4.
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     outdeg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))
     e_deg = F.broadcast(
-        edges.join(outdeg, "src").select("src", "dst", "deg")
+        edges.join(outdeg, "src").select("src", "dst", "deg").localCheckpoint()
     )
     ranks = nodes.withColumn("rank_u", F.lit(_PR_U).cast("bigint"))
     base = (_PR_D_DEN - _PR_D_NUM) * _PR_U
@@ -284,12 +291,20 @@ def dag_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
-            "node",
-            F.expr(
-                f"CAST({base} div {_PR_D_DEN} + "
-                f"({_PR_D_NUM} * coalesce(s, 0L)) div {_PR_D_DEN} AS BIGINT)"
-            ).alias("rank_u"),
+        # contrib is node-bounded (O(pipelines), same class as the edge
+        # broadcast above): broadcasting it makes the rank refresh
+        # exchange-free — one shuffle per iteration (the contribution
+        # aggregate), the synchronous-PageRank minimum
+        ranks = (
+            nodes.join(F.broadcast(contrib), "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({base} div {_PR_D_DEN} + "
+                    f"({_PR_D_NUM} * coalesce(s, 0L)) div {_PR_D_DEN} AS BIGINT)"
+                ).alias("rank_u"),
+            )
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -365,9 +380,9 @@ def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each round is one groupBy-degree + one semi-join over the
     current edge set — the edge set only shrinks; rounds are a fixed
     constant (deeper cores use the same loop with higher bounds)."""
-    from ..operators.sketches import _copurchase_edges
+    from ..operators.sketches import copurchase_edges
 
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    edges = copurchase_edges(spark, sf_dir)
     for _ in range(_KCORE_ROUNDS):
         deg = (
             edges.select(F.col("u").alias("p"))
@@ -455,9 +470,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     directed edge list and two hash aggregates — O(E) work per round,
     fixed rounds, nothing collected; lineage is truncated per round
     (components.py lesson)."""
-    from ..operators.sketches import _copurchase_edges
+    from ..operators.sketches import copurchase_edges
 
-    und = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    und = copurchase_edges(spark, sf_dir)
     edges = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
         und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
@@ -533,9 +548,9 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph, the same budget the triangle census pays, and existing edges
     leave via one anti-join before any scoring. Top-k is a
     TakeOrderedAndProject, never a global sort."""
-    from .sketches import _copurchase_edges
+    from .sketches import copurchase_edges
 
-    und = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    und = copurchase_edges(spark, sf_dir)
     adj = und.select(F.col("u").alias("p"), F.col("v").alias("q")).union(
         und.select(F.col("v").alias("p"), F.col("u").alias("q"))
     )

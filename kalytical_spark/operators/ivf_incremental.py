@@ -216,10 +216,10 @@ def sim_ivf_incremental_recall_report(spark: SparkSession, sf_dir: str) -> DataF
     full corpus) vs the exact baseline, floor-asserted — the steady-state
     search quality between scheduled refits."""
     from .simeval import _learned_recall_report
-    from .similarity import sim_topk_bruteforce
+    from .similarity import exact_topk_memo
 
     return _learned_recall_report(
-        sim_topk_bruteforce(spark, sf_dir),
+        exact_topk_memo(spark, sf_dir),
         sim_topk_ivf_incremental(spark, sf_dir),
         IVF_INCR_RECALL_FLOOR_MILLI,
     )

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from .similarity import (
     ORACLE_TOPK_BRUTEFORCE,
     ORACLE_TOPK_IVF,
-    sim_topk_bruteforce,
+    exact_topk_memo,
     sim_topk_ivf,
 )
 
@@ -31,7 +31,7 @@ from .similarity import (
 def sim_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per query: exact top-k size, how many of those the IVF probe path
     recovered, and recall in exact milli-units (1000 * hits // k)."""
-    exact = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    exact = exact_topk_memo(spark, sf_dir).select("query_id", "vec_id")
     approx = (
         sim_topk_ivf(spark, sf_dir)
         .select("query_id", "vec_id")
@@ -188,7 +188,7 @@ def sim_kmeans_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .kmeans_ivf import sim_topk_kmeans_ivf
 
     return _learned_recall_report(
-        sim_topk_bruteforce(spark, sf_dir),
+        exact_topk_memo(spark, sf_dir),
         sim_topk_kmeans_ivf(spark, sf_dir),
         KMEANS_IVF_RECALL_FLOOR_MILLI,
     )
@@ -200,7 +200,7 @@ def sim_ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pq import sim_topk_ivfpq
 
     return _learned_recall_report(
-        sim_topk_bruteforce(spark, sf_dir),
+        exact_topk_memo(spark, sf_dir),
         sim_topk_ivfpq(spark, sf_dir),
         IVFPQ_RECALL_FLOOR_MILLI,
     )
@@ -267,7 +267,7 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
         .withColumn("hit", F.lit(1))
     )
-    exact = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    exact = exact_topk_memo(spark, sf_dir).select("query_id", "vec_id")
     return (
         exact.join(trunc_tk, ["query_id", "vec_id"], "left")
         .groupBy("query_id")
@@ -339,7 +339,7 @@ def emb_matryoshka_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p") <= TOP_K)
         .select("query_id", "vec_id", "p")
     )
-    exact = sim_topk_bruteforce(spark, sf_dir).select(
+    exact = exact_topk_memo(spark, sf_dir).select(
         "query_id",
         "vec_id",
         (F.lit(TOP_K + 1) - F.col("rank")).cast("bigint").alias("rel"),
