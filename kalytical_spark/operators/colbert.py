@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .common import app_key, session_memo, t
+from .common import app_key, session_memo, spread, t
 from .similarity import QUERY_STRIDE, TOP_K
 
 MAXSIM_NTOK = 8  # token vectors per document
@@ -75,9 +75,13 @@ def sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
+    # spread: the corpus probe side is FLOP-dense (512 multiply-adds per
+    # scored pair) and a small corpus file scans as one partition, which
+    # serialized the whole scorer on one core (guide §2.5; measured
+    # 2.54 -> 0.48 s at sf0.1); no-op once the scan has >= cores splits
     scored = (
         F.broadcast(queries)
-        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .join(spread(spark, emb), F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", F.expr(_MAXSIM).alias("score_e4"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score_e4"), F.asc("vec_id"))
@@ -550,13 +554,29 @@ def sim_maxsim_ivf_pruned(
     probed = queries.select("query_id", "q_emb").mapInPandas(
         probe, schema="query_id long, cell int"
     )
-    cand = (
+    # The FLOP-dense _MAXSIM re-rank ran single-core: the candidate frame
+    # is byte-light, so AQE coalesced its exchanges to one partition and
+    # the unhinted embedding join then BROADCAST the corpus side, leaving
+    # the scored stage on the candidates' single partition (guide §2.5;
+    # measured 2.9 s for the scored stage at sf0.1). Flip the join: the
+    # spread corpus scan is the STREAMING side (scale-correct — the
+    # corpus is never shuffled OR broadcast) and the candidate keys ride
+    # a broadcast, which is bounded by the query workload (queries x
+    # probed-cell candidates), the same scaling class as the existing
+    # `queries` broadcast.
+    # localCheckpoint: pin the candidate keys BEFORE the broadcast so the
+    # Python probe + distinct run as a normal job, not inside the
+    # broadcast-build thread (sporadic 10s+ stalls observed there)
+    cand_q = (
         probed.join(postings, "cell")
         .select("query_id", "vec_id")
         .distinct()
         .filter(F.col("vec_id") != F.col("query_id"))
         .join(F.broadcast(queries), "query_id")
-        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .localCheckpoint()
+    )
+    cand = spread(spark, emb.select("vec_id", "embedding")).join(
+        F.broadcast(cand_q), "vec_id"
     )
     scored = cand.select("query_id", "vec_id", F.expr(_MAXSIM).alias("score_e4"))
     w = W.partitionBy("query_id").orderBy(F.desc("score_e4"), F.asc("vec_id"))

@@ -39,16 +39,23 @@ def emb_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-degree histogram of the within-sample cosine kNN graph:
     rows (mutual_degree 0..K, n_nodes). See module docstring."""
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # pin the sample once (it feeds the broadcast side, the score probe and
+    # the degree base — uncached it re-ran the corpus TakeOrdered 3x), and
+    # spread the probe side: a post-limit frame is ALWAYS one partition, so
+    # the K^2 cosine block ran on one core (guide §2.5). Both moves are
+    # constant-size at any corpus scale (the sample is KNN_SAMPLE rows).
     sample = (
         emb.withColumn("mk", F.md5(F.col("vec_id").cast("string")))
         .orderBy("mk", "vec_id")
         .limit(KNN_SAMPLE)
         .select("vec_id", "embedding")
+        .localCheckpoint()
     )
+    probe = sample.repartition(spark.sparkContext.defaultParallelism)
     a = sample.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
     scored = (
         F.broadcast(a)
-        .join(sample, F.col("vec_id") != F.col("qid"))
+        .join(probe, F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",

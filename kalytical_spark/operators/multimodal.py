@@ -27,13 +27,25 @@ from .common import banded_candidate_pairs, t
 
 def _with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive an opaque binary payload column from the documents table (the
-    testdata carries no real media; the bytes stand in for encoded frames)."""
+    testdata carries no real media; the bytes stand in for encoded frames).
+
+    spread: every audio/image/video decode pass (mapInPandas) consumes
+    this frame, and a small media file scans as ONE partition — the whole
+    multimodal family was decoding on a single Python worker (guide §2.5;
+    measured 3.7/4.4 -> 0.6 s on the RLE roundtrip/stats at sf0.1). At
+    cluster scale the scan already has >= cores splits and this is a
+    no-op, so payload bytes are never shuffled on a real corpus."""
+    from .common import spread
+
     docs = t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        "source",
-        F.col("text").cast("binary").alias("payload"),
-        F.lit("application/octet-stream").alias("mime_type"),
+    return spread(
+        spark,
+        docs.select(
+            "doc_id",
+            "source",
+            F.col("text").cast("binary").alias("payload"),
+            F.lit("application/octet-stream").alias("mime_type"),
+        ),
     )
 
 

@@ -100,10 +100,15 @@ def text_bleu_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
+    # pin: three consumers (ca, cb, tots) each re-ran the gram explode +
+    # count chain (~0.55 s x 3 at sf0.1, and the repeated subtree made the
+    # query's variance erratic); the frame is pair-doc-bounded at any
+    # scale, so the checkpoint is small by construction (guide §2.4)
     counts = (
         pdocs.select("doc_id", F.explode(both).alias("g"))
         .groupBy("doc_id", "g.n", "g.gram")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
     )
     tots = counts.groupBy("doc_id").agg(
         F.sum(F.when(F.col("n") == 1, F.col("c"))).alias("n1"),

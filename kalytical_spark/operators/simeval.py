@@ -241,7 +241,7 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     economics the truncation buys at 100 TB."""
     from pyspark.sql import Window as W
 
-    from .common import t as _t
+    from .common import spread, t as _t
     from .similarity import QUERY_STRIDE, TOP_K, _cos_rounded
 
     embt = _t(spark, sf_dir, "embeddings")
@@ -250,7 +250,7 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         F.broadcast(queries)
-        .join(embt, F.col("vec_id") != F.col("query_id"))
+        .join(spread(spark, embt), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
@@ -310,7 +310,7 @@ def emb_matryoshka_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic."""
     from pyspark.sql import Window as W
 
-    from .common import t as _t
+    from .common import spread, t as _t
     from .similarity import QUERY_STRIDE, TOP_K, _cos_rounded
 
     w_lit = "array({})".format(
@@ -323,7 +323,7 @@ def emb_matryoshka_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         F.broadcast(queries)
-        .join(embt, F.col("vec_id") != F.col("query_id"))
+        .join(spread(spark, embt), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",

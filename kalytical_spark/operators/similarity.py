@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .common import app_key, banded_candidate_pairs, session_memo, t
+from .common import app_key, banded_candidate_pairs, session_memo, spread, t
 
 TOP_K = 10
 N_PROBE = 3
@@ -50,9 +50,12 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
+    # spread: the cosine fold is FLOP-dense per row and a small corpus
+    # file scans as one partition (guide §2.5 — serialized the scorer on
+    # one core at bench scale); exact no-op at cluster scale
     scored = (
         F.broadcast(queries)
-        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .join(spread(spark, emb), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
