@@ -618,20 +618,27 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     descending form. Cumulative covered-occurrence sums ride the same
     decomposition. The K targets are a 3-row broadcast."""
     docs = t(spark, sf_dir, "documents")
-    ts = _tokens()
+    # project the token array ONCE before the gram transform: higher-order
+    # function lambdas evaluate interpreted with no CSE across elements,
+    # so the inline form re-ran split(text) per gram (the r11 re-split
+    # family fix, guide §4.1); pin the vocab counts — two consumers (the
+    # rank window and the per-digit-class totals) re-ran the explode+count
+    # chain otherwise (guide §2.4)
     counts = (
-        docs.filter(F.size(ts) >= 3)
+        docs.select(F.split(F.col("text"), " ").alias("ts0"))
+        .filter(F.size("ts0") >= 3)
         .select(
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(split(text, ' ')) - 2), "
-                    "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+                    "transform(sequence(1, size(ts0) - 2), "
+                    "i -> concat_ws(' ', slice(ts0, i, 3)))"
                 )
             ).alias("tok")
         )
         .groupBy("tok")
         .agg(F.count("*").cast("bigint").alias("cnt"))
         .withColumn("k", F.length(F.col("cnt").cast("string")))
+        .localCheckpoint(eager=False)
     )
     wk = (
         W.partitionBy("k")
