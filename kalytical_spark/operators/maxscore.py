@@ -123,7 +123,12 @@ def _contrib(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _essential_split(spark: SparkSession, sf_dir: str):
     """Returns (contrib, ess) where ess is the <=12-row per-(qid, term)
     dim carrying u_e6, theta_e6 and the essential flag."""
-    contrib = _contrib(spark, sf_dir)
+    # pin: contrib feeds FOUR consumers per query (term bounds, bucket
+    # maxima, the candidate join, final scoring) and each re-ran the
+    # tokenize/explode/join chain uncached (guide §2.4). The frame is the
+    # query-term postings list — the artifact a retrieval engine stores —
+    # bounded by the 12-term query set's selectivity, not corpus-wide.
+    contrib = _contrib(spark, sf_dir).localCheckpoint(eager=False)
     u = contrib.groupBy("qid", "term").agg(F.max("s_e6").alias("u_e6"))
 
     top_term = (

@@ -41,8 +41,19 @@ def get_spark(app_name: str = "kalytical_spark", cpus: int | None = None) -> Spa
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # long full-suite runs showed rare 20-40s stalls on whichever query a
-        # major GC landed on; a smaller heap with a pause goal bounds them
-        .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC -XX:MaxGCPauseMillis=500")
+        # major GC landed on; a smaller heap with a pause goal bounds them.
+        # ReservedCodeCacheSize: a 300-query suite compiles thousands of
+        # whole-stage-codegen classes; at the 240 MB default the JIT code
+        # cache can fill mid-suite, HotSpot disables compilation, and every
+        # later query runs interpreted (observed as late-suite queries 5-10x
+        # their isolated time on one bench box; measured JIT sensitivity on
+        # this workload: the same job decays 5.4 -> 0.9 s over 14 runs while
+        # GC stays at ~8 ms/run). 512 MB is the standard long-running-SQL
+        # driver setting and is executor-side too on a real cluster.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UseG1GC -XX:MaxGCPauseMillis=500 -XX:ReservedCodeCacheSize=512m",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.warehouse.dir", "/tmp/kalytical_warehouse")
