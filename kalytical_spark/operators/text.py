@@ -621,9 +621,17 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # project the token array ONCE before the gram transform: higher-order
     # function lambdas evaluate interpreted with no CSE across elements,
     # so the inline form re-ran split(text) per gram (the r11 re-split
-    # family fix, guide §4.1); pin the vocab counts — two consumers (the
-    # rank window and the per-digit-class totals) re-ran the explode+count
-    # chain otherwise (guide §2.4)
+    # family fix, guide §4.1); pin the vocab counts — THREE consumers (the
+    # rank window, the per-digit-class totals, and the grand total) re-ran
+    # the explode+count chain otherwise (guide §2.4). The pin is EAGER
+    # (r12, VERDICT r11 item 1): a lazy localCheckpoint referenced by
+    # several subtrees of one action can be computed concurrently by
+    # sibling stages before its blocks land — the one mechanism that
+    # could reproduce the driver's 5.4 s outlier at 32 cores; eager
+    # materialization makes every consumer provably read stored blocks
+    # (isolated fresh-JVM warm medians: eager 1.01/1.17 s, lazy 1.40/0.98,
+    # unpinned 1.36 — all in-band on a quiet box, eager is the shape that
+    # cannot race).
     counts = (
         docs.select(F.split(F.col("text"), " ").alias("ts0"))
         .filter(F.size("ts0") >= 3)
@@ -638,7 +646,7 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").cast("bigint").alias("cnt"))
         .withColumn("k", F.length(F.col("cnt").cast("string")))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     wk = (
         W.partitionBy("k")

@@ -21,7 +21,11 @@ from kalytical_spark.registry import all_queries  # noqa: E402
 from kalytical_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r12"),
+)
 
 
 def main() -> None:
