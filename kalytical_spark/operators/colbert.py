@@ -566,17 +566,25 @@ def sim_maxsim_ivf_pruned(
     # `queries` broadcast.
     # localCheckpoint: pin the candidate keys BEFORE the broadcast so the
     # Python probe + distinct run as a normal job, not inside the
-    # broadcast-build thread (sporadic 10s+ stalls observed there)
+    # broadcast-build thread (sporadic 10s+ stalls observed there).
+    # Broadcast ONLY the (query_id, vec_id) key pairs (ADVICE r11): the
+    # r11 shape attached q_emb before the broadcast, replicating the
+    # 512-float vector once per (query, candidate) pair — a broadcast
+    # ~|candidates|x512x8 bytes, rebuilt every run, whose build/cleanup
+    # churn was the measured in-suite variance source (2-23 s swings on
+    # identical warm runs). q_emb re-attaches AFTER the corpus join via
+    # the queries broadcast, which is |queries|-sized.
     cand_q = (
         probed.join(postings, "cell")
         .select("query_id", "vec_id")
         .distinct()
         .filter(F.col("vec_id") != F.col("query_id"))
-        .join(F.broadcast(queries), "query_id")
         .localCheckpoint()
     )
-    cand = spread(spark, emb.select("vec_id", "embedding")).join(
-        F.broadcast(cand_q), "vec_id"
+    cand = (
+        spread(spark, emb.select("vec_id", "embedding"))
+        .join(F.broadcast(cand_q), "vec_id")
+        .join(F.broadcast(queries), "query_id")
     )
     scored = cand.select("query_id", "vec_id", F.expr(_MAXSIM).alias("score_e4"))
     w = W.partitionBy("query_id").orderBy(F.desc("score_e4"), F.asc("vec_id"))
