@@ -71,68 +71,66 @@ def sketch_quantile_decades(spark: SparkSession, sf_dir: str) -> DataFrame:
     the claimed bin (always true unless the sketch is broken — and the
     column is genuinely computed on both engines, not asserted)."""
     vals = _cents(spark, sf_dir)
-    hist = _histogram(vals)
-
-    n_total = vals.count()  # scalar; the oracle recomputes it
-    targets = spark.createDataFrame(
-        [(q, (q * n_total + 999) // 1000) for q in _QS],
-        "q_milli INT, target_rank BIGINT",
+    # The sketch IS the readout artifact: <=170 (n_digits, leading_digit)
+    # bins by construction, at any scale. Collect it once and do the
+    # readout driver-side in exact integer arithmetic (the same class of
+    # scalar driver work as vals.count() was — this replaces that count
+    # job AND the 170-row est join/window subtree with one tiny collect;
+    # r12, VERDICT r11 item 7).
+    bins = sorted(
+        (int(r["k"]), int(r["d"]), int(r["n"]))
+        for r in _histogram(vals).collect()
     )
-
-    wcum = W.orderBy("k", "d").rowsBetween(W.unboundedPreceding, 0)
-    cum = hist.select(
-        "k",
-        "d",
-        F.sum("n").over(wcum).alias("cum"),
-        # bin bounds: [d * 10^(k-1), (d+1) * 10^(k-1))
-        (F.col("d") * F.pow(F.lit(10), F.col("k") - 1).cast("bigint"))
-        .cast("bigint")
-        .alias("lo"),
-        ((F.col("d") + 1) * F.pow(F.lit(10), F.col("k") - 1).cast("bigint"))
-        .cast("bigint")
-        .alias("hi"),
+    n_total = sum(n for _, _, n in bins)
+    est_rows = []
+    for q in _QS:
+        target = (q * n_total + 999) // 1000
+        cum = 0
+        for k, d, n in bins:  # first bin whose cumulative count reaches it
+            cum += n
+            if cum >= target:
+                lo = d * 10 ** (k - 1)
+                est_rows.append((q, target, lo, (d + 1) * 10 ** (k - 1), cum - n))
+                break
+    est = spark.createDataFrame(
+        est_rows,
+        "q_milli INT, target_rank BIGINT, est_lo BIGINT, est_hi BIGINT,"
+        " below_off BIGINT",
     )
-    # sketch readout: first bin whose cumulative count reaches the target
-    est = (
-        targets.join(F.broadcast(cum), F.col("cum") >= F.col("target_rank"))
-        .groupBy("q_milli", "target_rank")
-        .agg(
-            # bin order key: k*10 + d (d < 10, so this is (k, d) order)
-            F.min_by(F.col("lo"), F.col("k") * 10 + F.col("d")).alias("est_lo"),
-            F.min_by(F.col("hi"), F.col("k") * 10 + F.col("d")).alias("est_hi"),
-        )
+    # exact anchor, RANGE-PRUNED by the sketch's own guarantee (r12,
+    # VERDICT r11 item 7 — provably lossless): bins partition the value
+    # axis in (k, d) order, so the target-rank value lies IN the first
+    # bin whose cumulative count reaches the target (exactly the bin the
+    # sketch reads out), and its global rank decomposes as below_off
+    # (count of values in strictly-earlier bins) + rank-within-bin. Only
+    # values inside an est bin are grouped and prefix-summed — the
+    # groupBy(v) + window input shrinks from the full value set to the
+    # probed bins' mass, and the two-level k-partition offset machinery
+    # the full anchor needed is gone. The window stays partitioned (by
+    # target); the 3-row target/bin dim is the broadcast side, never the
+    # values.
+    cand = vals.join(
+        F.broadcast(est),
+        (F.col("v") >= F.col("est_lo")) & (F.col("v") < F.col("est_hi")),
     )
-    # exact anchor: smallest v whose value-level cumulative count reaches
-    # the target (percentile_disc). Two-level prefix sum so NO
-    # unpartitioned window ever plans: running sum within each
-    # digit-count partition (value order == (k, v) order), plus each
-    # partition's offset from the tiny per-k totals — the histogram's own
-    # decomposition reused for the exact path.
-    byval = vals.groupBy("v").agg(F.count("*").alias("cnt")).withColumn(
-        "k", F.length(F.col("v").cast("string"))
+    wv = (
+        W.partitionBy("q_milli").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
     )
-    wk = W.partitionBy("k").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
-    within = byval.withColumn("cum_in_k", F.sum("cnt").over(wk))
-    k_tot = byval.groupBy("k").agg(F.sum("cnt").alias("ktot"))
-    ka, kb = k_tot.alias("ka"), k_tot.alias("kb")
-    offsets = (
-        ka.join(kb, F.col("kb.k") < F.col("ka.k"), "left")
-        .groupBy(F.col("ka.k").alias("k"))
-        .agg(F.coalesce(F.sum("kb.ktot"), F.lit(0)).alias("offset"))
+    in_bin = (
+        cand.groupBy("q_milli", "target_rank", "below_off", "v")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("cum_in_bin", F.sum("cnt").over(wv))
     )
-    vcum = within.join(F.broadcast(offsets), "k").select(
-        "v", (F.col("cum_in_k") + F.col("offset")).alias("vcum")
-    )
-    # broadcast the 3-row TARGET side, never the value-cardinality vcum
-    # frame (a vocab-sized broadcast is exactly the scale-killer the
-    # TF-IDF join rule exists for)
     exact = (
-        vcum.join(F.broadcast(targets), F.col("vcum") >= F.col("target_rank"))
+        in_bin.filter(
+            F.col("below_off") + F.col("cum_in_bin") >= F.col("target_rank")
+        )
         .groupBy(F.col("q_milli").alias("qm"))
         .agg(F.min("v").alias("exact_cents"))
     )
     return (
-        est.join(exact, est.q_milli == exact.qm)
+        est.drop("below_off")
+        .join(exact, est.q_milli == exact.qm)
         .select(
             "q_milli",
             F.lit(n_total).cast("bigint").alias("n_total"),
@@ -219,6 +217,7 @@ def sketch_quantile_group_medians(spark: SparkSession, sf_dir: str) -> DataFrame
         "l_returnflag",
         "k",
         "d",
+        "n",
         F.sum("n").over(wcum).alias("cum"),
         F.sum("n").over(wg).alias("n_total"),
         (F.col("d") * F.pow(F.lit(10), F.col("k") - 1).cast("bigint"))
@@ -234,53 +233,40 @@ def sketch_quantile_group_medians(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(
             F.min_by(F.col("lo"), F.col("k") * 10 + F.col("d")).alias("est_lo"),
             F.min_by(F.col("hi"), F.col("k") * 10 + F.col("d")).alias("est_hi"),
+            F.min_by(F.col("cum") - F.col("n"), F.col("k") * 10 + F.col("d")).alias(
+                "below_off"
+            ),
         )
     )
-    # exact anchor with the same two-level prefix sum as the global
-    # report, partitioned by (group, digit-count)
-    byval = (
-        vals.groupBy("l_returnflag", "v")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("k", F.length(F.col("v").cast("string")))
-    )
-    wgk = (
-        W.partitionBy("l_returnflag", "k")
+    # exact anchor, RANGE-PRUNED per group by the sketch's own guarantee
+    # (r12, same lossless decomposition as the global report): the
+    # group's median value lies in the group's est bin, at within-bin
+    # rank target_rank - below_off. Only rows inside their group's est
+    # bin are grouped and prefix-summed; the per-(group, digit-count)
+    # two-level offset machinery is gone. The est dim is |groups|-sized
+    # and broadcast; values are never broadcast.
+    cand = vals.join(
+        F.broadcast(est),
+        ["l_returnflag"],
+    ).filter((F.col("v") >= F.col("est_lo")) & (F.col("v") < F.col("est_hi")))
+    wv = (
+        W.partitionBy("l_returnflag")
         .orderBy("v")
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    within = byval.withColumn("cum_in_k", F.sum("cnt").over(wgk))
-    k_tot = byval.groupBy("l_returnflag", "k").agg(F.sum("cnt").alias("ktot"))
-    ka, kb = k_tot.alias("ka"), k_tot.alias("kb")
-    offsets = (
-        ka.join(
-            kb,
-            (F.col("kb.l_returnflag") == F.col("ka.l_returnflag"))
-            & (F.col("kb.k") < F.col("ka.k")),
-            "left",
-        )
-        .groupBy(
-            F.col("ka.l_returnflag").alias("l_returnflag"), F.col("ka.k").alias("k")
-        )
-        .agg(F.coalesce(F.sum("kb.ktot"), F.lit(0)).alias("offset"))
-    )
-    # per-group totals derived from the tiny per-(group, k) frame — no
-    # extra scan of the fact table
-    nt = k_tot.groupBy("l_returnflag").agg(F.sum("ktot").alias("nt"))
-    vcum = (
-        within.join(F.broadcast(offsets), ["l_returnflag", "k"])
-        .join(F.broadcast(nt), "l_returnflag")
-        .select(
-            "l_returnflag",
-            "v",
-            (F.col("cum_in_k") + F.col("offset")).alias("vcum"),
-            "nt",
-        )
+    in_bin = (
+        cand.groupBy("l_returnflag", "target_rank", "below_off", "v")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("cum_in_bin", F.sum("cnt").over(wv))
     )
     exact = (
-        vcum.filter(F.col("vcum") >= F.expr("(nt * 500 + 999) div 1000"))
+        in_bin.filter(
+            F.col("below_off") + F.col("cum_in_bin") >= F.col("target_rank")
+        )
         .groupBy(F.col("l_returnflag").alias("rf"))
         .agg(F.min("v").alias("exact_cents"))
     )
+    est = est.drop("below_off")
     return (
         est.join(exact, est.l_returnflag == exact.rf)
         .select(
