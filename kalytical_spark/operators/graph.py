@@ -125,19 +125,31 @@ def _node_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines with no completed exec get DEFAULT_WEIGHT_MS. O(pipelines)
     rows — broadcast everywhere it's used."""
     ev = t(spark, sf_dir, "lifecycle_events")
-    starts = (
-        ev.filter(F.col("event_subtype") == "running")
+    # ONE scan + ONE shuffle for both endpoints (r12, guide §2.4): the
+    # old starts/ends frames each scanned the lifecycle log and shuffled
+    # by (pipeline, exec) separately, then joined — min(running) and
+    # max(success|failure) are conditional aggregates over the same
+    # grouping, and the inner join's both-present requirement is the
+    # NOT NULL filter on both.
+    dur = (
+        ev.filter(F.col("event_subtype").isin("running", "success", "failure"))
         .groupBy("pipeline_uuid", "exec_uuid")
-        .agg(F.min("event_time").alias("t0"))
-    )
-    ends = (
-        ev.filter(F.col("event_subtype").isin("success", "failure"))
-        .groupBy("pipeline_uuid", "exec_uuid")
-        .agg(F.max("event_time").alias("t1"))
-    )
-    dur = starts.join(ends, ["pipeline_uuid", "exec_uuid"]).select(
-        "pipeline_uuid",
-        (F.unix_millis("t1") - F.unix_millis("t0")).alias("dur_ms"),
+        .agg(
+            F.min(
+                F.when(F.col("event_subtype") == "running", F.col("event_time"))
+            ).alias("t0"),
+            F.max(
+                F.when(
+                    F.col("event_subtype").isin("success", "failure"),
+                    F.col("event_time"),
+                )
+            ).alias("t1"),
+        )
+        .filter(F.col("t0").isNotNull() & F.col("t1").isNotNull())
+        .select(
+            "pipeline_uuid",
+            (F.unix_millis("t1") - F.unix_millis("t0")).alias("dur_ms"),
+        )
     )
     per = dur.groupBy("pipeline_uuid").agg(F.max("dur_ms").alias("w"))
     defs = t(spark, sf_dir, "pipeline_defs").select("pipeline_uuid")
@@ -184,29 +196,27 @@ def dag_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         levels.append(frontier)
-    # two consumers scan the DP result (the max and the argmax join) — cache
-    # so the level joins run once (eager, see common.eager_cache)
-    paths = eager_cache(reduce(DataFrame.unionByName, levels))
-    best = paths.groupBy(F.col("node").alias("pipeline_uuid")).agg(
-        F.max("cost").alias("critical_cost")
-    )
+    # max + argmax in ONE pass (r12, guide §2.4): the old shape cached the
+    # DP result and self-joined it against its own per-node max (cache
+    # build job + count + groupBy + join + re-aggregate); a per-node max
+    # WINDOW annotates each path with its node's best cost, the argmax is
+    # a filter, and the final rollup reuses the window's node partitioning
+    # — one consumer, so the DP union needs no cache at all (every level
+    # is broadcast-join-only over the cached wts: recompute-free).
+    paths = reduce(DataFrame.unionByName, levels)
+    from pyspark.sql import Window as W
+
+    wn = W.partitionBy("node")
     return (
-        best.alias("b")
-        .join(
-            paths.alias("p"),
-            (F.col("p.node") == F.col("b.pipeline_uuid"))
-            & (F.col("p.cost") == F.col("b.critical_cost")),
+        paths.withColumn("mx", F.max("cost").over(wn))
+        .filter(F.col("cost") == F.col("mx"))
+        .groupBy(
+            F.col("node").alias("pipeline_uuid"),
+            F.col("mx").alias("critical_cost"),
         )
-        .groupBy("b.pipeline_uuid", "b.critical_cost")
         .agg(
-            F.min("p.hops").cast("int").alias("critical_hops"),
+            F.min("hops").cast("int").alias("critical_hops"),
             F.count("*").alias("n_critical_paths"),
-        )
-        .select(
-            F.col("pipeline_uuid"),
-            F.col("critical_cost"),
-            "critical_hops",
-            "n_critical_paths",
         )
     )
 
