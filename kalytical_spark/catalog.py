@@ -47,6 +47,14 @@ def register(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, cache_domain: bo
             df.unpersist()
         except Exception:
             pass
+    if sid in _CURRENT_SF:
+        # sf_dir SWITCH: the operator memos keyed on the old sf_dir can
+        # never be read again (temp views are single-sf_dir per session) —
+        # unpersist their cached blocks too, not just the domain views
+        # (ADVICE r11; late import: operators.common imports this module)
+        from .operators.common import evict_other_sf_memos
+
+        evict_other_sf_memos(spark, sf_dir)
     from .session import tune_session
 
     tune_session(spark)

@@ -92,6 +92,39 @@ def reset_session_state(spark: SparkSession) -> None:
         d.clear()
 
 
+def _unpersist_value(v) -> None:
+    if isinstance(v, DataFrame):
+        try:
+            v.unpersist()
+        except Exception:
+            pass
+    elif isinstance(v, (tuple, list)):
+        for item in v:
+            _unpersist_value(item)
+
+
+def evict_other_sf_memos(spark: SparkSession, keep_sf_dir: str) -> None:
+    """Drop this session's memoized frames for every OTHER sf_dir (ADVICE
+    r11): catalog.register() unpersists the domain caches when a session
+    switches sf_dir, but the operator memos (verified pairs, exact top-k
+    baselines, CC labels, ...) are keyed (app, sf_dir) and survived the
+    switch — in a mixed-sf session (the driver's smoke + gate flow) their
+    cached blocks accumulated. Temp views are single-sf_dir per session by
+    contract, so a stale-sf memo can never be read again legitimately;
+    unpersist its blocks and forget it."""
+    app = app_key(spark)
+    for d in SESSION_MEMOS:
+        for key in list(d):
+            if (
+                isinstance(key, tuple)
+                and len(key) == 2
+                and key[0] == app
+                and isinstance(key[1], str)
+                and key[1] != keep_sf_dir
+            ):
+                _unpersist_value(d.pop(key))
+
+
 def eager_cache(df: DataFrame) -> DataFrame:
     """cache() + count(): materialize NOW, before the frame feeds multiple
     branches of one action. A lazily-cached frame consumed by several
@@ -177,11 +210,39 @@ def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     filters): `df.rdd` on such plans is pure planning, whereas on an AQE
     plan with exchanges it would execute the upstream stages. At cluster
     scale the scan already carries >= parallelism partitions and this is
-    an exact no-op — the repartition never reaches a large input."""
+    an exact no-op — the repartition never reaches a large input.
+
+    The scan-shape contract is ENFORCED, not just documented (ADVICE
+    r11): the cache-substituted logical plan (cached domain views appear
+    as InMemoryRelation leaves, so a view's internal derivation cannot
+    false-positive) is checked for exchange-introducing nodes; a derived
+    frame is returned unchanged rather than risking a job at
+    DataFrame-build time. Plan inspection only — no job runs here."""
     n = spark.sparkContext.defaultParallelism
+    try:
+        plan = df._jdf.queryExecution().withCachedData().treeString()
+    except Exception:
+        return df  # cannot prove the frame is scan-shaped: do nothing
+    if any(tok in plan for tok in _SPREAD_UNSAFE_NODES):
+        return df
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df
+
+
+# logical nodes whose physical plan computes upstream stages when `.rdd`
+# is materialized (or that a scan-shaped frame can never contain)
+_SPREAD_UNSAFE_NODES = (
+    "Aggregate [",
+    "Join ",
+    "Window [",
+    "Sort [",
+    "Repartition",
+    "GlobalLimit",
+    "Deduplicate",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+)
 
 
 def banded_candidate_pairs(

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from kalytical_spark import catalog
 from kalytical_spark.operators import dag, events, relational
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, SF_SMALL
 
 
 def _final_plan(df) -> str:
@@ -260,3 +260,64 @@ def test_range_join_is_equi_join_no_nested_loop(spark):
     assert "CartesianProduct" not in plan
     tree = plan.split("\n\n")[0]
     assert "Join" in tree  # an actual equi join on bucket is present
+
+
+def test_spread_guard_refuses_derived_frames(spark):
+    """common.spread() must be a plan-inspection-only helper: a derived
+    frame (aggregate/join/window upstream) is returned UNCHANGED — calling
+    .rdd on it would execute the upstream stages at DataFrame-build time
+    (ADVICE r11: the scan-shape contract is enforced, not just
+    documented) — while genuinely scan-shaped frames still get the
+    parallelism floor."""
+    from pyspark.sql import functions as F
+
+    from kalytical_spark.operators.common import spread, t
+
+    emb = t(spark, SF_ORACLE, "embeddings")
+    n = spark.sparkContext.defaultParallelism
+
+    # scan-shaped: projection + filter over a table read still spreads
+    # (the sf0.01 embedding file scans as a single split at test size)
+    scan = emb.select("vec_id", "embedding").filter(F.col("vec_id") % 2 == 0)
+    if scan.rdd.getNumPartitions() < n:
+        assert spread(spark, scan).rdd.getNumPartitions() == n
+
+    # derived frames are refused identically (same object back)
+    agg = emb.groupBy("label").count()
+    assert spread(spark, agg) is agg
+    joined = emb.join(
+        emb.select(F.col("vec_id").alias("v2")), F.col("vec_id") == F.col("v2")
+    )
+    assert spread(spark, joined) is joined
+
+
+def test_sf_switch_evicts_stale_memos(spark):
+    """catalog.register() on an sf_dir SWITCH must evict this session's
+    operator memos keyed on the old sf_dir (ADVICE r11): temp views are
+    single-sf_dir per session, so a stale-sf memo can never be read again
+    — leaving it cached accumulates dead blocks across the driver's
+    smoke+gate flow."""
+    from kalytical_spark import catalog
+    from kalytical_spark.operators.common import SESSION_MEMOS, app_key
+
+    from kalytical_spark.operators import similarity
+
+    catalog.register(spark, SF_SMALL)
+    similarity.exact_topk_memo(spark, SF_SMALL)
+    app = app_key(spark)
+
+    def stale_entries():
+        return [
+            (id(d), k)
+            for d in SESSION_MEMOS
+            for k in d
+            if isinstance(k, tuple)
+            and len(k) == 2
+            and k[0] == app
+            and isinstance(k[1], str)
+            and k[1] == SF_SMALL
+        ]
+
+    assert stale_entries(), "memo for the first sf_dir should exist"
+    catalog.register(spark, SF_ORACLE)
+    assert not stale_entries(), "sf switch must evict the old sf_dir's memos"

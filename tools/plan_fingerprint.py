@@ -129,6 +129,16 @@ def fingerprint(df_or_build, spark=None) -> dict[str, int]:
     sess = spark if spark is not None else df_or_build.sparkSession
     prev_aqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
     sess.conf.set("spark.sql.adaptive.enabled", "false")
+    # pin the scan split sizing (ADVICE r11): common.spread() repartitions
+    # only when a scan yields fewer partitions than defaultParallelism, so
+    # pins like sim_maxsim_topk's shuffle_roundrobin_exchange:1 depend on
+    # the split count. Fixing maxPartitionBytes at the Spark default makes
+    # the split count a pure function of the committed test data (the cpu
+    # side is already covered: re-pins are cross-checked at a second
+    # SPARK_GRAFT_TEST_CPUS, and the fixture scans are single-split at
+    # both counts).
+    prev_mpb = sess.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    sess.conf.set("spark.sql.files.maxPartitionBytes", "134217728b")
     try:
         if callable(df_or_build):
             reset_session_state(sess)
@@ -153,6 +163,7 @@ def fingerprint(df_or_build, spark=None) -> dict[str, int]:
         _walk_counts(root, out)
     finally:
         sess.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        sess.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
     return out
 
 

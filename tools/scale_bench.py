@@ -147,6 +147,31 @@ def _facts_chain():
     ]
 
 
+def _spreademb_chain():
+    """The r11 spread()-touched FLOP-dense embedding paths (VERDICT r11
+    item 6): exact MaxSim and brute-force cosine. Run this chain at one
+    k with --pin 8 and --pin 32 — the recorded @cN points' ratio is the
+    core-scaling evidence the r11 isolated stage timings lacked."""
+    from kalytical_spark.operators import colbert, similarity
+
+    return [
+        ("sim_maxsim_topk", colbert.sim_maxsim_topk),
+        ("sim_topk_bruteforce", similarity.sim_topk_bruteforce),
+    ]
+
+
+def _spreadmm_chain():
+    """The r11 spread()-touched multimodal decode seam (same evidence
+    protocol as _spreademb_chain): every decode consumes
+    multimodal._with_payload."""
+    from kalytical_spark.operators import image, multimodal
+
+    return [
+        ("mm_image_rle_roundtrip", image.mm_image_rle_roundtrip),
+        ("mm_decode_features", multimodal.mm_decode_features),
+    ]
+
+
 CHAINS = {
     "docs": _docs_chain,
     "events": _events_chain,
@@ -154,6 +179,8 @@ CHAINS = {
     "emb": _emb_chain,
     "textdedup": _textdedup_chain,
     "neardupeval": _neardupeval_chain,
+    "spreademb": _spreademb_chain,
+    "spreadmm": _spreadmm_chain,
 }
 
 
@@ -236,6 +263,8 @@ _SCALED_TABLE = {
     "emb": "embeddings.parquet",
     "textdedup": "documents.parquet",
     "neardupeval": "documents.parquet",
+    "spreademb": "embeddings.parquet",
+    "spreadmm": "documents.parquet",
 }
 _REPLICATE = {
     "docs": _replicate_docs,
@@ -248,6 +277,8 @@ _REPLICATE = {
     "textdedup": _replicate_docs,
     # pair-eval tier rides the same replication (pairs scale linearly)
     "neardupeval": _replicate_docs,
+    "spreademb": _replicate_embeddings,
+    "spreadmm": _replicate_docs,
 }
 
 
@@ -367,7 +398,8 @@ def run_single(chain: str, k: int) -> None:
 
 def _point_sort_key(name: str):
     chain, _, kpart = name.partition(":k")
-    return (chain, int(kpart or 0))
+    kpart, _, pin = kpart.partition("@c")
+    return (chain, int(kpart or 0), int(pin or 0))
 
 
 def main() -> None:
@@ -452,8 +484,12 @@ def main() -> None:
             point["runs"] = len(results)
         if pin:
             point["pin"] = pin
-        sweep[f"{chain}:k{k}"] = point
-        print(json.dumps({f"{chain}:k{k}": sweep[f"{chain}:k{k}"]}), flush=True)
+        # pinned points get their own key so an 8-core and a 32-core run
+        # of the same scale point coexist — the @cN pair IS the recorded
+        # core-scaling evidence (VERDICT r11 item 6)
+        key = f"{chain}:k{k}@c{pin}" if pin else f"{chain}:k{k}"
+        sweep[key] = point
+        print(json.dumps({key: sweep[key]}), flush=True)
 
     # merge into the persisted sweep: a focused rerun of one point
     # refreshes it without dropping the others
